@@ -1,0 +1,195 @@
+"""L1 compute kernels: vectorized, jittable equivalents of the reference's
+``src/util.c`` bit/byte kernel library.
+
+Every function here is pure, shape-static, and safe under ``jax.jit`` /
+``shard_map``.  Semantics follow the C reference exactly (cited per
+function); the implementations are data-parallel re-designs, not loop
+translations -- min/max are reductions, periodic wraps are ``where`` masks,
+delta coding is a subtract/cumsum, byte transpose is a shift/mask reshape.
+
+The genuinely hard kernel -- variable-width bitpacking -- lives in
+``bitpack.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import rng as _rng
+
+
+# ---------------------------------------------------------------------------
+# Min / max (util.c:27-68)
+# ---------------------------------------------------------------------------
+
+def minmax(x):
+    """Min and max of a float sequence (util_MinMax, util.c:27-46)."""
+    return jnp.min(x), jnp.max(x)
+
+
+def u64_minmax(x):
+    """Min and max of an unsigned integer sequence (util_U64MinMax,
+    util.c:48-68)."""
+    return jnp.min(x), jnp.max(x)
+
+
+# ---------------------------------------------------------------------------
+# Periodic boundary conditions (util.c:70-143)
+# ---------------------------------------------------------------------------
+
+def periodic(x, L):
+    """Wrap values into [0, L).  Assumes points are within one box length of
+    the range (util_Periodic, util.c:70-84)."""
+    L = jnp.float32(L)
+    x = jnp.where(x >= L, x - L, x)
+    return jnp.where(x < 0, x + L, x)
+
+
+def u64_periodic(x, L):
+    """util_U64Periodic (util.c:86-95)."""
+    L = jnp.asarray(L, dtype=x.dtype)
+    return jnp.where(x >= L, x - L, x)
+
+
+def undo_periodic(x, L):
+    """Shift a periodically wrapped cluster into one contiguous range: values
+    more than L/2 from x[0] are unwrapped across the boundary
+    (util_UndoPeriodic, util.c:97-113)."""
+    L = jnp.float32(L)
+    x0 = x[0]
+    x = jnp.where(x - x0 >= L / 2, x - L, x)
+    return jnp.where(x - x0 < -L / 2, x + L, x)
+
+
+def u64_undo_periodic(x, L):
+    """util_U64UndoPeriodic (util.c:115-143): signed unwrap around x[0],
+    then shift everything up by L if any value went negative.
+
+    Works in int64 like the reference (which views the u64 data as int64).
+    """
+    xi = x.astype(jnp.int64)
+    L_i = jnp.int64(L)
+    x0 = xi[0]
+    # Reference loop starts at i=1: element 0 is never unwrapped.
+    idx = jnp.arange(xi.shape[0]) > 0
+    shifted = jnp.where(jnp.logical_and(idx, xi - x0 >= L_i // 2), xi - L_i,
+                        xi)
+    shifted = jnp.where(jnp.logical_and(idx, xi - x0 < -(L_i // 2)),
+                        xi + L_i, shifted)
+    needs_lift = jnp.min(shifted) < 0
+    return jnp.where(needs_lift, shifted + L_i, shifted).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Error-bounded quantization -- the only lossy steps (util.c:145-242)
+# ---------------------------------------------------------------------------
+
+def uniform_bin_index(x, level, x0, dx):
+    """Bin indices of x within [x0, x0 + dx) using 2^level bins
+    (util_UniformBinIndex, util.c:173-196).
+
+    Out-of-range values (possible only via floating-point error, per the
+    reference's contract) clamp to the first / last bin.  Returns uint32;
+    level is capped at 24 by the quantization engine (f32 mantissa), so u32
+    always suffices.
+    """
+    x0 = jnp.float32(x0)
+    dx = jnp.float32(dx)
+    num_bins = jnp.float32(np.float32(1 << int(level))) if isinstance(
+        level, (int, np.integer)) else jnp.exp2(level.astype(jnp.float32))
+    delta = (x - x0) / dx
+    scaled = (delta * num_bins).astype(jnp.uint32)
+    top = (num_bins - 1).astype(jnp.uint32)
+    out = jnp.where(delta < 0, jnp.uint32(0),
+                    jnp.where(delta >= 1, top, scaled))
+    return out
+
+
+def bin_index(x, level, x0, dx):
+    """Per-element-depth bin indices (util_BinIndex, util.c:145-170).
+    ``level`` is a u8/u32 array of per-element bit depths."""
+    x0 = jnp.float32(x0)
+    dx = jnp.float32(dx)
+    num_bins = jnp.exp2(level.astype(jnp.float32))
+    delta = (x - x0) / dx
+    scaled = (delta * num_bins).astype(jnp.uint32)
+    top = (num_bins - 1).astype(jnp.uint32)
+    return jnp.where(delta < 0, jnp.uint32(0),
+                     jnp.where(delta >= 1, top, scaled))
+
+
+def undo_uniform_bin_index(idx, level, x0, dx, key):
+    """Reconstruct floats from bin indices, dithered uniformly within each
+    bin (util_UndoUniformBinIndex, util.c:223-242).
+
+    ``key`` is a jax.random key -- the reference threads a sequential
+    xoroshiro state here (nondeterministically seeded, quant.c:639); we use
+    stateless counter-based dithering so decode is reproducible and
+    vectorizes (see ops/rng.py).
+    """
+    x0 = jnp.float32(x0)
+    dx = jnp.float32(dx)
+    bins = np.float32(1 << int(level)) if isinstance(
+        level, (int, np.integer)) else jnp.exp2(level.astype(jnp.float32))
+    bin_width = dx / bins
+    offset = x0 + bin_width * idx.astype(jnp.float32)
+    u = _rng.uniform24(key, idx.shape)
+    return offset + u * bin_width
+
+
+def undo_bin_index(idx, level, x0, dx, key):
+    """Per-element-depth inverse (util_UndoBinIndex, util.c:198-221)."""
+    x0 = jnp.float32(x0)
+    dx = jnp.float32(dx)
+    bins = jnp.exp2(level.astype(jnp.float32))
+    bin_width = dx / bins
+    offset = x0 + bin_width * idx.astype(jnp.float32)
+    u = _rng.uniform24(key, idx.shape)
+    return offset + u * bin_width
+
+
+# ---------------------------------------------------------------------------
+# Byte-plane transpose (util.c:244-281)
+# ---------------------------------------------------------------------------
+
+def u32_transpose_bytes(x):
+    """Split u32 words into 4 byte planes: output byte i + n*j is byte j of
+    word i (util_U32TransposeBytes, util.c:244-259).  Returns uint8 of
+    length 4n."""
+    planes = [(x >> (8 * j)).astype(jnp.uint8) for j in range(4)]
+    return jnp.concatenate(planes)
+
+
+def u32_undo_transpose_bytes(x):
+    """Inverse of u32_transpose_bytes (util_U32UndoTransposeBytes,
+    util.c:261-281).  ``x`` is uint8 with length divisible by 4."""
+    n = x.shape[0] // 4
+    planes = x.reshape(4, n).astype(jnp.uint32)
+    out = planes[0]
+    for j in range(1, 4):
+        out = out | (planes[j] << (8 * j))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Delta coding (util.c:283-309)
+# ---------------------------------------------------------------------------
+
+def u8_delta_encode(x):
+    """y[0] = x[0]; y[i] = x[i] - x[i-1] with u8 wraparound
+    (util_U8DeltaEncode, util.c:283-295)."""
+    if x.shape[0] == 0:
+        return x
+    prev = jnp.concatenate([jnp.zeros((1,), dtype=x.dtype), x[:-1]])
+    return x - prev
+
+
+def u8_undo_delta_encode(x):
+    """Prefix-sum inverse of u8_delta_encode (util_U8UndoDeltaEncode,
+    util.c:297-309).  cumsum in u8 wraps mod 256 exactly like the C loop."""
+    if x.shape[0] == 0:
+        return x
+    # cumsum on u8 would promote; stay in u32 then truncate (mod-256 exact).
+    return jnp.cumsum(x.astype(jnp.uint32)).astype(jnp.uint8)

@@ -1,0 +1,123 @@
+"""Checksum and entropy-backend tests, including wire interop with the
+system liblz4 and parity with the compiled reference."""
+
+import ctypes
+import numpy as np
+import pytest
+
+from minnow_c_tpu.ops import checksum, entropy
+from tests import ref_oracle
+
+
+class TestChecksum:
+    def test_native_matches_python(self):
+        rng = np.random.default_rng(0)
+        for n in (0, 1, 7, 1000):
+            data = rng.integers(0, 256, n).astype(np.uint8).tobytes()
+            assert checksum.checksum(data) == checksum.checksum_py(data)
+
+    def test_reference_parity_with_code_init(self):
+        # The reference code initializes to 1 (util.c:439); with init=1 we
+        # must match it bit-for-bit.
+        if ref_oracle.lib() is None:
+            pytest.skip("reference oracle unavailable")
+        rng = np.random.default_rng(1)
+        for n in (0, 1, 13, 4096):
+            data = rng.integers(0, 256, n).astype(np.uint8).tobytes()
+            assert checksum.checksum(data, init=1) == \
+                ref_oracle.ref_checksum(data)
+
+    def test_spec_init_detects_zeroed_block(self):
+        # Rationale for init=0xff (header_format.tex:391-393): zeroed data +
+        # zeroed checksum must not validate.
+        zeros = bytes(64)
+        assert checksum.checksum(zeros) != 0
+
+
+class TestEntropy:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(2)
+        for n in (0, 1, 12, 100, 65536):
+            # compressible data
+            data = (rng.integers(0, 4, n).astype(np.uint8)).tobytes()
+            comp = entropy.encode(data)
+            back = entropy.decode(comp, n)
+            assert back.tobytes() == data
+
+    def test_incompressible_roundtrip(self):
+        rng = np.random.default_rng(3)
+        data = rng.integers(0, 256, 10000).astype(np.uint8).tobytes()
+        comp = entropy.encode(data)
+        back = entropy.decode(comp, len(data))
+        assert back.tobytes() == data
+
+    def test_compresses(self):
+        data = bytes(100000)  # all zeros
+        comp = entropy.encode(data)
+        assert len(comp) < 1000
+
+    def test_blocks_parallel(self):
+        rng = np.random.default_rng(4)
+        blocks = [rng.integers(0, 8, n).astype(np.uint8).tobytes()
+                  for n in (10, 1000, 50000, 0, 7)]
+        comps = entropy.encode_blocks(blocks)
+        backs = entropy.decode_blocks(comps, [len(b) for b in blocks])
+        for b, back in zip(blocks, backs):
+            assert back.tobytes() == b
+
+    def test_interop_system_lz4_decodes_ours(self):
+        """Our encoder's output must be a valid standard LZ4 block."""
+        lz4 = ref_oracle._find_system_lz4()
+        if lz4 is None:
+            pytest.skip("no system liblz4")
+        lib = ctypes.CDLL(lz4)
+        lib.LZ4_decompress_safe.restype = ctypes.c_int
+        lib.LZ4_decompress_safe.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                            ctypes.c_int, ctypes.c_int]
+        rng = np.random.default_rng(5)
+        data = (rng.integers(0, 16, 50000).astype(np.uint8)).tobytes()
+        comp = entropy.encode(data)
+        out = ctypes.create_string_buffer(len(data))
+        got = lib.LZ4_decompress_safe(comp, out, len(comp), len(data))
+        assert got == len(data)
+        assert out.raw == data
+
+    def test_interop_ours_decodes_system_lz4(self):
+        lz4 = ref_oracle._find_system_lz4()
+        if lz4 is None:
+            pytest.skip("no system liblz4")
+        lib = ctypes.CDLL(lz4)
+        lib.LZ4_compressBound.restype = ctypes.c_int
+        lib.LZ4_compress_default.restype = ctypes.c_int
+        lib.LZ4_compress_default.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                             ctypes.c_int, ctypes.c_int]
+        rng = np.random.default_rng(6)
+        data = (rng.integers(0, 16, 50000).astype(np.uint8)).tobytes()
+        bound = lib.LZ4_compressBound(len(data))
+        buf = ctypes.create_string_buffer(bound)
+        n = lib.LZ4_compress_default(data, buf, len(data), bound)
+        assert n > 0
+        back = entropy.decode(buf.raw[:n], len(data))
+        assert back.tobytes() == data
+
+    def test_reference_entropy_parity(self):
+        """The reference's util_EntropyEncode (LZ4-backed) output must be
+        decodable by our decoder."""
+        if not ref_oracle.ref_lz4_available():
+            pytest.skip("oracle lz4 unavailable")
+        # The oracle exports util_EntropyEncode via Seq ABI; easier: verify
+        # via LZ4_compress_fast which is what it calls (util.c:411).
+        lib = ref_oracle.lib()
+        lib.LZ4_compressBound.restype = ctypes.c_int
+        lib.LZ4_compress_fast.restype = ctypes.c_int
+        lib.LZ4_compress_fast.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                          ctypes.c_int, ctypes.c_int,
+                                          ctypes.c_int]
+        rng = np.random.default_rng(7)
+        data = (rng.integers(0, 4, 30000).astype(np.uint8)).tobytes()
+        bound = lib.LZ4_compressBound(len(data))
+        buf = ctypes.create_string_buffer(bound)
+        n = lib.LZ4_compress_fast(data, buf, len(data), bound, 1)
+        assert n > 0
+        back = entropy.decode(buf.raw[:n], len(data))
+        assert back.tobytes() == data

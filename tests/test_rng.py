@@ -1,0 +1,61 @@
+"""RNG tests: bit-exact parity of our numpy xoroshiro128+ against the
+compiled reference rand.c, and determinism of the counter-based dither."""
+
+import numpy as np
+import pytest
+
+from minnow_c_tpu.ops import rng as mrng
+from tests import ref_oracle
+
+
+class TestXoroshiroParity:
+    def test_u64_stream_matches_reference(self):
+        if ref_oracle.lib() is None:
+            pytest.skip("reference oracle unavailable")
+        for seed in (0, 1, 42, 2**63):
+            ours = mrng.Xoroshiro128Plus(seed, 1)
+            got = ours.uint64(64)
+            ref = ref_oracle.ref_rand_u64(seed, 64)
+            np.testing.assert_array_equal(got, ref)
+
+    def test_floats_match_reference(self):
+        if ref_oracle.lib() is None:
+            pytest.skip("reference oracle unavailable")
+        ours = mrng.Xoroshiro128Plus(42, 1).floats(256)
+        ref = ref_oracle.ref_rand_floats(42, 256)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_jump_streams_match_reference(self):
+        # rand_Seed(seed, n) separates streams by 2^64 jumps (rand.c:22-39).
+        if ref_oracle.lib() is None:
+            pytest.skip("reference oracle unavailable")
+        ours = mrng.Xoroshiro128Plus(7, 3)
+        first = ours.next_u64()  # one step on all 3 streams
+        for i in range(3):
+            ref = ref_oracle.ref_rand_u64(7, 1, streams=3, stream=i)
+            assert first[i] == ref[0], f"stream {i}"
+
+    def test_float_range(self):
+        f = mrng.Xoroshiro128Plus(3, 1).floats(1000)
+        assert np.all(f >= 0) and np.all(f < 1)
+        # 24-bit granularity: scaled values are integers
+        scaled = f * np.float32(1 << 24)
+        np.testing.assert_array_equal(scaled, np.round(scaled))
+
+
+class TestCounterDither:
+    def test_deterministic_and_24bit(self):
+        key = mrng.field_key(123, 0, 1)
+        a = np.asarray(mrng.uniform24(key, (4096,)))
+        b = np.asarray(mrng.uniform24(key, (4096,)))
+        np.testing.assert_array_equal(a, b)
+        assert np.all(a >= 0) and np.all(a < 1)
+        scaled = a * np.float32(1 << 24)
+        np.testing.assert_array_equal(scaled, np.round(scaled))
+
+    def test_keys_distinct(self):
+        a = np.asarray(mrng.uniform24(mrng.field_key(1, 0, 0), (128,)))
+        b = np.asarray(mrng.uniform24(mrng.field_key(1, 0, 1), (128,)))
+        c = np.asarray(mrng.uniform24(mrng.field_key(1, 1, 0), (128,)))
+        assert not np.array_equal(a, b)
+        assert not np.array_equal(a, c)
