@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Headline benchmark: decode throughput of the fast-uniform path on one
+chip.
+
+Workload mirrors the reference's "(mock) undo fast compress" bench
+(test/compress_util_bench.c:264-298): unpack packed bins -> dithered
+undo-bin-index -> periodic rewrap, at level 11, on a 100 MB f32 stream.
+Throughput is GB/s of decoded f32 output per chip; baseline target is
+5 GB/s/chip (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/minnow_jax_cache")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from minnow_c_tpu.bench import harness  # noqa: E402
+from minnow_c_tpu.ops import bitpack, kernels  # noqa: E402
+from minnow_c_tpu.ops import rng as _rng  # noqa: E402
+
+BASELINE_GBPS = 5.0
+LEVEL = 11  # reference bench uses level 11 (compress_util_bench.c:247)
+N = 25_000_000  # 100 MB of f32 output (compress_util_bench.c:318)
+WIDTH_BOX = 64.0
+
+
+def main():
+    from minnow_c_tpu.ops import native
+
+    rng = np.random.default_rng(0)
+    bins_np = rng.integers(0, 1 << LEVEL, N, dtype=np.uint64).astype(
+        np.uint32)
+    # Setup (excluded from timing): pack on host via the native oracle.
+    packed = jax.device_put(jnp.asarray(native.uniform_pack_host(bins_np,
+                                                                 LEVEL)))
+    key = _rng.field_key(1234, 0, 0)
+
+    @jax.jit
+    def decode(words):
+        bins = bitpack.uniform_unpack(words, LEVEL, N)
+        x = kernels.undo_uniform_bin_index(bins, LEVEL, 0.0, WIDTH_BOX, key)
+        return kernels.periodic(x, WIDTH_BOX)
+
+    res = harness.run(lambda: decode(packed), bytes_per_iter=N * 4)
+    value = res.gb_per_second
+    print(json.dumps({
+        "metric": "decode_fast_uniform_GBps_per_chip",
+        "value": round(value, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(value / BASELINE_GBPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

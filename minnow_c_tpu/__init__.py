@@ -24,6 +24,11 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 from . import semver, types  # noqa: E402
+from . import algos, quant, segment  # noqa: E402
+from .segment.api import (  # noqa: E402
+    compress_segment,
+    decompress_segment,
+)
 from .types import (  # noqa: E402
     AlgoCode,
     CField,

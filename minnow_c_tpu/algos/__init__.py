@@ -1,0 +1,9 @@
+"""L3 algorithm registry and frozen codec versions.
+
+Importing this package registers every frozen algorithm version, mirroring
+the reference's intent that every ``algo_<Name>_v<maj>_<min>`` module lives
+forever so old files always decompress (header_format.tex:278-283).
+"""
+
+from . import registry  # noqa: F401
+from . import algo_trim_v1_0  # noqa: F401  (registers Trim v1.0)

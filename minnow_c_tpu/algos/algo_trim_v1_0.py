@@ -1,0 +1,359 @@
+"""Trim v1.0 -- the baseline "fast uniform" codec, frozen.
+
+The reference specifies Trim as an algorithm code (types.h:15,
+header_format.tex tab. 3) but never implements it; its intended inner loop
+is the mock pipeline used by the reference's own tests and benchmarks
+(test/compress_util_bench.c:234-298): bin indices -> uniform bitpack ->
+LZ4.  Trim v1.0 realizes exactly that composition for all five field
+types.
+
+Per-field block layout (all blocks use the prelude of algos/blocks.py):
+
+  POSN  meta | dimX | dimY | dimZ [| depths]     bins packed at `depth` bits
+  VELC  meta | dimX | dimY | dimZ [| depths]
+  PTID  meta | dimX | dimY | dimZ                per-dim width from range
+  UNSF  meta | data [| depths]
+  UNSI  meta | lo [| hi]                         planes split at 32 bits
+
+meta payloads carry the field's Quantization (decode state, types.h:66-99)
+including the dither seed, making every field self-decoding.  Block-level
+damage is localized: a corrupt dimension block invalidates only that
+dimension (returned as an invalid plane, surfaced as NaN by the segment
+layer), per the spec's damage-localization design
+(header_format.tex:186-196).
+
+This module is FROZEN at v1.0: bug fixes that change the wire format must
+go into a new algo_trim_v1_1.py (header_format.tex:278-283).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import semver
+from ..ops import bitpack
+from ..segment.stream import Reader, Writer
+from ..types import (
+    AlgoCode,
+    FieldCode,
+    FieldHeader,
+    FloatQuantization,
+    IDQuantization,
+    IntQuantization,
+    PositionQuantization,
+    QField,
+    VelocityQuantization,
+)
+from . import registry
+from .blocks import bits_needed, decode_block, encode_block
+
+VERSION = semver.pack(1, 0, 0)
+
+
+def _pack_plane(bins_dev, width: int) -> np.ndarray:
+    """Device-side uniform bitpack of one plane of bins; returns host u32
+    words."""
+    packed = bitpack.uniform_pack(jnp.asarray(bins_dev), width)
+    return np.asarray(packed)
+
+
+def _unpack_plane(words: np.ndarray, width: int, n: int):
+    """Host words -> device unpack -> u32 bins."""
+    return bitpack.uniform_unpack(jnp.asarray(words), width, n)
+
+
+def _pack_plane_var(bins_dev, depths: np.ndarray) -> np.ndarray:
+    n_words = bitpack.var_packed_words(depths)
+    packed = bitpack.pack(jnp.asarray(bins_dev), jnp.asarray(depths), n_words)
+    return np.asarray(packed)
+
+
+def _unpack_plane_var(words: np.ndarray, depths: np.ndarray):
+    return bitpack.unpack(jnp.asarray(words), jnp.asarray(depths))
+
+
+def _payload_words(payload: np.ndarray) -> np.ndarray:
+    return np.frombuffer(payload.tobytes(), dtype="<u4").astype(
+        np.uint32, copy=False)
+
+
+class TrimV1_0:
+    algo_code = int(AlgoCode.TRIM)
+    version = VERSION
+
+    def __init__(self, accel: int = 1, try_entropy: bool = True):
+        self.accel = accel
+        self.try_entropy = try_entropy
+
+    # -- compress ----------------------------------------------------------
+
+    def compress(self, qf: QField) -> List[bytes]:
+        code = qf.hd.field_code
+        if code == FieldCode.POSN:
+            return self._compress_3dim_float(qf, is_pos=True)
+        if code == FieldCode.VELC:
+            return self._compress_3dim_float(qf, is_pos=False)
+        if code == FieldCode.PTID:
+            return self._compress_id(qf)
+        if code == FieldCode.UNSF:
+            return self._compress_ufloat(qf)
+        if code == FieldCode.UNSI:
+            return self._compress_uint(qf)
+        raise ValueError(f"unrecognized field code {code:#x}")
+
+    def _compress_3dim_float(self, qf: QField, is_pos: bool) -> List[bytes]:
+        q = qf.quant
+        w = Writer()
+        for v in q.x0:
+            w.f32(v)
+        for v in q.x1:
+            w.f32(v)
+        if is_pos:
+            w.f32(q.width)
+        w.u8(q.depth)
+        w.u8(0 if q.depths is None else 1)
+        if not is_pos:
+            w.u8(q.sym_log10_scaled)
+            w.u8(0)
+            w.f32(q.sym_log10_threshold)
+        else:
+            w.u16(0)
+        w.u64(q.seed)
+        blocks = [encode_block(w.data, 0, self.try_entropy, self.accel)]
+
+        bins = np.asarray(qf.data).reshape(3, -1) if isinstance(
+            qf.data, np.ndarray) else qf.data.reshape(3, -1)
+        for i in range(3):
+            if q.depths is None:
+                words = _pack_plane(bins[i], q.depth)
+                blocks.append(encode_block(words, q.depth, self.try_entropy,
+                                           self.accel))
+            else:
+                words = _pack_plane_var(bins[i], q.depths)
+                blocks.append(encode_block(words, 0, self.try_entropy,
+                                           self.accel))
+        if q.depths is not None:
+            blocks.append(encode_block(
+                np.asarray(q.depths, dtype=np.uint8), 8, self.try_entropy,
+                self.accel))
+        return blocks
+
+    def _compress_id(self, qf: QField) -> List[bytes]:
+        q: IDQuantization = qf.quant
+        w = Writer()
+        w.u64(q.width)
+        for v in q.x0:
+            w.u64(v)
+        for v in q.x1:
+            w.u64(v)
+        blocks = [encode_block(w.data, 0, self.try_entropy, self.accel)]
+        bins = qf.data.reshape(3, -1)
+        for i in range(3):
+            width = bits_needed(q.x1[i] - q.x0[i])
+            words = _pack_plane(bins[i], width)
+            blocks.append(encode_block(words, width, self.try_entropy,
+                                       self.accel))
+        return blocks
+
+    def _compress_ufloat(self, qf: QField) -> List[bytes]:
+        q: FloatQuantization = qf.quant
+        w = Writer()
+        w.f32(q.x0).f32(q.x1)
+        w.u8(q.depth)
+        w.u8(0 if q.depths is None else 1)
+        w.u8(q.log10_scaled)
+        w.u8(0)
+        w.f32(q.sym_log10_threshold)
+        w.u64(q.seed)
+        blocks = [encode_block(w.data, 0, self.try_entropy, self.accel)]
+        bins = qf.data.reshape(-1)
+        if q.depths is None:
+            words = _pack_plane(bins, q.depth)
+            blocks.append(encode_block(words, q.depth, self.try_entropy,
+                                       self.accel))
+        else:
+            words = _pack_plane_var(bins, q.depths)
+            blocks.append(encode_block(words, 0, self.try_entropy,
+                                       self.accel))
+            blocks.append(encode_block(
+                np.asarray(q.depths, dtype=np.uint8), 8, self.try_entropy,
+                self.accel))
+        return blocks
+
+    def _compress_uint(self, qf: QField) -> List[bytes]:
+        q: IntQuantization = qf.quant
+        w = Writer()
+        w.u64(q.x0).u64(q.x1)
+        blocks = [encode_block(w.data, 0, self.try_entropy, self.accel)]
+        rng = q.x1 - q.x0
+        lo_width = min(32, bits_needed(rng))
+        words = _pack_plane(qf.data.reshape(-1), lo_width)
+        blocks.append(encode_block(words, lo_width, self.try_entropy,
+                                   self.accel))
+        if rng > 0xFFFFFFFF:
+            hi_width = bits_needed(rng >> 32)
+            words_hi = _pack_plane(qf.data_hi.reshape(-1), hi_width)
+            blocks.append(encode_block(words_hi, hi_width, self.try_entropy,
+                                       self.accel))
+        return blocks
+
+    # -- decompress --------------------------------------------------------
+
+    def decompress(self, hd: FieldHeader,
+                   blocks: List[Optional[bytes]]) -> QField:
+        code = hd.field_code
+        if blocks[0] is None:
+            # Metadata loss cannot be localized -- whole field invalid
+            # (spec allows but does not require partial recovery,
+            # header_format.tex:190-193).
+            return QField(hd=hd, data=None, quant=None, valid=False)
+        if code == FieldCode.POSN:
+            return self._decompress_3dim_float(hd, blocks, is_pos=True)
+        if code == FieldCode.VELC:
+            return self._decompress_3dim_float(hd, blocks, is_pos=False)
+        if code == FieldCode.PTID:
+            return self._decompress_id(hd, blocks)
+        if code == FieldCode.UNSF:
+            return self._decompress_ufloat(hd, blocks)
+        if code == FieldCode.UNSI:
+            return self._decompress_uint(hd, blocks)
+        raise ValueError(f"unrecognized field code {code:#x}")
+
+    def _decompress_3dim_float(self, hd: FieldHeader, blocks, is_pos: bool
+                               ) -> QField:
+        n = hd.particle_len
+        meta, _, _ = decode_block(blocks[0])
+        r = Reader(meta.tobytes())
+        x0 = tuple(r.f32() for _ in range(3))
+        x1 = tuple(r.f32() for _ in range(3))
+        if is_pos:
+            width = r.f32()
+        depth = r.u8()
+        has_depths = r.u8()
+        if not is_pos:
+            symlog = r.u8()
+            r.u8()
+            threshold = r.f32()
+        else:
+            r.u16()
+        seed = r.u64()
+
+        depths = None
+        if has_depths:
+            if len(blocks) < 5 or blocks[4] is None:
+                return QField(hd=hd, data=None, quant=None, valid=False)
+            dp, _, _ = decode_block(blocks[4])
+            depths = np.asarray(dp, dtype=np.uint8)
+
+        dims = []
+        dim_valid = []
+        for i in range(3):
+            blk = blocks[1 + i] if len(blocks) > 1 + i else None
+            if blk is None:
+                dims.append(np.zeros(n, dtype=np.uint32))
+                dim_valid.append(False)
+                continue
+            payload, w, _ = decode_block(blk)
+            words = _payload_words(payload)
+            if depths is None:
+                dims.append(np.asarray(_unpack_plane(words, w, n)))
+            else:
+                dims.append(np.asarray(_unpack_plane_var(words, depths)))
+            dim_valid.append(True)
+        data = np.stack(dims)
+
+        if is_pos:
+            quant = PositionQuantization(x0=x0, x1=x1, width=width,
+                                         depth=depth, depths=depths,
+                                         seed=seed)
+        else:
+            quant = VelocityQuantization(x0=x0, x1=x1, depth=depth,
+                                         depths=depths,
+                                         sym_log10_scaled=symlog,
+                                         sym_log10_threshold=threshold,
+                                         seed=seed)
+        qf = QField(hd=hd, data=data, quant=quant, valid=all(dim_valid))
+        qf.dim_valid = tuple(dim_valid)
+        return qf
+
+    def _decompress_id(self, hd: FieldHeader, blocks) -> QField:
+        n = hd.particle_len
+        meta, _, _ = decode_block(blocks[0])
+        r = Reader(meta.tobytes())
+        width = r.u64()
+        x0 = tuple(r.u64() for _ in range(3))
+        x1 = tuple(r.u64() for _ in range(3))
+        dims = []
+        dim_valid = []
+        for i in range(3):
+            blk = blocks[1 + i] if len(blocks) > 1 + i else None
+            if blk is None:
+                dims.append(np.zeros(n, dtype=np.uint32))
+                dim_valid.append(False)
+                continue
+            payload, w, _ = decode_block(blk)
+            dims.append(np.asarray(_unpack_plane(_payload_words(payload), w,
+                                                 n)))
+            dim_valid.append(True)
+        quant = IDQuantization(width=width, x0=x0, x1=x1)
+        qf = QField(hd=hd, data=np.stack(dims), quant=quant,
+                    valid=all(dim_valid))
+        qf.dim_valid = tuple(dim_valid)
+        return qf
+
+    def _decompress_ufloat(self, hd: FieldHeader, blocks) -> QField:
+        n = hd.particle_len
+        meta, _, _ = decode_block(blocks[0])
+        r = Reader(meta.tobytes())
+        x0 = r.f32()
+        x1 = r.f32()
+        depth = r.u8()
+        has_depths = r.u8()
+        log10_scaled = r.u8()
+        r.u8()
+        threshold = r.f32()
+        seed = r.u64()
+        depths = None
+        if has_depths:
+            if len(blocks) < 3 or blocks[2] is None:
+                return QField(hd=hd, data=None, quant=None, valid=False)
+            dp, _, _ = decode_block(blocks[2])
+            depths = np.asarray(dp, dtype=np.uint8)
+        quant = FloatQuantization(x0=x0, x1=x1, depth=depth, depths=depths,
+                                  log10_scaled=log10_scaled,
+                                  sym_log10_threshold=threshold, seed=seed)
+        if len(blocks) < 2 or blocks[1] is None:
+            return QField(hd=hd, data=None, quant=quant, valid=False)
+        payload, w, _ = decode_block(blocks[1])
+        words = _payload_words(payload)
+        if depths is None:
+            data = np.asarray(_unpack_plane(words, w, n))
+        else:
+            data = np.asarray(_unpack_plane_var(words, depths))
+        return QField(hd=hd, data=data, quant=quant)
+
+    def _decompress_uint(self, hd: FieldHeader, blocks) -> QField:
+        n = hd.particle_len
+        meta, _, _ = decode_block(blocks[0])
+        r = Reader(meta.tobytes())
+        x0 = r.u64()
+        x1 = r.u64()
+        quant = IntQuantization(x0=x0, x1=x1)
+        if len(blocks) < 2 or blocks[1] is None:
+            return QField(hd=hd, data=None, quant=quant, valid=False)
+        payload, w, _ = decode_block(blocks[1])
+        data = np.asarray(_unpack_plane(_payload_words(payload), w, n))
+        data_hi = None
+        if x1 - x0 > 0xFFFFFFFF:
+            if len(blocks) < 3 or blocks[2] is None:
+                return QField(hd=hd, data=None, quant=quant, valid=False)
+            payload_hi, w_hi, _ = decode_block(blocks[2])
+            data_hi = np.asarray(
+                _unpack_plane(_payload_words(payload_hi), w_hi, n))
+        return QField(hd=hd, data=data, quant=quant, data_hi=data_hi)
+
+
+registry.register(TrimV1_0())

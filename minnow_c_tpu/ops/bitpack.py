@@ -46,25 +46,53 @@ def packed_words(n: int, width: int) -> int:
     return packed_bits // 32 + (0 if packed_bits % 32 == 0 else 1)
 
 
+# Elements per chunk for the chunked pack path.  Must be a multiple of 32
+# so each chunk's bitstream is word-aligned (chunk*width ≡ 0 mod 32).  The
+# dense bit expansion costs chunk*width*4 bytes of VMEM/HBM per step, so
+# 2^20 elements tops out at 128 MB of intermediates.
+_PACK_CHUNK = 1 << 20
+
+
+def _dense_pack_block(x, width: int):
+    """Dense bit-matrix pack of a word-aligned element block."""
+    n = x.shape[0]
+    shifts = jnp.arange(width, dtype=jnp.uint32)[None, :]
+    bits = (x[:, None] >> shifts) & jnp.uint32(1)  # (n, width)
+    lanes = bits.reshape(n * width // 32, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+    return jnp.sum(lanes * weights, axis=1, dtype=jnp.uint32)
+
+
 @functools.partial(jax.jit, static_argnames=("width",))
 def uniform_pack(x, width: int):
     """Pack the low ``width`` bits of each element of u32 array ``x``
-    (util_U32UniformPack, util.c:311-355)."""
+    (util_U32UniformPack, util.c:311-355).
+
+    Large inputs stream through ``lax.map`` in word-aligned chunks to bound
+    the dense bit-expansion intermediates (32x the input at width 32)."""
     n = x.shape[0]
     n_words = packed_words(n, width)
     if width == 0 or n == 0:
         return jnp.zeros((n_words,), dtype=jnp.uint32)
     if width == 32:
         return x
-    shifts = jnp.arange(width, dtype=jnp.uint32)[None, :]
-    bits = (x[:, None] >> shifts) & jnp.uint32(1)  # (n, width)
-    flat = bits.reshape(-1)
-    pad = n_words * 32 - n * width
+    if n <= _PACK_CHUNK:
+        pad = (-n) % 32
+        if pad:
+            x = jnp.pad(x, (0, pad))
+        return _dense_pack_block(x, width)[:n_words]
+    n_chunks = pl_cdiv(n, _PACK_CHUNK)
+    pad = n_chunks * _PACK_CHUNK - n
     if pad:
-        flat = jnp.pad(flat, (0, pad))
-    lanes = flat.reshape(n_words, 32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
-    return jnp.sum(lanes * weights, axis=1, dtype=jnp.uint32)
+        x = jnp.pad(x, (0, pad))
+    chunks = x.reshape(n_chunks, _PACK_CHUNK)
+    words = jax.lax.map(
+        lambda c: _dense_pack_block(c, width), chunks)
+    return words.reshape(-1)[:n_words]
+
+
+def pl_cdiv(a: int, b: int) -> int:
+    return -(-a // b)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "n"))

@@ -1,0 +1,181 @@
+"""L4 segment API -- the library's public surface.
+
+Mirrors the reference's ``src/funcs.{h,c}`` pipeline with the same stage
+names (Quantize / Compress / ToBytes and inverses), plus one-call
+``compress_segment`` / ``decompress_segment`` over the spec wire format.
+
+Fault tolerance follows the reference contract: a field that fails its
+checksum is *skipped, not fatal* -- it comes back with ``valid=False``
+(funcs.c:40-60); with the spec's block-granular checksums, Trim further
+localizes damage to single dimensions, surfaced as NaN planes
+(header_format.tex:186-196).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..algos import registry
+from ..ops.checksum import checksum
+from ..quant import engine
+from ..types import CField, CSeg, Field, FieldCode, FieldHeader, QField, \
+    QSeg, Seg
+from . import format as wire
+from .stream import Reader, Writer
+
+
+def quantize(s: Seg, seed: int = 0) -> QSeg:
+    """Quantize every field (Quantize, funcs.c:13-23).  ``seed`` is the
+    segment's dither seed, carried into the stream for deterministic
+    decode."""
+    return QSeg(fields=[engine.quantize(f, seed) for f in s.fields])
+
+
+def undo_quantize(qs: QSeg) -> Seg:
+    """Dequantize every valid field (UndoQuantize, funcs.c:25-38).  Fields
+    with ``valid=False`` are passed through as invalid placeholders; float
+    fields with invalid dimensions get those planes set to NaN."""
+    out = []
+    for i, qf in enumerate(qs.fields):
+        if not qf.valid and qf.data is None:
+            out.append(Field(hd=qf.hd, data=None, acc=None, valid=False))
+            continue
+        f = engine.dequantize(qf, field_index=i)
+        dim_valid = getattr(qf, "dim_valid", None)
+        if dim_valid is not None and not all(dim_valid):
+            data = np.asarray(f.data)
+            if data.dtype.kind == "f":
+                data = data.copy()
+                for d, ok in enumerate(dim_valid):
+                    if not ok:
+                        data[d] = np.nan
+                f.data = data
+                f.valid = False
+            else:
+                f.valid = False
+        out.append(f)
+    return Seg(fields=out)
+
+
+def compress(qs: QSeg) -> CSeg:
+    """Run each field's codec and stamp per-field checksums (Compress,
+    funcs.c:62-76)."""
+    out = []
+    for qf in qs.fields:
+        codec = registry.get(qf.hd.algo_code, qf.hd.algo_version)
+        blocks = codec.compress(qf)
+        blob = b"".join(blocks)
+        cf = CField(hd=qf.hd, data=blob, checksum=checksum(blob))
+        cf.blocks = blocks
+        out.append(cf)
+    return CSeg(fields=out)
+
+
+def decompress(cs: CSeg) -> QSeg:
+    """Verify checksums and decode each field (Decompress, funcs.c:40-60).
+    A field whose checksum fails is skipped (valid=False), not fatal."""
+    out = []
+    for cf in cs.fields:
+        blocks = getattr(cf, "blocks", None)
+        if blocks is None:
+            from ..algos.blocks import split_blocks
+            blocks = split_blocks(cf.data)
+        if cf.checksum != checksum(cf.data):
+            out.append(QField(hd=cf.hd, data=None, quant=None, valid=False))
+            continue
+        codec = registry.get(cf.hd.algo_code, cf.hd.algo_version)
+        out.append(codec.decompress(cf.hd, list(blocks)))
+    return QSeg(fields=out)
+
+
+# ---------------------------------------------------------------------------
+# v0 byte format (funcs.c ToBytes/FromBytes, funcs.c:78-120) -- kept for
+# parity with the reference's checked-in layout.
+# ---------------------------------------------------------------------------
+
+def to_bytes(cs: CSeg) -> bytes:
+    """[FieldLen u32][per field: FieldHeader(16 B), Checksum u32,
+    DataLen u32][concatenated field blobs] (funcs.c:78-97)."""
+    w = Writer()
+    w.u32(len(cs.fields))
+    for cf in cs.fields:
+        w.u32(cf.hd.field_code)
+        w.u32(cf.hd.algo_code)
+        w.u32(cf.hd.algo_version)
+        w.i32(cf.hd.particle_len)
+        w.u32(cf.checksum)
+        w.u32(len(cf.data))
+    for cf in cs.fields:
+        w.raw(cf.data)
+    return w.data
+
+
+def from_bytes(data: bytes) -> CSeg:
+    """Inverse of to_bytes (FromBytes, funcs.c:99-120)."""
+    r = Reader(data)
+    n = r.u32()
+    metas = []
+    for _ in range(n):
+        hd = FieldHeader(field_code=r.u32(), algo_code=r.u32(),
+                         algo_version=r.u32(), particle_len=r.i32())
+        metas.append((hd, r.u32(), r.u32()))
+    fields = []
+    for hd, csum, dlen in metas:
+        blob = r.raw(dlen)
+        cf = CField(hd=hd, data=blob, checksum=csum)
+        fields.append(cf)
+    return CSeg(fields=fields)
+
+
+# ---------------------------------------------------------------------------
+# Spec wire format, one-call pipeline
+# ---------------------------------------------------------------------------
+
+def seg_to_wire(cs: CSeg, particle_num: int) -> bytes:
+    return wire.serialize(
+        [wire.WireField(cf.hd.field_code, cf.hd.algo_code,
+                        cf.hd.algo_version, list(cf.blocks))
+         for cf in cs.fields], particle_num)
+
+
+def wire_to_cseg(data: bytes) -> CSeg:
+    parsed = wire.deserialize(data)
+    fields = []
+    for f in parsed.fields:
+        hd = FieldHeader(field_code=f.field_code, algo_code=f.algo_code,
+                         algo_version=f.version,
+                         particle_len=parsed.particle_num)
+        ok_blocks = [b for b in f.blocks if b is not None]
+        blob = b"".join(ok_blocks)
+        cf = CField(hd=hd, data=blob, checksum=checksum(blob))
+        cf.blocks = f.blocks
+        fields.append(cf)
+    return CSeg(fields=fields)
+
+
+def compress_segment(s: Seg, seed: int = 0) -> bytes:
+    """Full encode: Seg -> spec segment bytes."""
+    lens = {f.hd.particle_len for f in s.fields}
+    if len(lens) > 1:
+        raise ValueError(
+            f"all fields in a segment must share particle_len; got {lens}")
+    particle_num = lens.pop() if lens else 0
+    qs = quantize(s, seed)
+    cs = compress(qs)
+    return seg_to_wire(cs, particle_num)
+
+
+def decompress_segment(data: bytes) -> Seg:
+    """Full decode: spec segment bytes -> Seg (invalid fields/dims
+    degrade gracefully)."""
+    parsed = wire.deserialize(data)
+    qfields = []
+    for f in parsed.fields:
+        hd = FieldHeader(field_code=f.field_code, algo_code=f.algo_code,
+                         algo_version=f.version,
+                         particle_len=parsed.particle_num)
+        codec = registry.get(hd.algo_code, hd.algo_version)
+        qfields.append(codec.decompress(hd, f.blocks))
+    return undo_quantize(QSeg(fields=qfields))

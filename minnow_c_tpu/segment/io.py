@@ -1,0 +1,115 @@
+"""Suggested I/O format: chained IOHeaders for multi-segment files.
+
+Implements the spec's IOHeader (header_format.tex:209-218)::
+
+    struct IOHeader {
+        uint32_t Magic;        // 'Mnw\\0' tag for *.min files
+        uint32_t Version;      // library semver (non-algorithm code)
+        float    Origin[3];    // segment bounding-box origin
+        float    Width[3];     // segment bounding-box extent
+        uint64_t SegmentBytes; // payload size that follows
+        uint64_t NextIOHeader; // absolute offset of next header, 0 = end
+    };                         // 48 bytes
+
+``NextIOHeader`` chaining gives skip-ahead iteration over multi-segment
+files without parsing segment bodies (header_format.tex:209-218,
+SURVEY.md "checkpoint/resume").
+"""
+
+from __future__ import annotations
+
+import io as _io
+from dataclasses import dataclass
+from typing import BinaryIO, Iterator, List, Optional, Sequence, Tuple
+
+from .. import semver
+from .stream import Reader, Writer
+
+MAGIC = 0x4D6E7700  # 'Mnw\0'
+LIBRARY_VERSION = semver.pack(1, 0, 0)
+IO_HEADER_BYTES = 48
+
+
+@dataclass
+class IOHeader:
+    magic: int
+    version: int
+    origin: Tuple[float, float, float]
+    width: Tuple[float, float, float]
+    segment_bytes: int
+    next_io_header: int
+
+    def pack(self) -> bytes:
+        w = Writer()
+        w.u32(self.magic).u32(self.version)
+        for v in self.origin:
+            w.f32(v)
+        for v in self.width:
+            w.f32(v)
+        w.u64(self.segment_bytes).u64(self.next_io_header)
+        return w.data
+
+    @classmethod
+    def unpack(cls, data: bytes) -> "IOHeader":
+        r = Reader(data)
+        magic = r.u32()
+        if magic != MAGIC:
+            raise ValueError(f"bad magic {magic:#x}; not a minnow file")
+        return cls(magic=magic, version=r.u32(),
+                   origin=(r.f32(), r.f32(), r.f32()),
+                   width=(r.f32(), r.f32(), r.f32()),
+                   segment_bytes=r.u64(), next_io_header=r.u64())
+
+
+def write_segments(fp: BinaryIO,
+                   segments: Sequence[bytes],
+                   geometry: Optional[Sequence[Tuple[Tuple[float, float,
+                                                           float],
+                                                     Tuple[float, float,
+                                                           float]]]] = None
+                   ) -> None:
+    """Write segments with chained IOHeaders.  ``geometry[i]`` is the
+    (origin, width) bounding box the client assigns to segment i (spatial
+    indexing is client data, table 1 of the spec)."""
+    offset = fp.tell()
+    for i, seg in enumerate(segments):
+        org, wid = ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)) if geometry is None \
+            else geometry[i]
+        next_off = 0 if i == len(segments) - 1 else \
+            offset + IO_HEADER_BYTES + len(seg)
+        hd = IOHeader(magic=MAGIC, version=LIBRARY_VERSION, origin=org,
+                      width=wid, segment_bytes=len(seg),
+                      next_io_header=next_off)
+        fp.write(hd.pack())
+        fp.write(seg)
+        offset = next_off
+
+
+def iter_segments(fp: BinaryIO) -> Iterator[Tuple[IOHeader, bytes]]:
+    """Iterate (header, segment bytes) pairs following the chain."""
+    offset = fp.tell()
+    while True:
+        fp.seek(offset)
+        raw = fp.read(IO_HEADER_BYTES)
+        if len(raw) < IO_HEADER_BYTES:
+            return
+        hd = IOHeader.unpack(raw)
+        yield hd, fp.read(hd.segment_bytes)
+        if hd.next_io_header == 0:
+            return
+        offset = hd.next_io_header
+
+
+def iter_headers(fp: BinaryIO) -> Iterator[IOHeader]:
+    """Skip-ahead iteration over headers only (no segment reads)."""
+    offset = fp.tell()
+    while True:
+        fp.seek(offset)
+        raw = fp.read(IO_HEADER_BYTES)
+        if len(raw) < IO_HEADER_BYTES:
+            return
+        hd = IOHeader.unpack(raw)
+        yield hd
+        if hd.next_io_header == 0:
+            return
+        offset = hd.next_io_header

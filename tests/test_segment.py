@@ -1,0 +1,191 @@
+"""L3/L4 tests: registry semantics, end-to-end segment round-trips over the
+spec wire format and the v0 funcs.c format, graceful degradation under
+corruption, and multi-segment file I/O."""
+
+import io as _io
+
+import numpy as np
+import pytest
+
+import minnow_c_tpu as mnw
+from minnow_c_tpu import semver
+from minnow_c_tpu.algos import registry
+from minnow_c_tpu.segment import api, io as seg_io
+
+
+def make_seg(n=20000, seed=0, W=64.0):
+    rng = np.random.default_rng(seed)
+    ver = registry.newest(mnw.AlgoCode.TRIM)
+    pos = rng.uniform(0, W, (3, n)).astype(np.float32)
+    vel = rng.normal(0, 200, (3, n)).astype(np.float32)
+    ids = rng.permutation(1024 * 1024 * 8)[:n].astype(np.uint64)
+
+    def hd(code):
+        return mnw.FieldHeader(code, mnw.AlgoCode.TRIM, ver, n)
+
+    return mnw.Seg(fields=[
+        mnw.Field(hd=hd(mnw.FieldCode.POSN), data=pos,
+                  acc=mnw.PositionAccuracy(delta=1e-3, width=W)),
+        mnw.Field(hd=hd(mnw.FieldCode.VELC), data=vel,
+                  acc=mnw.VelocityAccuracy(delta=1.0)),
+        mnw.Field(hd=hd(mnw.FieldCode.PTID), data=ids,
+                  acc=mnw.IDAccuracy(width=1024)),
+    ]), pos, vel, ids
+
+
+class TestRegistry:
+    def test_newest_and_get(self):
+        v = registry.newest(mnw.AlgoCode.TRIM)
+        assert semver.major(v) == 1 and semver.minor(v) == 0
+        codec = registry.get(mnw.AlgoCode.TRIM, v)
+        assert codec.algo_code == mnw.AlgoCode.TRIM
+
+    def test_patch_insensitive_lookup(self):
+        # a stream stamped 1.0.7 resolves to the registered 1.0.x
+        v = semver.pack(1, 0, 7)
+        assert registry.supports(mnw.AlgoCode.TRIM, v)
+        registry.get(mnw.AlgoCode.TRIM, v)
+
+    def test_unknown_version_raises(self):
+        assert not registry.supports(mnw.AlgoCode.TRIM, semver.pack(9, 9, 9))
+        with pytest.raises(KeyError):
+            registry.get(mnw.AlgoCode.TRIM, semver.pack(9, 9, 9))
+
+    def test_unknown_algo_raises(self):
+        with pytest.raises(KeyError):
+            registry.newest(0xDEADBEEF)
+
+
+class TestSegmentRoundTrip:
+    def test_spec_format(self):
+        seg, pos, vel, ids = make_seg()
+        W = 64.0
+        data = api.compress_segment(seg, seed=42)
+        # Compresses: 3 fields x 20k particles
+        raw = pos.nbytes + vel.nbytes + ids.nbytes
+        assert len(data) < raw
+        out = api.decompress_segment(data)
+        p2 = np.asarray(out.fields[0].data)
+        err = np.abs(p2 - pos)
+        err = np.minimum(err, W - err)
+        assert err.max() <= 1e-3
+        assert np.abs(np.asarray(out.fields[1].data) - vel).max() <= 1.0
+        np.testing.assert_array_equal(np.asarray(out.fields[2].data), ids)
+
+    def test_decode_deterministic(self):
+        seg, *_ = make_seg(n=5000)
+        data = api.compress_segment(seg, seed=7)
+        a = api.decompress_segment(data)
+        b = api.decompress_segment(data)
+        for fa, fb in zip(a.fields, b.fields):
+            np.testing.assert_array_equal(np.asarray(fa.data),
+                                          np.asarray(fb.data))
+
+    def test_v0_bytes_format(self):
+        # funcs.c pipeline parity: Quantize -> Compress -> ToBytes ->
+        # FromBytes -> Decompress -> UndoQuantize (funcs.c:268-301).
+        seg, pos, vel, ids = make_seg(n=3000)
+        qs = api.quantize(seg, seed=3)
+        cs = api.compress(qs)
+        blob = api.to_bytes(cs)
+        cs2 = api.from_bytes(blob)
+        qs2 = api.decompress(cs2)
+        out = api.undo_quantize(qs2)
+        np.testing.assert_array_equal(np.asarray(out.fields[2].data), ids)
+        err = np.abs(np.asarray(out.fields[0].data) - pos)
+        err = np.minimum(err, 64.0 - err)
+        assert err.max() <= 1e-3
+
+    def test_mismatched_particle_len_raises(self):
+        seg, *_ = make_seg(n=100)
+        seg.fields[1].hd = mnw.FieldHeader(
+            seg.fields[1].hd.field_code, seg.fields[1].hd.algo_code,
+            seg.fields[1].hd.algo_version, 99)
+        with pytest.raises(ValueError):
+            api.compress_segment(seg)
+
+
+class TestCorruption:
+    def _flip(self, data: bytes, offset: int) -> bytes:
+        b = bytearray(data)
+        b[offset] ^= 0xFF
+        return bytes(b)
+
+    def test_corrupt_block_localizes_damage(self):
+        seg, pos, vel, ids = make_seg(n=4000)
+        data = api.compress_segment(seg, seed=1)
+        # Flip a byte deep in the blocks region (positions' dim data).
+        # Headers: 16 + 3*16 = 64, block table follows; blocks start after.
+        corrupted = self._flip(data, len(data) // 2)
+        out = api.decompress_segment(corrupted)
+        # At least the ID field or some fields still decode; damaged field
+        # is flagged invalid rather than raising.
+        assert any(f.valid for f in out.fields)
+        assert any(not f.valid for f in out.fields)
+
+    def test_corrupt_dim_block_gives_nan_plane(self):
+        seg, pos, vel, ids = make_seg(n=4000)
+        data = api.compress_segment(seg, seed=1)
+        from minnow_c_tpu.segment import format as wire
+        parsed = wire.deserialize(data)
+        # Corrupt exactly the Y-dim block of the position field (block 2 of
+        # field 0), then re-serialize with a *stale* checksum by flipping a
+        # byte inside that block region in the original bytes.
+        # Find its offset: headers + block table + block 0 (meta) + block 1.
+        f0 = parsed.fields[0]
+        hdr = 16 + 16 * len(parsed.fields) + 8 * sum(
+            len(f.blocks) for f in parsed.fields)
+        off = hdr + len(f0.blocks[0]) + len(f0.blocks[1]) + 24
+        corrupted = self._flip(data, off)
+        out = api.decompress_segment(corrupted)
+        posf = out.fields[0]
+        assert not posf.valid
+        arr = np.asarray(posf.data)
+        assert np.isnan(arr[1]).all()  # damaged dim -> NaN plane
+        assert not np.isnan(arr[0]).any()  # other dims decode
+        assert not np.isnan(arr[2]).any()
+        # other fields untouched
+        np.testing.assert_array_equal(np.asarray(out.fields[2].data), ids)
+
+    def test_corrupt_header_raises(self):
+        seg, *_ = make_seg(n=500)
+        data = api.compress_segment(seg)
+        with pytest.raises(ValueError):
+            api.decompress_segment(self._flip(data, 8))
+
+
+class TestFileIO:
+    def test_multi_segment_chain(self):
+        segs = []
+        originals = []
+        for i in range(3):
+            seg, pos, vel, ids = make_seg(n=1000 + 100 * i, seed=i)
+            segs.append(api.compress_segment(seg, seed=i))
+            originals.append(ids)
+        buf = _io.BytesIO()
+        geometry = [((0.0, 0.0, float(i)), (64.0, 64.0, 64.0))
+                    for i in range(3)]
+        seg_io.write_segments(buf, segs, geometry)
+        buf.seek(0)
+        got = list(seg_io.iter_segments(buf))
+        assert len(got) == 3
+        for i, (hd, seg_bytes) in enumerate(got):
+            assert hd.origin[2] == float(i)
+            out = api.decompress_segment(seg_bytes)
+            np.testing.assert_array_equal(np.asarray(out.fields[2].data),
+                                          originals[i])
+
+    def test_skip_ahead_headers(self):
+        segs = [api.compress_segment(make_seg(n=500, seed=i)[0])
+                for i in range(4)]
+        buf = _io.BytesIO()
+        seg_io.write_segments(buf, segs)
+        buf.seek(0)
+        hds = list(seg_io.iter_headers(buf))
+        assert len(hds) == 4
+        assert all(h.segment_bytes == len(s) for h, s in zip(hds, segs))
+
+    def test_bad_magic(self):
+        buf = _io.BytesIO(b"\x00" * 48)
+        with pytest.raises(ValueError):
+            list(seg_io.iter_segments(buf))
