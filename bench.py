@@ -43,15 +43,17 @@ def main():
     # Setup (excluded from timing): pack on host via the native oracle.
     packed = jax.device_put(jnp.asarray(native.uniform_pack_host(bins_np,
                                                                  LEVEL)))
-    key = _rng.field_key(1234, 0, 0)
+    key = _rng.field_key_arr(1234, 0, 0)
 
     @jax.jit
-    def decode(words):
+    def decode(words, salt):
         bins = bitpack.uniform_unpack(words, LEVEL, N)
-        x = kernels.undo_uniform_bin_index(bins, LEVEL, 0.0, WIDTH_BOX, key)
+        salted_key = key ^ salt  # harness salt -> real data dependence
+        x = kernels.undo_uniform_bin_index(bins, LEVEL, 0.0, WIDTH_BOX,
+                                           salted_key)
         return kernels.periodic(x, WIDTH_BOX)
 
-    res = harness.run(lambda: decode(packed), bytes_per_iter=N * 4)
+    res = harness.run(lambda s: decode(packed, s), bytes_per_iter=N * 4)
     value = res.gb_per_second
     print(json.dumps({
         "metric": "decode_fast_uniform_GBps_per_chip",

@@ -88,6 +88,17 @@ class TrimV1_0:
         self.accel = accel
         self.try_entropy = try_entropy
 
+    # -- plane hooks (overridden by derived codecs, e.g. Diff) -------------
+
+    def _encode_plane(self, bins, depth: int):
+        """One plane of bins -> (packed u32 words, stored width).  Trim
+        packs raw bins at ``depth`` bits."""
+        return _pack_plane(bins, depth), depth
+
+    def _decode_plane(self, words: np.ndarray, width: int, n: int):
+        """Inverse of _encode_plane."""
+        return np.asarray(_unpack_plane(words, width, n))
+
     # -- compress ----------------------------------------------------------
 
     def compress(self, qf: QField) -> List[bytes]:
@@ -128,8 +139,8 @@ class TrimV1_0:
             qf.data, np.ndarray) else qf.data.reshape(3, -1)
         for i in range(3):
             if q.depths is None:
-                words = _pack_plane(bins[i], q.depth)
-                blocks.append(encode_block(words, q.depth, self.try_entropy,
+                words, wstore = self._encode_plane(bins[i], q.depth)
+                blocks.append(encode_block(words, wstore, self.try_entropy,
                                            self.accel))
             else:
                 words = _pack_plane_var(bins[i], q.depths)
@@ -153,8 +164,8 @@ class TrimV1_0:
         bins = qf.data.reshape(3, -1)
         for i in range(3):
             width = bits_needed(q.x1[i] - q.x0[i])
-            words = _pack_plane(bins[i], width)
-            blocks.append(encode_block(words, width, self.try_entropy,
+            words, wstore = self._encode_plane(bins[i], width)
+            blocks.append(encode_block(words, wstore, self.try_entropy,
                                        self.accel))
         return blocks
 
@@ -171,8 +182,8 @@ class TrimV1_0:
         blocks = [encode_block(w.data, 0, self.try_entropy, self.accel)]
         bins = qf.data.reshape(-1)
         if q.depths is None:
-            words = _pack_plane(bins, q.depth)
-            blocks.append(encode_block(words, q.depth, self.try_entropy,
+            words, wstore = self._encode_plane(bins, q.depth)
+            blocks.append(encode_block(words, wstore, self.try_entropy,
                                        self.accel))
         else:
             words = _pack_plane_var(bins, q.depths)
@@ -190,8 +201,8 @@ class TrimV1_0:
         blocks = [encode_block(w.data, 0, self.try_entropy, self.accel)]
         rng = q.x1 - q.x0
         lo_width = min(32, bits_needed(rng))
-        words = _pack_plane(qf.data.reshape(-1), lo_width)
-        blocks.append(encode_block(words, lo_width, self.try_entropy,
+        words, wstore = self._encode_plane(qf.data.reshape(-1), lo_width)
+        blocks.append(encode_block(words, wstore, self.try_entropy,
                                    self.accel))
         if rng > 0xFFFFFFFF:
             hi_width = bits_needed(rng >> 32)
@@ -259,7 +270,7 @@ class TrimV1_0:
             payload, w, _ = decode_block(blk)
             words = _payload_words(payload)
             if depths is None:
-                dims.append(np.asarray(_unpack_plane(words, w, n)))
+                dims.append(self._decode_plane(words, w, n))
             else:
                 dims.append(np.asarray(_unpack_plane_var(words, depths)))
             dim_valid.append(True)
@@ -295,8 +306,7 @@ class TrimV1_0:
                 dim_valid.append(False)
                 continue
             payload, w, _ = decode_block(blk)
-            dims.append(np.asarray(_unpack_plane(_payload_words(payload), w,
-                                                 n)))
+            dims.append(self._decode_plane(_payload_words(payload), w, n))
             dim_valid.append(True)
         quant = IDQuantization(width=width, x0=x0, x1=x1)
         qf = QField(hd=hd, data=np.stack(dims), quant=quant,
@@ -330,7 +340,7 @@ class TrimV1_0:
         payload, w, _ = decode_block(blocks[1])
         words = _payload_words(payload)
         if depths is None:
-            data = np.asarray(_unpack_plane(words, w, n))
+            data = self._decode_plane(words, w, n)
         else:
             data = np.asarray(_unpack_plane_var(words, depths))
         return QField(hd=hd, data=data, quant=quant)
@@ -345,7 +355,7 @@ class TrimV1_0:
         if len(blocks) < 2 or blocks[1] is None:
             return QField(hd=hd, data=None, quant=quant, valid=False)
         payload, w, _ = decode_block(blocks[1])
-        data = np.asarray(_unpack_plane(_payload_words(payload), w, n))
+        data = self._decode_plane(_payload_words(payload), w, n)
         data_hi = None
         if x1 - x0 > 0xFFFFFFFF:
             if len(blocks) < 3 or blocks[2] is None:

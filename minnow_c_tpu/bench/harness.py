@@ -35,13 +35,32 @@ class Result:
         return self.bytes_per_second / 1e9
 
 
-def run(fn: Callable[[], object], bytes_per_iter: int,
+def run(fn: Callable[[object], object], bytes_per_iter: int,
         target_trial_s: float = TARGET_TRIAL_S,
         max_total_s: float = MAX_TOTAL_S) -> Result:
-    """Benchmark ``fn`` (which must consume/produce ``bytes_per_iter`` bytes
-    per call and return a jax array or tree to block on)."""
+    """Benchmark ``fn(salt)``.
+
+    ``fn`` takes a uint32 scalar jax array that MUST feed into its
+    computation (e.g. XOR into an RNG key).  The harness chains each
+    iteration's salt from the previous iteration's output, which (a) makes
+    every call's inputs unique, defeating any runtime caching of repeated
+    identical executions, and (b) creates a true data dependency so no
+    dispatched iteration can be elided as dead code.  Without this,
+    async-dispatch runtimes report fantasy numbers (observed: 2.7 TB/s for
+    an op bounded at ~0.08 TB/s).
+    """
+    import jax.numpy as jnp
+
+    def derive_salt(out):
+        leaf = jax.tree.leaves(out)[0]
+        v = leaf.ravel()[0]
+        if v.dtype == jnp.uint32:
+            return v
+        return v.astype(jnp.float32).astype(jnp.int32).astype(jnp.uint32)
+
     # Warm-up: compile + first run excluded (bench.c pause/resume intent).
-    out = fn()
+    salt = jnp.uint32(0)
+    out = fn(salt)
     jax.block_until_ready(out)
 
     start_total = time.perf_counter()
@@ -50,7 +69,8 @@ def run(fn: Callable[[], object], bytes_per_iter: int,
     while True:
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn()
+            out = fn(salt)
+            salt = derive_salt(out)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         best = Result(bytes_per_second=bytes_per_iter * iters / dt,

@@ -46,21 +46,13 @@ def packed_words(n: int, width: int) -> int:
     return packed_bits // 32 + (0 if packed_bits % 32 == 0 else 1)
 
 
-# Elements per chunk for the chunked pack path.  Must be a multiple of 32
-# so each chunk's bitstream is word-aligned (chunk*width ≡ 0 mod 32).  The
-# dense bit expansion costs chunk*width*4 bytes of VMEM/HBM per step, so
-# 2^20 elements tops out at 128 MB of intermediates.
-_PACK_CHUNK = 1 << 20
-
-
-def _dense_pack_block(x, width: int):
-    """Dense bit-matrix pack of a word-aligned element block."""
-    n = x.shape[0]
-    shifts = jnp.arange(width, dtype=jnp.uint32)[None, :]
-    bits = (x[:, None] >> shifts) & jnp.uint32(1)  # (n, width)
-    lanes = bits.reshape(n * width // 32, 32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
-    return jnp.sum(lanes * weights, axis=1, dtype=jnp.uint32)
+# Block structure: 32 elements at `width` bits occupy exactly `width` u32
+# words (32*width bits).  Within a block every element's bit window is at a
+# *static* (word, offset), so pack and unpack unroll into 32 static
+# column-slice/shift/or steps over a (n_blocks, width) word matrix -- pure
+# vectorized VPU work with no gathers, no scatters, and no 32x bit-matrix
+# blowup.  This layout choice is what makes the kernels TPU-shaped; the
+# wire bitstream is unchanged from the C semantics.
 
 
 @functools.partial(jax.jit, static_argnames=("width",))
@@ -68,41 +60,85 @@ def uniform_pack(x, width: int):
     """Pack the low ``width`` bits of each element of u32 array ``x``
     (util_U32UniformPack, util.c:311-355).
 
-    Large inputs stream through ``lax.map`` in word-aligned chunks to bound
-    the dense bit-expansion intermediates (32x the input at width 32)."""
+    Formulation: within a block, element k's lo/hi word contributions are
+    whole-matrix shifts by static per-column amounts, folded into the
+    ``width`` output words with static 0/1 selection matrices (disjoint
+    bits => integer matmul == OR).  Chosen over a 32-way slice/OR unroll,
+    which XLA's CPU backend miscompiles (wrong bits for interior columns,
+    observed jax 0.9.0), and over scatter-adds, which are ~100x slower on
+    TPU."""
     n = x.shape[0]
     n_words = packed_words(n, width)
     if width == 0 or n == 0:
         return jnp.zeros((n_words,), dtype=jnp.uint32)
     if width == 32:
         return x
-    if n <= _PACK_CHUNK:
-        pad = (-n) % 32
-        if pad:
-            x = jnp.pad(x, (0, pad))
-        return _dense_pack_block(x, width)[:n_words]
-    n_chunks = pl_cdiv(n, _PACK_CHUNK)
-    pad = n_chunks * _PACK_CHUNK - n
+    n_blocks = pl_cdiv(n, 32)
+    pad = n_blocks * 32 - n
     if pad:
         x = jnp.pad(x, (0, pad))
-    chunks = x.reshape(n_chunks, _PACK_CHUNK)
-    words = jax.lax.map(
-        lambda c: _dense_pack_block(c, width), chunks)
+    vals = x.reshape(n_blocks, 32) & jnp.uint32((1 << width) - 1)
+    lsh = np.array([(k * width) % 32 for k in range(32)], dtype=np.uint32)
+    tgt = np.array([(k * width) // 32 for k in range(32)])
+    straddle = (lsh + width) > 32
+    lo = vals << jnp.asarray(lsh)[None, :]
+    rsh = np.where(straddle, 32 - lsh, 0).astype(np.uint32)
+    hi = jnp.where(jnp.asarray(straddle)[None, :],
+                   vals >> jnp.asarray(rsh)[None, :], jnp.uint32(0))
+    sel_lo = np.zeros((32, width), dtype=np.uint32)
+    sel_lo[np.arange(32), tgt] = 1
+    sel_hi = np.zeros((32, width), dtype=np.uint32)
+    in_range = tgt + 1 < width
+    sel_hi[np.arange(32)[in_range], (tgt + 1)[in_range]] = 1
+    words = lo @ jnp.asarray(sel_lo) + hi @ jnp.asarray(sel_hi)
     return words.reshape(-1)[:n_words]
+
+
+@functools.partial(jax.jit, static_argnames=("width", "n"))
+def uniform_unpack_blocked(x, width: int, n: int):
+    """Block-structured unpack: static column slices + funnel shifts, no
+    gather.  Semantics identical to ``uniform_unpack``."""
+    if n == 0:
+        return jnp.zeros((0,), dtype=jnp.uint32)
+    if width == 0:
+        return jnp.zeros((n,), dtype=jnp.uint32)
+    if width == 32:
+        return x[:n]
+    n_blocks = pl_cdiv(n, 32)
+    pad_words = n_blocks * width - x.shape[0]
+    if pad_words > 0:
+        x = jnp.pad(x, (0, pad_words))
+    words = x.reshape(n_blocks, width)
+    mask = jnp.uint32((1 << width) - 1)
+    outs = []
+    for k in range(32):  # element k of each block
+        start = k * width
+        j = start // 32
+        off = start % 32
+        v = words[:, j] >> jnp.uint32(off)
+        if off + width > 32:
+            v = v | (words[:, j + 1] << jnp.uint32(32 - off))
+        outs.append(v & mask)
+    return jnp.stack(outs, axis=1).reshape(-1)[:n]
 
 
 def pl_cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "n"))
 def uniform_unpack(x, width: int, n: int):
     """Unpack ``n`` elements of ``width`` bits from u32 array ``x``
-    (util_U32UndoUniformPack, util.c:357-406).
+    (util_U32UndoUniformPack, util.c:357-406).  Dispatches to the
+    block-structured no-gather kernel (the TPU fast path)."""
+    return uniform_unpack_blocked(x, width, n)
 
-    Funnel-read formulation: pair adjacent words into u64 windows, then each
-    element is one 64-bit read + shift + mask.
-    """
+
+@functools.partial(jax.jit, static_argnames=("width", "n"))
+def uniform_unpack_gather(x, width: int, n: int):
+    """Gather-based funnel unpack: pair adjacent words into u64 windows,
+    one 64-bit read + shift per element.  Kept for cross-checking; on TPU
+    the gather fuses badly into consumers, so the blocked kernel is the
+    default."""
     if n == 0:
         return jnp.zeros((0,), dtype=jnp.uint32)
     if width == 0:

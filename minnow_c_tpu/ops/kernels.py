@@ -193,3 +193,30 @@ def u8_undo_delta_encode(x):
         return x
     # cumsum on u8 would promote; stay in u32 then truncate (mod-256 exact).
     return jnp.cumsum(x.astype(jnp.uint32)).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Delta + zigzag coding of bin indices (Diff algorithm building block).
+# Not present in the reference's util.c -- this realizes the spec'd Diff
+# algorithm (types.h:16, header_format.tex tab. 3) as a TPU-friendly
+# subtract / cumsum pair.
+# ---------------------------------------------------------------------------
+
+def u32_delta_zigzag(bins):
+    """Difference each element against its predecessor (element 0 keeps its
+    value), then zigzag-map signed deltas to unsigned:
+    ``z = (s << 1) ^ (s >> 31)``.  Small |delta| => small z => narrow pack
+    width for spatially coherent input orders."""
+    s = bins.astype(jnp.int32)
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), s[:-1]])
+    d = s - prev
+    return ((d << 1) ^ (d >> 31)).astype(jnp.uint32)
+
+
+def u32_undo_delta_zigzag(z):
+    """Inverse of u32_delta_zigzag: unzigzag then prefix-sum.  The running
+    sum telescopes back to the original bins, so intermediates never exceed
+    the original value range (no overflow for bins < 2^31)."""
+    zi = z.astype(jnp.int32)
+    d = (zi >> 1) ^ -(zi & 1)
+    return jnp.cumsum(d).astype(jnp.uint32)

@@ -136,35 +136,135 @@ class Xoroshiro128Plus:
 
 
 # ---------------------------------------------------------------------------
-# TPU-native counter-based dither
+# TPU-native counter-based dither: explicit Threefry-2x32
 # ---------------------------------------------------------------------------
+#
+# The dither RNG is part of the *stream format* (decode must reproduce the
+# same floats forever), so it cannot depend on any library's internals.  We
+# define it explicitly:
+#
+#   key   = (k0, k1) = split64(mix64(mix64(seed) ^ (field << 8 | dim)))
+#   bits_i = threefry2x32(key, counter=(i >> 1, tag))[i & 1]
+#   u_i   = f32(bits_i & 0xffffff) * 2^-24        (24-bit grain, [0, 1))
+#
+# threefry2x32 is the standard 20-round Threefry (Salmon et al. 2011).
+# Identical implementations exist here for numpy (host oracle) and
+# jax.numpy (XLA), and in Pallas kernels; all are tested bit-equal.
+# The key derivation replaces the reference's jump-separated sequential
+# streams (rand.c:93-112): any (field, dim, element) is addressable
+# independently, which is what makes vectorized and sharded decode
+# possible.
 
-def make_key(seed: int):
-    """Root key for a segment's dither randomness."""
-    import jax
-    return jax.random.key(seed)
+_TF_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
+_TF_PARITY = 0x1BD11BDA
+_TF_ROUNDS = 20
+
+
+def _mix64(z: int) -> int:
+    """splitmix64 finalizer on a python int (host-side key derivation)."""
+    z = (z + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
 
 
 def field_key(seed: int, field_index: int, dim: int = 0):
-    """Derive the per-field, per-dimension dither key.  Folding (rather than
-    sequential stream consumption) is the TPU replacement for the
-    reference's jump-separated streams (rand.c:93-96): any field/dim/block
-    can be decoded independently and reproducibly."""
-    import jax
-    k = jax.random.key(seed)
-    k = jax.random.fold_in(k, field_index)
-    return jax.random.fold_in(k, dim)
+    """Derive the (k0, k1) dither key for one field/dimension.  Host-side;
+    pass the result to jitted code as a (2,) uint32 array so the key is
+    traced data, not a compile-time constant."""
+    z = _mix64(_mix64(int(seed)) ^ ((int(field_index) << 8) | int(dim)))
+    return (z & 0xFFFFFFFF, (z >> 32) & 0xFFFFFFFF)
+
+
+def field_key_arr(seed: int, field_index: int, dim: int = 0):
+    """``field_key`` as a (2,) uint32 jax array (trace-friendly)."""
+    import jax.numpy as jnp
+    return jnp.asarray(field_key(seed, field_index, dim), dtype=jnp.uint32)
+
+
+def field_key_jax(seed, field_index, dim):
+    """Traceable key derivation (for per-block keys inside sharded
+    kernels).  Bit-identical to ``field_key``; all args may be traced."""
+    import jax.numpy as jnp
+
+    def mix(z):
+        z = z + jnp.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+        return z ^ (z >> jnp.uint64(31))
+
+    z = jnp.asarray(seed, jnp.uint64)
+    fi = jnp.asarray(field_index, jnp.uint64)
+    d = jnp.asarray(dim, jnp.uint64)
+    z = mix(mix(z) ^ ((fi << jnp.uint64(8)) | d))
+    return jnp.stack([(z & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                      (z >> jnp.uint64(32)).astype(jnp.uint32)])
+
+
+def _threefry2x32(k0, k1, c0, c1, xp):
+    """20-round Threefry-2x32; ``xp`` is numpy or jax.numpy.  All inputs
+    uint32 arrays/scalars; returns (x0, x1) uint32."""
+    u32 = xp.uint32
+    k0 = xp.asarray(k0, dtype=xp.uint32)
+    k1 = xp.asarray(k1, dtype=xp.uint32)
+    k2 = k0 ^ k1 ^ u32(_TF_PARITY)
+    x0 = xp.asarray(c0, dtype=xp.uint32) + k0
+    x1 = xp.asarray(c1, dtype=xp.uint32) + k1
+    ks = (k0, k1, k2)
+
+    def rot(x, r):
+        return (x << u32(r)) | (x >> u32(32 - r))
+
+    for r in range(_TF_ROUNDS):
+        x0 = x0 + x1
+        x1 = rot(x1, _TF_ROT[r % 8]) ^ x0
+        if r % 4 == 3:
+            j = r // 4 + 1
+            x0 = x0 + ks[j % 3]
+            x1 = x1 + ks[(j + 1) % 3] + u32(j)
+    return x0, x1
+
+
+def threefry_bits(key, n: int, tag: int = 0):
+    """n uint32 random words for counters 0..n-1 (jax.numpy path)."""
+    import jax.numpy as jnp
+    k0, k1 = key
+    half = (n + 1) // 2
+    ctr = jnp.arange(half, dtype=jnp.uint32)
+    a, b = _threefry2x32(k0, k1, ctr, jnp.uint32(tag), jnp)
+    return jnp.stack([a, b], axis=1).reshape(-1)[:n]
+
+
+def threefry_bits_np(key, n: int, tag: int = 0) -> np.ndarray:
+    """Bit-identical numpy mirror of ``threefry_bits``."""
+    k0, k1 = key
+    half = (n + 1) // 2
+    ctr = np.arange(half, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        a, b = _threefry2x32(np.uint32(k0), np.uint32(k1), ctr,
+                             np.uint32(tag), np)
+    return np.stack([a, b], axis=1).reshape(-1)[:n]
 
 
 def uniform24(key, shape):
     """Uniform [0, 1) with 24-bit granularity, exactly representable in f32
-    -- same value structure as rand_Float (rand.c:60-64) but counter-based.
-
-    Returns f32.  Deterministic and identical across CPU/TPU backends
-    because it is pure integer work plus an exact int->f32 conversion.
-    """
-    import jax
+    -- same value structure as rand_Float (rand.c:60-64) but counter-based
+    and stream-format-stable.  ``key`` is a (k0, k1) pair from
+    ``field_key``; ``shape`` a tuple."""
     import jax.numpy as jnp
-    bits = jax.random.bits(key, shape, dtype=jnp.uint32)
-    return (bits & jnp.uint32(0xFFFFFF)).astype(jnp.float32) * jnp.float32(
+    n = 1
+    for s in shape:
+        n *= int(s)
+    bits = threefry_bits(key, n)
+    u = (bits & jnp.uint32(0xFFFFFF)).astype(jnp.float32) * jnp.float32(
         1.0 / (1 << 24))
+    return u.reshape(shape)
+
+
+def uniform24_np(key, shape) -> np.ndarray:
+    """numpy mirror of ``uniform24`` (bit-exact host oracle)."""
+    n = int(np.prod(shape)) if shape else 1
+    bits = threefry_bits_np(key, n)
+    u = (bits & np.uint32(0xFFFFFF)).astype(np.float32) * np.float32(
+        1.0 / (1 << 24))
+    return u.reshape(shape)

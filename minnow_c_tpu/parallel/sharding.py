@@ -129,9 +129,7 @@ class ShardedPositionCodec:
             def one_block(wb, x0b, rb, bi):
                 def one_dim(wd, o, d):
                     bins = bitpack.uniform_unpack(wd, depth, n_b)
-                    key = jax.random.fold_in(
-                        jax.random.fold_in(
-                            jax.random.key(seed_arr[0]), bi), d)
+                    key = _rng.field_key_jax(seed_arr[0], bi, d)
                     dx = rb / jnp.float32(1 << depth)
                     u = _rng.uniform24(key, bins.shape)
                     x = o + dx * (bins.astype(jnp.float32) + u)

@@ -285,7 +285,7 @@ def _dequantize_position(qf: QField, field_index: int) -> Field:
     bins = jnp.asarray(qf.data).reshape(3, -1)
     dims = []
     for i in range(3):
-        key = _rng.field_key(q.seed, field_index, i)
+        key = _rng.field_key_arr(q.seed, field_index, i)
         if q.depths is None:
             xd = undo_float_uniform(bins[i], float(x0[i]),
                                     float(x0[i]) + max_diff, q.depth, key)
@@ -342,7 +342,7 @@ def _dequantize_velocity(qf: QField, field_index: int) -> Field:
     bins = jnp.asarray(qf.data).reshape(3, -1)
     dims = []
     for i in range(3):
-        key = _rng.field_key(q.seed, field_index, i)
+        key = _rng.field_key_arr(q.seed, field_index, i)
         if q.depths is None:
             yd = undo_float_uniform(bins[i], float(x0[i]),
                                     float(x0[i]) + max_diff, q.depth, key)
@@ -420,7 +420,7 @@ def _quantize_ufloat(field: Field, seed: int) -> QField:
 def _dequantize_ufloat(qf: QField, field_index: int) -> Field:
     q: FloatQuantization = qf.quant
     bins = jnp.asarray(qf.data).reshape(-1)
-    key = _rng.field_key(q.seed, field_index, 0)
+    key = _rng.field_key_arr(q.seed, field_index, 0)
     if q.depths is None:
         y = undo_float_uniform(bins, q.x0, q.x1, q.depth, key)
     else:

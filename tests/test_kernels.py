@@ -109,11 +109,11 @@ class TestBinIndex:
     def test_undo_recovers_bin(self):
         # Lossy-stage oracle: BinIndex(UndoBinIndex(idx)) == idx
         # (compress_util_test.c:294-341 pattern).
-        import jax
         rng = np.random.default_rng(2)
         level = 9
         idx = rng.integers(0, 1 << level, 8192).astype(np.uint32)
-        key = jax.random.key(7)
+        from minnow_c_tpu.ops import rng as mrng
+        key = mrng.field_key_arr(7, 0, 0)
         x = kernels.undo_uniform_bin_index(jnp.asarray(idx), level, 0.0, 1.0,
                                            key)
         back = np.asarray(
@@ -121,21 +121,21 @@ class TestBinIndex:
         np.testing.assert_array_equal(back, idx)
 
     def test_undo_per_element_recovers_bin(self):
-        import jax
         rng = np.random.default_rng(3)
         lv = rng.integers(0, 12, 4096).astype(np.uint8)
         idx = (rng.integers(0, 1 << 20, 4096) %
                (1 << lv.astype(np.uint32))).astype(np.uint32)
-        key = jax.random.key(8)
+        from minnow_c_tpu.ops import rng as mrng
+        key = mrng.field_key_arr(8, 0, 0)
         x = kernels.undo_bin_index(jnp.asarray(idx), jnp.asarray(lv), 0.0,
                                    1.0, key)
         back = np.asarray(kernels.bin_index(x, jnp.asarray(lv), 0.0, 1.0))
         np.testing.assert_array_equal(back, idx)
 
     def test_undo_deterministic(self):
-        import jax
         idx = jnp.asarray(np.arange(100, dtype=np.uint32) % 8)
-        key = jax.random.key(3)
+        from minnow_c_tpu.ops import rng as mrng
+        key = mrng.field_key_arr(3, 0, 0)
         a = np.asarray(kernels.undo_uniform_bin_index(idx, 3, 0.0, 1.0, key))
         b = np.asarray(kernels.undo_uniform_bin_index(idx, 3, 0.0, 1.0, key))
         np.testing.assert_array_equal(a, b)
