@@ -25,7 +25,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from minnow_c_tpu.bench import harness  # noqa: E402
-from minnow_c_tpu.ops import bitpack, kernels  # noqa: E402
+from minnow_c_tpu.ops import fastpath  # noqa: E402
 from minnow_c_tpu.ops import rng as _rng  # noqa: E402
 
 BASELINE_GBPS = 5.0
@@ -45,13 +45,11 @@ def main():
                                                                  LEVEL)))
     key = _rng.field_key_arr(1234, 0, 0)
 
-    @jax.jit
     def decode(words, salt):
-        bins = bitpack.uniform_unpack(words, LEVEL, N)
-        salted_key = key ^ salt  # harness salt -> real data dependence
-        x = kernels.undo_uniform_bin_index(bins, LEVEL, 0.0, WIDTH_BOX,
-                                           salted_key)
-        return kernels.periodic(x, WIDTH_BOX)
+        # harness salt -> real data dependence (defeats dispatch elision)
+        return fastpath.fast_uniform_decode(
+            words, key ^ salt, LEVEL, N, 0.0, WIDTH_BOX,
+            periodic_width=WIDTH_BOX)
 
     res = harness.run(lambda s: decode(packed, s), bytes_per_iter=N * 4)
     value = res.gb_per_second

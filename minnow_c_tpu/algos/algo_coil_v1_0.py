@@ -1,0 +1,129 @@
+"""Coil v1.0 -- chunked-width delta codec (patched frame-of-reference),
+frozen.
+
+Realizes the spec'd Coil algorithm code (types.h:17, header_format.tex
+tab. 3; unimplemented in the reference).  Like Diff, planes store
+zigzag-mapped predecessor deltas -- but the pack width is chosen *per
+256-element chunk* instead of per plane, so a single large jump (a particle
+far from its predecessor) only widens its own chunk.  This is the
+classical patched/chunked frame-of-reference layout, arranged
+TPU-natively: all chunks of one plane are packed in a single vectorized
+pass over a (n_chunks, 256) matrix, using one uniform pass per *distinct*
+chunk width (spatially coherent data typically has only a handful).
+
+Plane payload layout::
+
+    u32 n_chunks
+    u32 first_value                      (element 0, raw)
+    u8  chunk_width[n_chunks]            (zero-padded to 4-byte alignment)
+    <per chunk, in order: 256 zigzag deltas packed at chunk_width bits,
+     each chunk starting on a u32 word boundary>
+
+The plane prelude ``Width`` field is 0 (widths live in the payload).
+Chunks start word-aligned so decode can locate chunk c at word
+``sum(ceil(256 * width[j] / 32) for j < c)`` -- a prefix sum of the width
+table, no scan of the bitstream.
+
+This module is FROZEN at v1.0.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import semver
+from ..ops import bitpack, kernels
+from ..types import AlgoCode
+from . import registry
+from .algo_trim_v1_0 import TrimV1_0
+
+VERSION = semver.pack(1, 0, 0)
+CHUNK = 256  # elements per chunk; 256*w bits = 8w words, always word-aligned
+
+
+class CoilV1_0(TrimV1_0):
+    algo_code = int(AlgoCode.COIL)
+    version = VERSION
+
+    def _encode_plane(self, bins, depth: int):
+        bins = jnp.asarray(bins)
+        n = int(bins.shape[0])
+        if n == 0:
+            return np.zeros(2, dtype=np.uint32), 0
+        first = np.uint32(np.asarray(bins[0]))
+        z = np.asarray(kernels.u32_delta_zigzag(bins))
+        z[0] = 0  # element 0 is carried raw; keep its slot width-neutral
+        n_chunks = -(-n // CHUNK)
+        zp = np.zeros(n_chunks * CHUNK, dtype=np.uint32)
+        zp[:n] = z
+        zc = zp.reshape(n_chunks, CHUNK)
+        maxes = zc.max(axis=1)
+        widths = np.array([int(m).bit_length() for m in maxes],
+                          dtype=np.uint8)
+
+        # Pack chunks grouped by width: one vectorized pass per distinct
+        # width over all chunks sharing it.
+        chunk_words = [None] * n_chunks
+        for wv in np.unique(widths):
+            idx = np.nonzero(widths == wv)[0]
+            if wv == 0:
+                for c in idx:
+                    chunk_words[c] = np.zeros(0, dtype=np.uint32)
+                continue
+            flat = jnp.asarray(zc[idx].reshape(-1))
+            packed = np.asarray(bitpack.uniform_pack(flat, int(wv)))
+            wpc = CHUNK * int(wv) // 32
+            packed = packed.reshape(len(idx), wpc)
+            for row, c in enumerate(idx):
+                chunk_words[c] = packed[row]
+
+        head = np.zeros(2, dtype=np.uint32)
+        head[0] = n_chunks
+        head[1] = first
+        wtab_pad = (-n_chunks) % 4
+        wtab = np.concatenate([widths,
+                               np.zeros(wtab_pad, dtype=np.uint8)])
+        payload = np.concatenate(
+            [head.view(np.uint8), wtab.view(np.uint8)] +
+            [cw.view(np.uint8) for cw in chunk_words])
+        return payload.view(np.uint32), 0
+
+    def _decode_plane(self, words: np.ndarray, width: int, n: int):
+        if n == 0:
+            return np.zeros(0, dtype=np.uint32)
+        raw = np.ascontiguousarray(words).view(np.uint8)
+        n_chunks = int(raw[:4].view(np.uint32)[0])
+        first = np.uint32(raw[4:8].view(np.uint32)[0])
+        wtab_pad = (-n_chunks) % 4
+        widths = raw[8:8 + n_chunks].astype(np.uint8)
+        body = raw[8 + n_chunks + wtab_pad:].view(np.uint32)
+
+        words_per_chunk = (CHUNK * widths.astype(np.int64)) // 32
+        offsets = np.concatenate([[0], np.cumsum(words_per_chunk)])
+
+        z = np.zeros(n_chunks * CHUNK, dtype=np.uint32)
+        for wv in np.unique(widths):
+            if wv == 0:
+                continue
+            idx = np.nonzero(widths == wv)[0]
+            wpc = CHUNK * int(wv) // 32
+            gathered = np.stack([body[offsets[c]:offsets[c] + wpc]
+                                 for c in idx])
+            flat = jnp.asarray(gathered.reshape(-1))
+            vals = np.asarray(
+                bitpack.uniform_unpack(flat, int(wv),
+                                       len(idx) * CHUNK))
+            vals = vals.reshape(len(idx), CHUNK)
+            z[(idx[:, None] * CHUNK +
+               np.arange(CHUNK)[None, :]).reshape(-1)] = vals.reshape(-1)
+
+        z = z[:n]
+        zi = jnp.asarray(z).astype(jnp.int32)
+        d = (zi >> 1) ^ -(zi & 1)
+        d = d.at[0].set(0)
+        out = jnp.int32(first) + jnp.cumsum(d)
+        return np.asarray(out.astype(jnp.uint32))
+
+
+registry.register(CoilV1_0())

@@ -52,30 +52,55 @@ def run(fn: Callable[[object], object], bytes_per_iter: int,
     import jax.numpy as jnp
 
     def derive_salt(out):
+        # Full-entropy salt: bitcast the leading value's raw bits.  A
+        # low-entropy salt (e.g. int(out[0]) of a bounded float) cycles
+        # through a handful of values, letting a content-addressed runtime
+        # replay cached executions and report fantasy throughput.
         leaf = jax.tree.leaves(out)[0]
         v = leaf.ravel()[0]
         if v.dtype == jnp.uint32:
             return v
+        if v.dtype == jnp.float32:
+            return jax.lax.bitcast_convert_type(v, jnp.uint32)
         return v.astype(jnp.float32).astype(jnp.int32).astype(jnp.uint32)
 
-    # Warm-up: compile + first run excluded (bench.c pause/resume intent).
+    # Warm-up: compile + first runs excluded (bench.c pause/resume intent).
+    # The runtime here executes the first measured program of a process
+    # ~20x slower for its first few seconds (observed: 529ms/iter settling
+    # to 19ms), so burn in for a few seconds of real chained executions.
     salt = jnp.uint32(0)
     out = fn(salt)
     jax.block_until_ready(out)
+    t_burn = time.perf_counter()
+    while time.perf_counter() - t_burn < 3.0:
+        out = fn(salt)
+        salt = derive_salt(out)
+        jax.block_until_ready(out)
 
-    start_total = time.perf_counter()
-    iters = 1
-    best = None
-    while True:
+    def trial(iters):
+        nonlocal salt
+        window = []  # hold a few outputs live so buffers can't be dropped
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(salt)
             salt = derive_salt(out)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        best = Result(bytes_per_second=bytes_per_iter * iters / dt,
-                      iterations=iters, trial_seconds=dt)
+            window.append(out)
+            if len(window) > 4:
+                window.pop(0)
+        jax.block_until_ready(window)
+        return time.perf_counter() - t0
+
+    start_total = time.perf_counter()
+    iters = 1
+    while True:
+        dt = trial(iters)
         elapsed = time.perf_counter() - start_total
-        if dt >= target_trial_s or elapsed + dt * 2 > max_total_s:
-            return best
+        if dt >= target_trial_s or elapsed + dt * 4 > max_total_s:
+            break
         iters *= 2
+    # Median of three trials at the final size guards against one-off
+    # timer/runtime anomalies.
+    times = sorted([dt, trial(iters), trial(iters)])
+    dt = times[1]
+    return Result(bytes_per_second=bytes_per_iter * iters / dt,
+                  iterations=iters, trial_seconds=dt)

@@ -10,16 +10,14 @@ Two generators live here:
    reference's RNG contract -- ``seed(seed, n)`` produces n non-overlapping
    streams for parallel decode, exactly like ``rand_Seed``.
 
-2. ``uniform24`` -- the TPU-native dither source: counter-based
-   (jax.random threefry) so it is stateless, order-independent, and
-   identical on CPU and TPU backends.  The reference seeds its decode dither
-   from ``clock()`` (quant.c:639), which makes decode nondeterministic; we
-   instead carry a seed in the stream header and derive per-field,
-   per-element randomness by key folding.  This is a deliberate, documented
-   divergence (SURVEY.md "known reference defects").
-
-Both produce floats of the same form as ``rand_Float``: a 24-bit integer
-scaled by 2^-24, giving uniform [0, 1) values exactly representable in f32.
+2. ``uniform_dither`` -- the TPU-native dither source: an explicitly
+   specified counter-based Threefry (see the section comment below), so it
+   is stateless, order-independent, and identical on CPU, TPU, and host
+   numpy.  The reference seeds its decode dither from ``clock()``
+   (quant.c:639), which makes decode nondeterministic; we instead carry a
+   seed in the stream header and derive per-field, per-element randomness
+   by key derivation.  This is a deliberate, documented divergence
+   (SURVEY.md "known reference defects").
 """
 
 from __future__ import annotations
@@ -144,10 +142,16 @@ class Xoroshiro128Plus:
 # define it explicitly:
 #
 #   key   = (k0, k1) = split64(mix64(mix64(seed) ^ (field << 8 | dim)))
-#   bits_i = threefry2x32(key, counter=(i >> 1, tag))[i & 1]
-#   u_i   = f32(bits_i & 0xffffff) * 2^-24        (24-bit grain, [0, 1))
+#   (a, b) = threefry2x32_13(key, counter=(i >> 2, tag))
+#   h_i   = [a & 0xffff, a >> 16, b & 0xffff, b >> 16][i & 3]
+#   u_i   = f32(h_i) * 2^-16                      (16-bit grain, [0, 1))
 #
-# threefry2x32 is the standard 20-round Threefry (Salmon et al. 2011).
+# threefry2x32_13 is the 13-round Threefry recommended by Salmon et al.
+# (2011) as the reduced-round variant with safety margin.  The dither uses a
+# 16-bit grain (the reference's rand_Float uses 24, rand.c:60-64): the
+# error bound |x - x'| <= delta is independent of grain, which only sets the
+# smoothness of the in-bin distribution, and four u16 lanes per counter
+# quadruple decode throughput on the VPU.
 # Identical implementations exist here for numpy (host oracle) and
 # jax.numpy (XLA), and in Pallas kernels; all are tested bit-equal.
 # The key derivation replaces the reference's jump-separated sequential
@@ -157,7 +161,7 @@ class Xoroshiro128Plus:
 
 _TF_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
 _TF_PARITY = 0x1BD11BDA
-_TF_ROUNDS = 20
+_TF_ROUNDS = 13
 
 
 def _mix64(z: int) -> int:
@@ -226,13 +230,41 @@ def _threefry2x32(k0, k1, c0, c1, xp):
 
 
 def threefry_bits(key, n: int, tag: int = 0):
-    """n uint32 random words for counters 0..n-1 (jax.numpy path)."""
+    """n uint32 random words (two per counter) -- jax.numpy path."""
     import jax.numpy as jnp
     k0, k1 = key
     half = (n + 1) // 2
     ctr = jnp.arange(half, dtype=jnp.uint32)
     a, b = _threefry2x32(k0, k1, ctr, jnp.uint32(tag), jnp)
     return jnp.stack([a, b], axis=1).reshape(-1)[:n]
+
+
+def dither_u16(key, n: int, tag: int = 0, ctr0: int = 0):
+    """n uint16-valued (stored u32) dither lanes: four per Threefry call.
+    ``ctr0`` offsets the element index for tiled/sharded decode of a longer
+    stream (element i uses counter (ctr0 + i) >> 2)."""
+    import jax.numpy as jnp
+    k0, k1 = key
+    q = (n + 3) // 4
+    ctr = jnp.arange(q, dtype=jnp.uint32) + jnp.uint32(ctr0 // 4)
+    a, b = _threefry2x32(k0, k1, ctr, jnp.uint32(tag), jnp)
+    h = jnp.stack([a & jnp.uint32(0xFFFF), a >> jnp.uint32(16),
+                   b & jnp.uint32(0xFFFF), b >> jnp.uint32(16)],
+                  axis=1).reshape(-1)[:n]
+    return h
+
+
+def dither_u16_np(key, n: int, tag: int = 0, ctr0: int = 0) -> np.ndarray:
+    """Bit-identical numpy mirror of ``dither_u16``."""
+    k0, k1 = key
+    q = (n + 3) // 4
+    ctr = np.arange(q, dtype=np.uint32) + np.uint32(ctr0 // 4)
+    with np.errstate(over="ignore"):
+        a, b = _threefry2x32(np.uint32(k0), np.uint32(k1), ctr,
+                             np.uint32(tag), np)
+    return np.stack([a & np.uint32(0xFFFF), a >> np.uint32(16),
+                     b & np.uint32(0xFFFF), b >> np.uint32(16)],
+                    axis=1).reshape(-1)[:n]
 
 
 def threefry_bits_np(key, n: int, tag: int = 0) -> np.ndarray:
@@ -246,25 +278,28 @@ def threefry_bits_np(key, n: int, tag: int = 0) -> np.ndarray:
     return np.stack([a, b], axis=1).reshape(-1)[:n]
 
 
-def uniform24(key, shape):
-    """Uniform [0, 1) with 24-bit granularity, exactly representable in f32
-    -- same value structure as rand_Float (rand.c:60-64) but counter-based
-    and stream-format-stable.  ``key`` is a (k0, k1) pair from
-    ``field_key``; ``shape`` a tuple."""
+def uniform_dither(key, shape, ctr0: int = 0):
+    """Uniform [0, 1) with 16-bit granularity, exactly representable in f32
+    -- the stream-format dither source (see module docstring).  ``key`` is
+    a (k0, k1) pair or (2,) u32 array from ``field_key``; ``shape`` a
+    tuple; ``ctr0`` the global element offset for tiled decode."""
     import jax.numpy as jnp
     n = 1
     for s in shape:
         n *= int(s)
-    bits = threefry_bits(key, n)
-    u = (bits & jnp.uint32(0xFFFFFF)).astype(jnp.float32) * jnp.float32(
-        1.0 / (1 << 24))
-    return u.reshape(shape)
+    h = dither_u16(key, n, ctr0=ctr0)
+    return (h.astype(jnp.float32) * jnp.float32(1.0 / (1 << 16))
+            ).reshape(shape)
 
 
-def uniform24_np(key, shape) -> np.ndarray:
-    """numpy mirror of ``uniform24`` (bit-exact host oracle)."""
+def uniform_dither_np(key, shape, ctr0: int = 0) -> np.ndarray:
+    """numpy mirror of ``uniform_dither`` (bit-exact host oracle)."""
     n = int(np.prod(shape)) if shape else 1
-    bits = threefry_bits_np(key, n)
-    u = (bits & np.uint32(0xFFFFFF)).astype(np.float32) * np.float32(
-        1.0 / (1 << 24))
-    return u.reshape(shape)
+    h = dither_u16_np(key, n, ctr0=ctr0)
+    return (h.astype(np.float32) * np.float32(1.0 / (1 << 16))
+            ).reshape(shape)
+
+
+# Back-compat aliases (pre-v1 name)
+uniform24 = uniform_dither
+uniform24_np = uniform_dither_np
