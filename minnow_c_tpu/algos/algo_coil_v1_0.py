@@ -52,7 +52,7 @@ class CoilV1_0(TrimV1_0):
         if n == 0:
             return np.zeros(2, dtype=np.uint32), 0
         first = np.uint32(np.asarray(bins[0]))
-        z = np.asarray(kernels.u32_delta_zigzag(bins))
+        z = np.array(kernels.u32_delta_zigzag(bins), copy=True)
         z[0] = 0  # element 0 is carried raw; keep its slot width-neutral
         n_chunks = -(-n // CHUNK)
         zp = np.zeros(n_chunks * CHUNK, dtype=np.uint32)

@@ -1,0 +1,142 @@
+"""Sort v1.0 -- sorted-delta + permutation codec, frozen.
+
+Realizes the spec'd Sort algorithm code (header_format.tex tab. 3;
+unimplemented in the reference).  Each plane's bins are sorted; the sorted
+sequence is stored as non-negative first-differences (whose *sum* is the
+value range, so their average width is ``log2(range/n)`` -- far below the
+raw depth for clustered distributions), and the original order is restored
+by a rank stream packed at ``ceil(log2 n)`` bits.
+
+Cost model: ``log2(range/n) + log2(n) = log2(range)`` -- break-even with
+Trim on uniform data, a win whenever values cluster (the sorted deltas
+then concentrate near zero and chunk-pack narrowly).  For nearly-sorted
+inputs (Lagrangian-ordered IDs), the rank stream itself is coherent and
+LZ4 collapses it.
+
+Plane payload layout::
+
+    u32 n_chunks         (sorted-delta chunks of 256, Coil-style widths)
+    u32 first_value      (smallest value)
+    u32 rank_words       (words in the rank stream)
+    u32 reserved
+    u8  chunk_width[n_chunks]  (padded to 4-byte alignment)
+    <chunked sorted deltas, each chunk word-aligned>
+    <ranks packed at ceil(log2 n) bits>
+
+Sorting runs on device (XLA sort); rank extraction is the argsort inverse.
+
+This module is FROZEN at v1.0.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import semver
+from ..ops import bitpack
+from ..types import AlgoCode
+from . import registry
+from .algo_trim_v1_0 import TrimV1_0
+
+VERSION = semver.pack(1, 0, 0)
+CHUNK = 256
+
+
+def _bits_for(v: int) -> int:
+    return max(1, int(v).bit_length())
+
+
+class SortV1_0(TrimV1_0):
+    algo_code = int(AlgoCode.SORT)
+    version = VERSION
+
+    def _encode_plane(self, bins, depth: int):
+        bins = jnp.asarray(bins)
+        n = int(bins.shape[0])
+        if n == 0:
+            return np.zeros(4, dtype=np.uint32), 0
+        order = jnp.argsort(bins, stable=True)
+        sorted_vals = bins[order]
+        # ranks[i] = position of element i in the sorted sequence
+        ranks = jnp.zeros(n, dtype=jnp.uint32).at[order].set(
+            jnp.arange(n, dtype=jnp.uint32))
+        prev = jnp.concatenate([sorted_vals[:1] * 0, sorted_vals[:-1]])
+        deltas = np.array(sorted_vals - prev, copy=True)
+        first = np.uint32(deltas[0])
+        deltas[0] = 0
+
+        n_chunks = -(-n // CHUNK)
+        dp = np.zeros(n_chunks * CHUNK, dtype=np.uint32)
+        dp[:n] = deltas
+        dc = dp.reshape(n_chunks, CHUNK)
+        widths = np.array([_bits_for(int(m)) if m else 0
+                           for m in dc.max(axis=1)], dtype=np.uint8)
+
+        chunk_words = [None] * n_chunks
+        for wv in np.unique(widths):
+            idx = np.nonzero(widths == wv)[0]
+            if wv == 0:
+                for c in idx:
+                    chunk_words[c] = np.zeros(0, dtype=np.uint32)
+                continue
+            flat = jnp.asarray(dc[idx].reshape(-1))
+            packed = np.asarray(bitpack.uniform_pack(flat, int(wv)))
+            wpc = CHUNK * int(wv) // 32
+            packed = packed.reshape(len(idx), wpc)
+            for row, c in enumerate(idx):
+                chunk_words[c] = packed[row]
+
+        rank_width = _bits_for(n - 1)
+        rank_words = np.asarray(bitpack.uniform_pack(ranks, rank_width))
+
+        head = np.array([n_chunks, first, rank_words.size, 0],
+                        dtype=np.uint32)
+        wtab_pad = (-n_chunks) % 4
+        wtab = np.concatenate([widths, np.zeros(wtab_pad, dtype=np.uint8)])
+        payload = np.concatenate(
+            [head.view(np.uint8), wtab.view(np.uint8)] +
+            [cw.view(np.uint8) for cw in chunk_words] +
+            [rank_words.view(np.uint8)])
+        return payload.view(np.uint32), 0
+
+    def _decode_plane(self, words: np.ndarray, width: int, n: int):
+        if n == 0:
+            return np.zeros(0, dtype=np.uint32)
+        raw = np.ascontiguousarray(words).view(np.uint8)
+        head = raw[:16].view(np.uint32)
+        n_chunks, first, n_rank_words = int(head[0]), np.uint32(head[1]), \
+            int(head[2])
+        wtab_pad = (-n_chunks) % 4
+        widths = raw[16:16 + n_chunks].astype(np.uint8)
+        body = raw[16 + n_chunks + wtab_pad:].view(np.uint32)
+
+        words_per_chunk = (CHUNK * widths.astype(np.int64)) // 32
+        offsets = np.concatenate([[0], np.cumsum(words_per_chunk)])
+        total_delta_words = int(offsets[-1])
+
+        deltas = np.zeros(n_chunks * CHUNK, dtype=np.uint32)
+        for wv in np.unique(widths):
+            if wv == 0:
+                continue
+            idx = np.nonzero(widths == wv)[0]
+            wpc = CHUNK * int(wv) // 32
+            gathered = np.stack([body[offsets[c]:offsets[c] + wpc]
+                                 for c in idx])
+            vals = np.asarray(bitpack.uniform_unpack(
+                jnp.asarray(gathered.reshape(-1)), int(wv),
+                len(idx) * CHUNK)).reshape(len(idx), CHUNK)
+            deltas[(idx[:, None] * CHUNK +
+                    np.arange(CHUNK)[None, :]).reshape(-1)] = vals.reshape(-1)
+        deltas = deltas[:n]
+        deltas[0] = first
+        sorted_vals = np.cumsum(deltas.astype(np.uint64)).astype(np.uint32)
+
+        rank_width = _bits_for(n - 1)
+        rank_body = body[total_delta_words:total_delta_words + n_rank_words]
+        ranks = np.asarray(bitpack.uniform_unpack(jnp.asarray(rank_body),
+                                                  rank_width, n))
+        return sorted_vals[ranks]
+
+
+registry.register(SortV1_0())

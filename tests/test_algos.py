@@ -11,7 +11,8 @@ from minnow_c_tpu.algos import registry
 from minnow_c_tpu.segment import api
 
 
-ALGOS = [mnw.AlgoCode.TRIM, mnw.AlgoCode.DIFF]
+ALGOS = [mnw.AlgoCode.TRIM, mnw.AlgoCode.DIFF, mnw.AlgoCode.COIL,
+         mnw.AlgoCode.OCTO, mnw.AlgoCode.SORT, mnw.AlgoCode.CART]
 
 
 def seg_with(algo, n=8000, seed=0, W=64.0, sorted_pos=False):
@@ -128,6 +129,53 @@ class TestDiffCompression:
         err = np.minimum(err, W - err)
         assert err.max() <= 1e-3
         np.testing.assert_array_equal(np.asarray(out.fields[1].data), ids)
+
+
+class TestCoilCompression:
+    def _walk_with_jumps(self, n=60000, W=64.0, seed=11):
+        # Mostly-smooth walk with occasional large jumps: chunked widths
+        # (Coil) should beat one global width (Diff).
+        rng = np.random.default_rng(seed)
+        steps = rng.normal(0, 0.01, (3, n)).astype(np.float32)
+        jumps = rng.random((3, n)) < 0.001
+        steps = np.where(jumps, rng.uniform(-20, 20, (3, n)), steps)
+        return (np.cumsum(steps, axis=1).astype(np.float32) + W / 2) % W
+
+    def test_coil_beats_diff_on_jumpy_data(self):
+        W = 64.0
+        pos = self._walk_with_jumps()
+        n = pos.shape[1]
+
+        def one(algo):
+            ver = registry.newest(algo)
+            seg = mnw.Seg(fields=[mnw.Field(
+                hd=mnw.FieldHeader(mnw.FieldCode.POSN, algo, ver, n),
+                data=pos, acc=mnw.PositionAccuracy(delta=1e-3, width=W))])
+            return api.compress_segment(seg, seed=1)
+
+        blob_d = one(mnw.AlgoCode.DIFF)
+        blob_c = one(mnw.AlgoCode.COIL)
+        assert len(blob_c) < len(blob_d)
+        out = api.decompress_segment(blob_c)
+        err = np.abs(np.asarray(out.fields[0].data) - pos)
+        err = np.minimum(err, W - err)
+        assert err.max() <= 1e-3
+
+    def test_coil_chunk_boundary_sizes(self):
+        # n around the 256-element chunk boundary
+        W = 8.0
+        for n in (1, 255, 256, 257, 511, 513):
+            rng = np.random.default_rng(n)
+            pos = rng.uniform(0, W, (3, n)).astype(np.float32)
+            ver = registry.newest(mnw.AlgoCode.COIL)
+            seg = mnw.Seg(fields=[mnw.Field(
+                hd=mnw.FieldHeader(mnw.FieldCode.POSN, mnw.AlgoCode.COIL,
+                                   ver, n),
+                data=pos, acc=mnw.PositionAccuracy(delta=1e-3, width=W))])
+            out = api.decompress_segment(api.compress_segment(seg, seed=n))
+            err = np.abs(np.asarray(out.fields[0].data) - pos)
+            err = np.minimum(err, W - err)
+            assert err.max() <= 1e-3, n
 
 
 class TestRegistryVersioning:

@@ -1,0 +1,93 @@
+"""Wire-freeze tests: frozen algorithm versions must produce byte-identical
+streams forever (header_format.tex:239-283).  These fixtures pin the v1.0
+wire behavior of every codec; if any test here fails, either revert the
+change or move it into a new minor version module.
+
+The fixtures are self-generating: on first run (or after `rm`), the
+expected digests are written to tests/fixtures/wire_digests.json; CI runs
+compare against the committed file.
+"""
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pytest
+
+import minnow_c_tpu as mnw
+from minnow_c_tpu.algos import registry
+from minnow_c_tpu.segment import api
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "wire_digests.json")
+
+ALGOS = {
+    "trim": mnw.AlgoCode.TRIM,
+    "diff": mnw.AlgoCode.DIFF,
+    "coil": mnw.AlgoCode.COIL,
+    "octo": mnw.AlgoCode.OCTO,
+    "sort": mnw.AlgoCode.SORT,
+    "cart": mnw.AlgoCode.CART,
+}
+
+
+def reference_segment(algo):
+    """A deterministic segment exercising every field type."""
+    n, W = 4096, 64.0
+    rng = np.random.default_rng(12345)
+    steps = rng.normal(0, 0.05, (3, n)).astype(np.float32)
+    pos = (np.cumsum(steps, axis=1) + W / 2).astype(np.float32) % W
+    vel = rng.normal(0, 100, (3, n)).astype(np.float32)
+    ids = rng.permutation(1 << 18)[:n].astype(np.uint64)
+    uf = rng.uniform(1, 10, n).astype(np.float32)
+    ui = (rng.integers(0, 1000, n) + 5_000_000).astype(np.uint64)
+    ver = registry.newest(algo)
+
+    def hd(code):
+        return mnw.FieldHeader(code, algo, ver, n)
+
+    return mnw.Seg(fields=[
+        mnw.Field(hd=hd(mnw.FieldCode.POSN), data=pos,
+                  acc=mnw.PositionAccuracy(delta=1e-3, width=W)),
+        mnw.Field(hd=hd(mnw.FieldCode.VELC), data=vel,
+                  acc=mnw.VelocityAccuracy(delta=0.25)),
+        mnw.Field(hd=hd(mnw.FieldCode.PTID), data=ids,
+                  acc=mnw.IDAccuracy(width=512)),
+        mnw.Field(hd=hd(mnw.FieldCode.UNSF), data=uf,
+                  acc=mnw.FloatAccuracy(delta=1e-3)),
+        mnw.Field(hd=hd(mnw.FieldCode.UNSI), data=ui,
+                  acc=mnw.IntAccuracy()),
+    ])
+
+
+def current_digests():
+    out = {}
+    for name, algo in ALGOS.items():
+        blob = api.compress_segment(reference_segment(algo), seed=777)
+        out[f"{name}_encode_sha256"] = hashlib.sha256(blob).hexdigest()
+        out[f"{name}_bytes"] = len(blob)
+        # decode digest: the dithered output must also be frozen
+        seg = api.decompress_segment(blob)
+        h = hashlib.sha256()
+        for f in seg.fields:
+            h.update(np.ascontiguousarray(np.asarray(f.data)).tobytes())
+        out[f"{name}_decode_sha256"] = h.hexdigest()
+    return out
+
+
+def test_wire_digests_frozen():
+    got = current_digests()
+    if not os.path.exists(FIXTURE):
+        os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
+        with open(FIXTURE, "w") as f:
+            json.dump(got, f, indent=2, sort_keys=True)
+        pytest.skip("wire digest fixture generated; commit it")
+    with open(FIXTURE) as f:
+        want = json.load(f)
+    mismatches = {k: (want.get(k), got.get(k))
+                  for k in sorted(set(want) | set(got))
+                  if want.get(k) != got.get(k)}
+    assert not mismatches, (
+        "FROZEN WIRE FORMAT CHANGED -- bump the algorithm minor version "
+        f"instead of editing frozen modules: {mismatches}")
