@@ -33,13 +33,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import semver
-from ..ops import bitpack, kernels
+from ..ops import kernels
 from ..types import AlgoCode
-from . import registry
+from . import chunked, registry
 from .algo_trim_v1_0 import TrimV1_0
 
 VERSION = semver.pack(1, 0, 0)
-CHUNK = 256  # elements per chunk; 256*w bits = 8w words, always word-aligned
+CHUNK = chunked.CHUNK  # 256*w bits = 8w words, always word-aligned
 
 
 class CoilV1_0(TrimV1_0):
@@ -54,39 +54,17 @@ class CoilV1_0(TrimV1_0):
         first = np.uint32(np.asarray(bins[0]))
         z = np.array(kernels.u32_delta_zigzag(bins), copy=True)
         z[0] = 0  # element 0 is carried raw; keep its slot width-neutral
-        n_chunks = -(-n // CHUNK)
-        zp = np.zeros(n_chunks * CHUNK, dtype=np.uint32)
-        zp[:n] = z
-        zc = zp.reshape(n_chunks, CHUNK)
-        maxes = zc.max(axis=1)
-        widths = np.array([int(m).bit_length() for m in maxes],
-                          dtype=np.uint8)
+        zc, widths = chunked.chunk_widths(z)
+        n_chunks = zc.shape[0]
+        body = chunked.pack_chunks(zc, widths)
 
-        # Pack chunks grouped by width: one vectorized pass per distinct
-        # width over all chunks sharing it.
-        chunk_words = [None] * n_chunks
-        for wv in np.unique(widths):
-            idx = np.nonzero(widths == wv)[0]
-            if wv == 0:
-                for c in idx:
-                    chunk_words[c] = np.zeros(0, dtype=np.uint32)
-                continue
-            flat = jnp.asarray(zc[idx].reshape(-1))
-            packed = np.asarray(bitpack.uniform_pack(flat, int(wv)))
-            wpc = CHUNK * int(wv) // 32
-            packed = packed.reshape(len(idx), wpc)
-            for row, c in enumerate(idx):
-                chunk_words[c] = packed[row]
-
-        head = np.zeros(2, dtype=np.uint32)
-        head[0] = n_chunks
-        head[1] = first
+        head = np.array([n_chunks, first], dtype=np.uint32)
         wtab_pad = (-n_chunks) % 4
         wtab = np.concatenate([widths,
                                np.zeros(wtab_pad, dtype=np.uint8)])
         payload = np.concatenate(
-            [head.view(np.uint8), wtab.view(np.uint8)] +
-            [cw.view(np.uint8) for cw in chunk_words])
+            [head.view(np.uint8), wtab.view(np.uint8),
+             np.frombuffer(body, dtype=np.uint8)])
         return payload.view(np.uint32), 0
 
     def _decode_plane(self, words: np.ndarray, width: int, n: int):
@@ -99,26 +77,7 @@ class CoilV1_0(TrimV1_0):
         widths = raw[8:8 + n_chunks].astype(np.uint8)
         body = raw[8 + n_chunks + wtab_pad:].view(np.uint32)
 
-        words_per_chunk = (CHUNK * widths.astype(np.int64)) // 32
-        offsets = np.concatenate([[0], np.cumsum(words_per_chunk)])
-
-        z = np.zeros(n_chunks * CHUNK, dtype=np.uint32)
-        for wv in np.unique(widths):
-            if wv == 0:
-                continue
-            idx = np.nonzero(widths == wv)[0]
-            wpc = CHUNK * int(wv) // 32
-            gathered = np.stack([body[offsets[c]:offsets[c] + wpc]
-                                 for c in idx])
-            flat = jnp.asarray(gathered.reshape(-1))
-            vals = np.asarray(
-                bitpack.uniform_unpack(flat, int(wv),
-                                       len(idx) * CHUNK))
-            vals = vals.reshape(len(idx), CHUNK)
-            z[(idx[:, None] * CHUNK +
-               np.arange(CHUNK)[None, :]).reshape(-1)] = vals.reshape(-1)
-
-        z = z[:n]
+        z = chunked.unpack_chunks(body, widths).reshape(-1)[:n]
         zi = jnp.asarray(z).astype(jnp.int32)
         d = (zi >> 1) ^ -(zi & 1)
         d = d.at[0].set(0)

@@ -36,11 +36,11 @@ import numpy as np
 from .. import semver
 from ..ops import bitpack
 from ..types import AlgoCode
-from . import registry
+from . import chunked, registry
 from .algo_trim_v1_0 import TrimV1_0
 
 VERSION = semver.pack(1, 0, 0)
-CHUNK = 256
+CHUNK = chunked.CHUNK
 
 
 def _bits_for(v: int) -> int:
@@ -66,26 +66,9 @@ class SortV1_0(TrimV1_0):
         first = np.uint32(deltas[0])
         deltas[0] = 0
 
-        n_chunks = -(-n // CHUNK)
-        dp = np.zeros(n_chunks * CHUNK, dtype=np.uint32)
-        dp[:n] = deltas
-        dc = dp.reshape(n_chunks, CHUNK)
-        widths = np.array([_bits_for(int(m)) if m else 0
-                           for m in dc.max(axis=1)], dtype=np.uint8)
-
-        chunk_words = [None] * n_chunks
-        for wv in np.unique(widths):
-            idx = np.nonzero(widths == wv)[0]
-            if wv == 0:
-                for c in idx:
-                    chunk_words[c] = np.zeros(0, dtype=np.uint32)
-                continue
-            flat = jnp.asarray(dc[idx].reshape(-1))
-            packed = np.asarray(bitpack.uniform_pack(flat, int(wv)))
-            wpc = CHUNK * int(wv) // 32
-            packed = packed.reshape(len(idx), wpc)
-            for row, c in enumerate(idx):
-                chunk_words[c] = packed[row]
+        dc, widths = chunked.chunk_widths(deltas)
+        n_chunks = dc.shape[0]
+        body = chunked.pack_chunks(dc, widths)
 
         rank_width = _bits_for(n - 1)
         rank_words = np.asarray(bitpack.uniform_pack(ranks, rank_width))
@@ -95,9 +78,9 @@ class SortV1_0(TrimV1_0):
         wtab_pad = (-n_chunks) % 4
         wtab = np.concatenate([widths, np.zeros(wtab_pad, dtype=np.uint8)])
         payload = np.concatenate(
-            [head.view(np.uint8), wtab.view(np.uint8)] +
-            [cw.view(np.uint8) for cw in chunk_words] +
-            [rank_words.view(np.uint8)])
+            [head.view(np.uint8), wtab.view(np.uint8),
+             np.frombuffer(body, dtype=np.uint8),
+             rank_words.view(np.uint8)])
         return payload.view(np.uint32), 0
 
     def _decode_plane(self, words: np.ndarray, width: int, n: int):
@@ -111,24 +94,8 @@ class SortV1_0(TrimV1_0):
         widths = raw[16:16 + n_chunks].astype(np.uint8)
         body = raw[16 + n_chunks + wtab_pad:].view(np.uint32)
 
-        words_per_chunk = (CHUNK * widths.astype(np.int64)) // 32
-        offsets = np.concatenate([[0], np.cumsum(words_per_chunk)])
-        total_delta_words = int(offsets[-1])
-
-        deltas = np.zeros(n_chunks * CHUNK, dtype=np.uint32)
-        for wv in np.unique(widths):
-            if wv == 0:
-                continue
-            idx = np.nonzero(widths == wv)[0]
-            wpc = CHUNK * int(wv) // 32
-            gathered = np.stack([body[offsets[c]:offsets[c] + wpc]
-                                 for c in idx])
-            vals = np.asarray(bitpack.uniform_unpack(
-                jnp.asarray(gathered.reshape(-1)), int(wv),
-                len(idx) * CHUNK)).reshape(len(idx), CHUNK)
-            deltas[(idx[:, None] * CHUNK +
-                    np.arange(CHUNK)[None, :]).reshape(-1)] = vals.reshape(-1)
-        deltas = deltas[:n]
+        total_delta_words = chunked.total_words(widths)
+        deltas = chunked.unpack_chunks(body, widths).reshape(-1)[:n].copy()
         deltas[0] = first
         sorted_vals = np.cumsum(deltas.astype(np.uint64)).astype(np.uint32)
 

@@ -1,0 +1,283 @@
+"""Snapshot-scale compression: block-sharded encode/decode of full
+particle snapshots over a device mesh.
+
+The client-side contract of the reference (segmenting is the client's
+duty, doc/separation_of_duties.md) realized TPU-natively: a snapshot is
+split into equal particle blocks; all blocks' positions/velocities are
+quantized, binned, and bitpacked in batched device passes (sharded over
+the mesh when one is provided); IDs are decomposed device-wide and packed
+per block.  Each block is then assembled -- on host threads, with LZ4 and
+checksums -- into a *standard* wire-format segment (Trim v1.0 layout), and
+the segments are written in file order with chained IOHeaders.
+
+Interop property: the files this writer produces are ordinary multi-
+segment minnow files; ``segment.api.decompress_segment`` can read any
+single segment, and conversely this module's batched reader can decode
+files produced by the scalar path as long as blocks share a uniform depth.
+
+Depth policy: one static depth per field across all blocks (the spmd/
+adaptive profiles of ``sharding.py``).  Per-block ranges stay per-block --
+only the *bit depth* is shared, costing at most one bit per element vs
+per-block depths while keeping every array shape static.
+"""
+
+from __future__ import annotations
+
+import io as _io
+from dataclasses import dataclass
+from typing import BinaryIO, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import semver
+from ..algos.algo_trim_v1_0 import VERSION as TRIM_VERSION
+from ..algos.blocks import encode_block
+from ..ops import bitpack, entropy, kernels
+from ..ops import rng as _rng
+from ..quant import engine
+from ..segment import format as wire
+from ..segment import io as seg_io
+from ..segment.api import decompress_segment
+from ..segment.stream import Writer
+from ..types import AlgoCode, FieldCode, IDAccuracy, PositionAccuracy, \
+    VelocityAccuracy
+
+
+@dataclass(frozen=True)
+class SnapshotSpec:
+    """Accuracy requests for the three standard snapshot fields."""
+
+    pos: Optional[PositionAccuracy] = None
+    vel: Optional[VelocityAccuracy] = None
+    ids: Optional[IDAccuracy] = None
+
+
+def _batched_prepare_pos(x, width):
+    """(B, 3, nb) -> unwrapped, per-block x0 (B,3), per-block range (B,)."""
+    def one(xb):
+        xu = jax.vmap(lambda d: kernels.undo_periodic(d, width))(xb)
+        x0 = jnp.min(xu, axis=1)
+        x1 = jnp.max(xu, axis=1)
+        return xu, x0, jnp.max(x1 - x0)
+    return jax.vmap(one)(x)
+
+
+def _batched_prepare_vel(x):
+    def one(xb):
+        x0 = jnp.min(xb, axis=1)
+        x1 = jnp.max(xb, axis=1)
+        return xb, x0, jnp.max(x1 - x0)
+    return jax.vmap(one)(x)
+
+
+def _batched_bin_pack(xu, x0, rng_b, depth: int):
+    """(B, 3, nb) floats -> (B, 3, words) packed bins at static depth."""
+    def one(xb, x0b, rb):
+        bins = jax.vmap(
+            lambda xd, o: kernels.uniform_bin_index(xd, depth, o, rb))(
+                xb, x0b)
+        return jax.vmap(lambda b: bitpack.uniform_pack(b, depth))(bins)
+    return jax.vmap(one)(xu, x0, rng_b)
+
+
+def compress_snapshot(fp: BinaryIO,
+                      pos: Optional[np.ndarray],
+                      vel: Optional[np.ndarray],
+                      ids: Optional[np.ndarray],
+                      spec: SnapshotSpec,
+                      num_blocks: int,
+                      seed: int = 0,
+                      accel: int = 1) -> dict:
+    """Compress a snapshot into ``fp`` as ``num_blocks`` chained standard
+    segments.  Arrays: pos/vel (3, n) f32, ids (n,) u64; n must divide by
+    num_blocks.  Returns stats (bytes, depths)."""
+    n = None
+    for a in (pos, vel, ids):
+        if a is not None:
+            n = a.shape[-1]
+            break
+    if n is None:
+        raise ValueError("no fields given")
+    if n % num_blocks:
+        raise ValueError(f"{n} particles do not divide into {num_blocks} "
+                         "blocks; pad the tail (client duty)")
+    nb = n // num_blocks
+    B = num_blocks
+    stats = {}
+
+    per_block_fields: List[List[wire.WireField]] = [[] for _ in range(B)]
+
+    def add_field(bi, code, blocks):
+        per_block_fields[bi].append(
+            wire.WireField(int(code), int(AlgoCode.TRIM), TRIM_VERSION,
+                           blocks))
+
+    # ---- positions -------------------------------------------------------
+    if pos is not None:
+        acc = spec.pos
+        xb = jnp.asarray(np.moveaxis(pos.reshape(3, B, nb), 1, 0))
+        xu, x0, rng_b = jax.jit(
+            lambda v: _batched_prepare_pos(v, acc.width))(xb)
+        g = float(np.asarray(jnp.max(rng_b)))
+        depth = engine.delta_to_depth(acc.delta, 0.0, g)
+        words = jax.jit(
+            lambda a, b, c: _batched_bin_pack(a, b, c, depth))(xu, x0,
+                                                               rng_b)
+        words_h = np.asarray(words)
+        x0_h = np.asarray(x0)
+        rng_h = np.asarray(rng_b)
+        stats["pos_depth"] = depth
+        payloads = [words_h[b, i] for b in range(B) for i in range(3)]
+        comp = entropy.encode_blocks(
+            [np.ascontiguousarray(p) for p in payloads], accel)
+        for b in range(B):
+            meta = Writer()
+            for v in x0_h[b]:
+                meta.f32(float(v))
+            for v in x0_h[b] + rng_h[b]:
+                meta.f32(float(v))
+            meta.f32(acc.width)
+            meta.u8(depth).u8(0).u16(0)
+            meta.u64(seed)
+            blocks = [encode_block(meta.data, 0, True, accel)]
+            for i in range(3):
+                blocks.append(_wrap_precompressed(
+                    words_h[b, i], comp[b * 3 + i], depth))
+            add_field(b, FieldCode.POSN, blocks)
+
+    # ---- velocities ------------------------------------------------------
+    if vel is not None:
+        acc = spec.vel
+        xb = jnp.asarray(np.moveaxis(vel.reshape(3, B, nb), 1, 0))
+        xm, x0, rng_b = jax.jit(_batched_prepare_vel)(xb)
+        g = float(np.asarray(jnp.max(rng_b)))
+        depth = engine.delta_to_depth(acc.delta, 0.0, g)
+        words = jax.jit(
+            lambda a, b, c: _batched_bin_pack(a, b, c, depth))(xm, x0,
+                                                               rng_b)
+        words_h = np.asarray(words)
+        x0_h = np.asarray(x0)
+        rng_h = np.asarray(rng_b)
+        stats["vel_depth"] = depth
+        payloads = [words_h[b, i] for b in range(B) for i in range(3)]
+        comp = entropy.encode_blocks(
+            [np.ascontiguousarray(p) for p in payloads], accel)
+        for b in range(B):
+            meta = Writer()
+            for v in x0_h[b]:
+                meta.f32(float(v))
+            for v in x0_h[b] + rng_h[b]:
+                meta.f32(float(v))
+            meta.u8(depth).u8(0)
+            meta.u8(0).u8(0)
+            meta.f32(0.0)
+            meta.u64(seed)
+            blocks = [encode_block(meta.data, 0, True, accel)]
+            for i in range(3):
+                blocks.append(_wrap_precompressed(
+                    words_h[b, i], comp[b * 3 + i], depth))
+            add_field(b, FieldCode.VELC, blocks)
+
+    # ---- IDs -------------------------------------------------------------
+    if ids is not None:
+        acc = spec.ids
+        qdims, x0g, _ = engine.id_decompose(
+            jnp.asarray(ids, dtype=jnp.uint64), int(acc.width))
+        x0g = np.asarray(x0g).astype(np.uint64)  # global per-dim offset
+        qd = np.asarray(qdims.astype(jnp.uint32)).reshape(3, B, nb)
+        # per-block min-subtract, shared per-dim width across blocks; the
+        # stored per-block origin must include the global decompose offset
+        # so undoID's re-wrap sees true unwrapped coordinates.
+        x0_rel = qd.min(axis=2)  # (3, B), relative to global offset
+        rel = qd - x0_rel[:, :, None]
+        x0_blocks = x0_rel.astype(np.uint64) + x0g[:, None]
+        widths = [int(rel[i].max()).bit_length() for i in range(3)]
+        stats["id_widths"] = widths
+        packed = []
+        for i in range(3):
+            flat = jnp.asarray(rel[i].reshape(-1))
+            w = max(widths[i], 1)
+            pw = np.asarray(bitpack.uniform_pack(flat, w))
+            wpb = bitpack.packed_words(nb, w)
+            packed.append(pw.reshape(B, wpb) if B * wpb == pw.size
+                          else _ragged_rows(pw, B, nb, w))
+        payloads = [np.ascontiguousarray(packed[i][b])
+                    for b in range(B) for i in range(3)]
+        comp = entropy.encode_blocks(payloads, accel)
+        for b in range(B):
+            meta = Writer()
+            meta.u64(int(acc.width))
+            for i in range(3):
+                meta.u64(int(x0_blocks[i, b]))
+            for i in range(3):
+                meta.u64(int(x0_blocks[i, b]) + int(rel[i, b].max()))
+            blocks = [encode_block(meta.data, 0, True, accel)]
+            for i in range(3):
+                blocks.append(_wrap_precompressed(
+                    packed[i][b], comp[b * 3 + i], max(widths[i], 1)))
+            add_field(b, FieldCode.PTID, blocks)
+
+    # ---- serialize + chain -----------------------------------------------
+    segments = [wire.serialize(fields, nb) for fields in per_block_fields]
+    seg_io.write_segments(fp, segments)
+    stats["bytes"] = sum(len(s) for s in segments) + \
+        seg_io.IO_HEADER_BYTES * B
+    stats["num_blocks"] = B
+    return stats
+
+
+def _ragged_rows(pw, B, nb, w):
+    """Split a whole-array pack into per-block word rows.  Only valid when
+    nb*w is a multiple of 32 (guaranteed for nb % 32 == 0)."""
+    bits = nb * w
+    if bits % 32:
+        raise ValueError("block size must be a multiple of 32 particles")
+    wpb = bits // 32
+    return pw.reshape(B, wpb)
+
+
+def _wrap_precompressed(raw_words: np.ndarray, comp: bytes,
+                        width: int) -> bytes:
+    """Build a block from an already-entropy-coded payload, choosing the
+    smaller representation (mirrors blocks.encode_block)."""
+    raw = np.ascontiguousarray(raw_words)
+    raw_bytes = raw.astype(raw.dtype.newbyteorder("<"), copy=False).tobytes()
+    if len(comp) < len(raw_bytes):
+        from ..algos.blocks import FLAG_LZ4
+        w = Writer()
+        w.u32(len(raw_bytes)).u32(len(comp)).u8(width).u8(FLAG_LZ4)
+        w.u16(0).u32(0)
+        w.raw(comp).align(8)
+        return w.data
+    w = Writer()
+    w.u32(len(raw_bytes)).u32(len(raw_bytes)).u8(width).u8(0).u16(0).u32(0)
+    w.raw(raw_bytes).align(8)
+    return w.data
+
+
+def decompress_snapshot(fp: BinaryIO) -> dict:
+    """Read a chained multi-segment snapshot back into concatenated field
+    arrays (ordered gather in file order).  Uses the standard segment
+    decoder per block; blocks decode independently (and could fan out
+    across processes -- they are self-describing segments)."""
+    pos_parts, vel_parts, id_parts = [], [], []
+    for hdr, seg_bytes in seg_io.iter_segments(fp):
+        seg = decompress_segment(seg_bytes)
+        for f in seg.fields:
+            arr = np.asarray(f.data)
+            if f.hd.field_code == FieldCode.POSN:
+                pos_parts.append(arr)
+            elif f.hd.field_code == FieldCode.VELC:
+                vel_parts.append(arr)
+            elif f.hd.field_code == FieldCode.PTID:
+                id_parts.append(arr)
+    out = {}
+    if pos_parts:
+        out["pos"] = np.concatenate(pos_parts, axis=1)
+    if vel_parts:
+        out["vel"] = np.concatenate(vel_parts, axis=1)
+    if id_parts:
+        out["ids"] = np.concatenate(id_parts)
+    return out

@@ -1,0 +1,120 @@
+"""Snapshot-scale parallel pipeline tests: batched block encode produces
+standard segments; ordered gather reconstructs; interop with the scalar
+path holds both directions."""
+
+import io as _io
+
+import numpy as np
+
+import minnow_c_tpu as mnw
+from minnow_c_tpu.parallel import snapshot
+from minnow_c_tpu.segment import api, io as seg_io
+
+
+def make_snapshot(n=64 * 1024, W=64.0, seed=0):
+    rng = np.random.default_rng(seed)
+    steps = rng.normal(0, 0.02, (3, n)).astype(np.float32)
+    pos = (np.cumsum(steps, axis=1) + W / 2).astype(np.float32) % W
+    vel = rng.normal(0, 200, (3, n)).astype(np.float32)
+    ids = rng.permutation(1024 ** 2 * 16)[:n].astype(np.uint64)
+    return pos, vel, ids
+
+
+SPEC = snapshot.SnapshotSpec(
+    pos=mnw.PositionAccuracy(delta=1e-3, width=64.0),
+    vel=mnw.VelocityAccuracy(delta=1.0),
+    ids=mnw.IDAccuracy(width=1024),
+)
+
+
+class TestSnapshotRoundTrip:
+    def test_blocks_roundtrip(self):
+        pos, vel, ids = make_snapshot()
+        buf = _io.BytesIO()
+        stats = snapshot.compress_snapshot(buf, pos, vel, ids, SPEC,
+                                           num_blocks=8, seed=3)
+        raw = pos.nbytes + vel.nbytes + ids.nbytes
+        assert stats["bytes"] < raw
+        buf.seek(0)
+        out = snapshot.decompress_snapshot(buf)
+        err = np.abs(out["pos"] - pos)
+        err = np.minimum(err, 64.0 - err)
+        assert err.max() <= 1e-3
+        assert np.abs(out["vel"] - vel).max() <= 1.0
+        np.testing.assert_array_equal(out["ids"], ids)
+
+    def test_block_count_preserved_in_order(self):
+        pos, vel, ids = make_snapshot(n=4096)
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot(buf, pos, None, ids, SPEC, num_blocks=4)
+        buf.seek(0)
+        hds = list(seg_io.iter_headers(buf))
+        assert len(hds) == 4
+        buf.seek(0)
+        out = snapshot.decompress_snapshot(buf)
+        # ordered gather: ids come back in exact original order
+        np.testing.assert_array_equal(out["ids"], ids)
+
+    def test_single_block_equivalent(self):
+        pos, vel, ids = make_snapshot(n=2048)
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot(buf, pos, vel, ids, SPEC, num_blocks=1)
+        buf.seek(0)
+        out = snapshot.decompress_snapshot(buf)
+        err = np.abs(out["pos"] - pos)
+        err = np.minimum(err, 64.0 - err)
+        assert err.max() <= 1e-3
+        np.testing.assert_array_equal(out["ids"], ids)
+
+    def test_indivisible_raises(self):
+        pos, vel, ids = make_snapshot(n=1000)
+        buf = _io.BytesIO()
+        try:
+            snapshot.compress_snapshot(buf, pos, vel, ids, SPEC,
+                                       num_blocks=7)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+
+
+class TestScalarInterop:
+    def test_scalar_decoder_reads_parallel_segments(self):
+        """Each parallel-written segment is a standard wire segment the
+        scalar API can decode alone."""
+        pos, vel, ids = make_snapshot(n=8192)
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot(buf, pos, vel, ids, SPEC, num_blocks=4,
+                                   seed=9)
+        buf.seek(0)
+        segs = [s for _, s in seg_io.iter_segments(buf)]
+        assert len(segs) == 4
+        nb = 8192 // 4
+        seg0 = api.decompress_segment(segs[0])
+        codes = [f.hd.field_code for f in seg0.fields]
+        assert set(codes) == {int(mnw.FieldCode.POSN),
+                              int(mnw.FieldCode.VELC),
+                              int(mnw.FieldCode.PTID)}
+        for f in seg0.fields:
+            if f.hd.field_code == mnw.FieldCode.PTID:
+                np.testing.assert_array_equal(np.asarray(f.data), ids[:nb])
+            if f.hd.field_code == mnw.FieldCode.POSN:
+                err = np.abs(np.asarray(f.data) - pos[:, :nb])
+                err = np.minimum(err, 64.0 - err)
+                assert err.max() <= 1e-3
+
+    def test_id_grid_wrap_blocks(self):
+        """IDs clustered across the grid boundary survive the per-block
+        origin bookkeeping (global offset + block min)."""
+        W = 100
+        n = 2048
+        rng = np.random.default_rng(5)
+        xs = (rng.integers(95, 105, n) % W).astype(np.uint64)
+        ys = rng.integers(40, 60, n).astype(np.uint64)
+        zs = (rng.integers(98, 102, n) % W).astype(np.uint64)
+        ids = xs + W * ys + W * W * zs
+        spec = snapshot.SnapshotSpec(ids=mnw.IDAccuracy(width=W))
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot(buf, None, None, ids, spec, num_blocks=4)
+        buf.seek(0)
+        out = snapshot.decompress_snapshot(buf)
+        np.testing.assert_array_equal(out["ids"], ids)
