@@ -1,0 +1,69 @@
+"""Command-line interface: compress / decompress / inspect minnow files.
+
+Usage::
+
+    python -m minnow_c_tpu compress   snap.g2 out.g2.min [--pos-delta X]
+    python -m minnow_c_tpu decompress out.g2.min snap.g2
+    python -m minnow_c_tpu info       out.g2.min
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="minnow_c_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compress", help="Gadget-2 snapshot -> .g2.min")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--pos-delta", type=float, default=1e-3)
+    c.add_argument("--vel-delta", type=float, default=1.0)
+    c.add_argument("--blocks", type=int, default=None)
+    c.add_argument("--seed", type=int, default=0)
+
+    d = sub.add_parser("decompress", help=".g2.min -> Gadget-2 snapshot")
+    d.add_argument("input")
+    d.add_argument("output")
+
+    i = sub.add_parser("info", help="list segments of a .min file")
+    i.add_argument("input")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "compress":
+        from .drivers import gadget2
+        with open(args.input, "rb") as fin, open(args.output, "wb") as fout:
+            stats = gadget2.compress(fin, fout, pos_delta=args.pos_delta,
+                                     vel_delta=args.vel_delta,
+                                     num_blocks=args.blocks, seed=args.seed)
+        import os
+        raw = os.path.getsize(args.input)
+        out = os.path.getsize(args.output)
+        print(f"{args.input}: {stats['n']} particles, "
+              f"{stats['num_blocks']} segments, {raw} -> {out} bytes "
+              f"(ratio {out / raw:.3f})")
+    elif args.cmd == "decompress":
+        from .drivers import gadget2
+        with open(args.input, "rb") as fin, open(args.output, "wb") as fout:
+            hdr = gadget2.decompress(fin, fout)
+        print(f"{args.output}: box {hdr.box_size}, z={hdr.redshift}, "
+              f"npart {sum(hdr.npart)}")
+    elif args.cmd == "info":
+        from .drivers.gadget2 import _read_record
+        from .segment import io as seg_io
+        from . import semver
+        with open(args.input, "rb") as f:
+            _read_record(f)  # skip the raw client header
+            for k, hd in enumerate(seg_io.iter_headers(f)):
+                print(f"segment {k}: {hd.segment_bytes} bytes, "
+                      f"library v{semver.to_string(hd.version)}, "
+                      f"origin {hd.origin}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

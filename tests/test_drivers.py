@@ -1,0 +1,85 @@
+"""Gadget-2 driver tests: full snapshot-file round trip through the CLI
+surface."""
+
+import io as _io
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from minnow_c_tpu.drivers import gadget2
+
+
+def make_gadget2_file(n=8192, box=64.0, seed=0):
+    rng = np.random.default_rng(seed)
+    steps = rng.normal(0, 0.05, (3, n)).astype(np.float32)
+    pos = (np.cumsum(steps, axis=1) + box / 2).astype(np.float32) % box
+    vel = rng.normal(0, 150, (3, n)).astype(np.float32)
+    ids = rng.permutation(64 ** 3)[:n].astype(np.uint64)
+    hdr = gadget2.Gadget2Header(
+        npart=(0, n, 0, 0, 0, 0), mass=(0.0,) * 6, time=1.0, redshift=0.0,
+        box_size=box, omega0=0.3, omega_lambda=0.7, hubble_param=0.7)
+    buf = _io.BytesIO()
+    gadget2.write_snapshot(buf, hdr, pos, vel, ids)
+    return buf.getvalue(), pos, vel, ids
+
+
+class TestGadget2:
+    def test_read_write_roundtrip(self):
+        raw, pos, vel, ids = make_gadget2_file()
+        hdr, p2, v2, i2 = gadget2.read_snapshot(_io.BytesIO(raw))
+        assert hdr.box_size == 64.0
+        np.testing.assert_array_equal(p2, pos)
+        np.testing.assert_array_equal(v2, vel)
+        np.testing.assert_array_equal(i2, ids)
+
+    def test_compress_decompress(self):
+        raw, pos, vel, ids = make_gadget2_file()
+        comp = _io.BytesIO()
+        stats = gadget2.compress(_io.BytesIO(raw), comp, pos_delta=1e-3,
+                                 vel_delta=1.0, id_grid_width=64,
+                                 num_blocks=4)
+        assert comp.tell() < len(raw)
+        comp.seek(0)
+        out = _io.BytesIO()
+        hdr = gadget2.decompress(comp, out)
+        assert hdr.box_size == 64.0
+        _, p2, v2, i2 = gadget2.read_snapshot(_io.BytesIO(out.getvalue()))
+        err = np.abs(p2 - pos)
+        err = np.minimum(err, 64.0 - err)
+        assert err.max() <= 1e-3
+        assert np.abs(v2 - vel).max() <= 1.0
+        np.testing.assert_array_equal(i2, ids)
+
+    def test_cli_end_to_end(self, tmp_path):
+        raw, pos, vel, ids = make_gadget2_file(n=4096)
+        src = tmp_path / "snap.g2"
+        comp = tmp_path / "snap.g2.min"
+        back = tmp_path / "snap_out.g2"
+        src.write_bytes(raw)
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [sys.executable, "-m", "minnow_c_tpu", "compress", str(src),
+             str(comp), "--blocks", "2"],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(__file__)))
+        assert r.returncode == 0, r.stderr
+        assert "ratio" in r.stdout
+        r2 = subprocess.run(
+            [sys.executable, "-m", "minnow_c_tpu", "info", str(comp)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(__file__)))
+        assert r2.returncode == 0, r2.stderr
+        assert "segment 0" in r2.stdout and "segment 1" in r2.stdout
+        r3 = subprocess.run(
+            [sys.executable, "-m", "minnow_c_tpu", "decompress", str(comp),
+             str(back)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(__file__)))
+        assert r3.returncode == 0, r3.stderr
+        _, p2, _, i2 = gadget2.read_snapshot(_io.BytesIO(back.read_bytes()))
+        err = np.abs(p2 - pos)
+        err = np.minimum(err, 64.0 - err)
+        assert err.max() <= 1e-3
+        np.testing.assert_array_equal(i2, ids)
