@@ -25,12 +25,13 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from minnow_c_tpu.bench import harness  # noqa: E402
-from minnow_c_tpu.ops import fastpath  # noqa: E402
+from minnow_c_tpu.ops import decode_pallas  # noqa: E402
 from minnow_c_tpu.ops import rng as _rng  # noqa: E402
 
 BASELINE_GBPS = 5.0
 LEVEL = 11  # reference bench uses level 11 (compress_util_bench.c:247)
-N = 25_000_000  # 100 MB of f32 output (compress_util_bench.c:318)
+# 100 MB of f32 output (compress_util_bench.c:318), tile-aligned
+N = (25_000_000 // decode_pallas.TILE) * decode_pallas.TILE
 WIDTH_BOX = 64.0
 
 
@@ -47,9 +48,9 @@ def main():
 
     def decode(words, salt):
         # harness salt -> real data dependence (defeats dispatch elision)
-        return fastpath.fast_uniform_decode(
-            words, key ^ salt, LEVEL, N, 0.0, WIDTH_BOX,
-            periodic_width=WIDTH_BOX)
+        return decode_pallas.decode_pallas(
+            words, key ^ salt, LEVEL, N, 0.0, WIDTH_BOX, WIDTH_BOX,
+            periodic=True)
 
     res = harness.run(lambda s: decode(packed, s), bytes_per_iter=N * 4)
     value = res.gb_per_second

@@ -51,18 +51,28 @@ def run(fn: Callable[[object], object], bytes_per_iter: int,
     """
     import jax.numpy as jnp
 
+    iter_count = 0
+
     def derive_salt(out):
-        # Full-entropy salt: bitcast the leading value's raw bits.  A
-        # low-entropy salt (e.g. int(out[0]) of a bounded float) cycles
-        # through a handful of values, letting a content-addressed runtime
-        # replay cached executions and report fantasy throughput.
+        # Non-repeating salt: output bits XOR a strictly-increasing
+        # counter.  Output bits alone are NOT enough -- e.g. a decoded
+        # float's first element varies only in its 16-bit dither, so the
+        # salt walks a <=2^16 state space and closes a cycle after ~300
+        # iterations (birthday bound), after which a content-addressed
+        # runtime can replay cached executions and report fantasy
+        # throughput (observed: 336 GB/s for a pipeline whose honest
+        # steady state is ~6 GB/s).  The counter guarantees every
+        # invocation has fresh inputs while the data dependency still
+        # serializes execution.
+        nonlocal iter_count
+        iter_count += 1
         leaf = jax.tree.leaves(out)[0]
         v = leaf.ravel()[0]
-        if v.dtype == jnp.uint32:
-            return v
         if v.dtype == jnp.float32:
-            return jax.lax.bitcast_convert_type(v, jnp.uint32)
-        return v.astype(jnp.float32).astype(jnp.int32).astype(jnp.uint32)
+            v = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        elif v.dtype != jnp.uint32:
+            v = v.astype(jnp.float32).astype(jnp.int32).astype(jnp.uint32)
+        return v ^ jnp.uint32(iter_count)
 
     # Warm-up: compile + first runs excluded (bench.c pause/resume intent).
     # The runtime here executes the first measured program of a process

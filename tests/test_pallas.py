@@ -1,0 +1,39 @@
+"""Pallas fused-decode kernel tests (interpreter mode on CPU): bit-exact
+equivalence with the XLA fast path, including ragged tails."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from minnow_c_tpu.ops import decode_pallas, fastpath, native
+from minnow_c_tpu.ops import rng as _rng
+
+
+@pytest.mark.parametrize("n_extra", [0, 4096])
+@pytest.mark.parametrize("width", [1, 11, 16, 24])
+def test_pallas_matches_xla(width, n_extra):
+    n = decode_pallas.TILE + n_extra
+    rng = np.random.default_rng(width)
+    bins = rng.integers(0, 1 << width, n, dtype=np.uint64).astype(np.uint32)
+    words = jnp.asarray(native.uniform_pack_host(bins, width))
+    key = _rng.field_key_arr(9, 1, 2)
+    ref = np.asarray(fastpath.fast_uniform_decode(
+        words, key, width, n, 1.5, 32.0, periodic_width=64.0))
+    got = np.asarray(decode_pallas.decode_pallas(
+        words, key, width, n, 1.5, 32.0, 64.0, periodic=True,
+        interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_no_periodic():
+    n = decode_pallas.TILE
+    rng = np.random.default_rng(0)
+    bins = rng.integers(0, 1 << 9, n, dtype=np.uint64).astype(np.uint32)
+    words = jnp.asarray(native.uniform_pack_host(bins, 9))
+    key = _rng.field_key_arr(3, 0, 0)
+    ref = np.asarray(fastpath.fast_uniform_decode(
+        words, key, 9, n, -2.0, 4.0))
+    got = np.asarray(decode_pallas.decode_pallas(
+        words, key, 9, n, -2.0, 4.0, interpret=True))
+    np.testing.assert_array_equal(got, ref)
