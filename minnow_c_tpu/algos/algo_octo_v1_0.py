@@ -32,7 +32,6 @@ from ..ops import bitpack
 from ..segment.stream import Reader, Writer
 from ..types import (
     AlgoCode,
-    FieldCode,
     FieldHeader,
     PositionQuantization,
     QField,

@@ -25,7 +25,7 @@ minor-version bump of every algorithm that uses it
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

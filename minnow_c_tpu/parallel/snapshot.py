@@ -25,17 +25,15 @@ from __future__ import annotations
 
 import io as _io
 from dataclasses import dataclass
-from typing import BinaryIO, List, Optional, Tuple
+from typing import BinaryIO, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import semver
 from ..algos.algo_trim_v1_0 import VERSION as TRIM_VERSION
 from ..algos.blocks import encode_block
 from ..ops import bitpack, entropy, kernels
-from ..ops import rng as _rng
 from ..quant import engine
 from ..segment import format as wire
 from ..segment import io as seg_io

@@ -31,7 +31,6 @@ Documented divergences from the reference (SURVEY.md "known defects"):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +41,6 @@ from ..ops import rng as _rng
 from ..types import (
     Field,
     FieldCode,
-    FieldHeader,
     FloatAccuracy,
     FloatQuantization,
     IDAccuracy,

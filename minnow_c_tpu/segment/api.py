@@ -13,15 +13,13 @@ localizes damage to single dimensions, surfaced as NaN planes
 
 from __future__ import annotations
 
-from typing import List, Optional
 
 import numpy as np
 
 from ..algos import registry
 from ..ops.checksum import checksum
 from ..quant import engine
-from ..types import CField, CSeg, Field, FieldCode, FieldHeader, QField, \
-    QSeg, Seg
+from ..types import CField, CSeg, Field, FieldHeader, QField, QSeg, Seg
 from . import format as wire
 from .stream import Reader, Writer
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import io as _io
 from dataclasses import dataclass
-from typing import BinaryIO, Iterator, List, Optional, Sequence, Tuple
+from typing import BinaryIO, Iterator, Optional, Sequence, Tuple
 
 from .. import semver
 from .stream import Reader, Writer

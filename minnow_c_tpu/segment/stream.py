@@ -14,7 +14,6 @@ endian-portable without the reference's mock-endian compile flags.
 from __future__ import annotations
 
 import struct
-from typing import Tuple
 
 import numpy as np
 
