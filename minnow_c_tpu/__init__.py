@@ -17,11 +17,23 @@ Layer map (mirrors SURVEY.md section 1):
   L5  parallel/   -- client-scale helpers: sharded multi-block compression
 """
 
+import os as _os
+
 import jax as _jax
 
 # The codec manipulates 64-bit particle IDs and bit-exact integers; 64-bit
 # types must be real (not silently truncated to 32).
 _jax.config.update("jax_enable_x64", True)
+
+# Restore standard JAX_PLATFORMS semantics: some platform plugins (axon)
+# force-register themselves via jax.config at import, silently overriding
+# the env var.  Honoring the env var keeps CPU-only tools (tests, CLI runs
+# on machines whose accelerator is busy) off the accelerator.
+_plat = _os.environ.get("JAX_PLATFORMS")
+_cfg = _jax.config.jax_platforms or ""
+if _plat and _plat.split(",")[0] != _cfg.split(",")[0]:
+    _jax.config.update("jax_platforms", _plat)
+del _os, _plat, _cfg
 
 from . import semver, types  # noqa: E402
 from . import algos, quant, segment  # noqa: E402

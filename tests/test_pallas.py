@@ -37,3 +37,36 @@ def test_pallas_no_periodic():
     got = np.asarray(decode_pallas.decode_pallas(
         words, key, 9, n, -2.0, 4.0, interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+class TestEncodePallas:
+    @pytest.mark.parametrize("width", [1, 11, 24])
+    @pytest.mark.parametrize("n_extra", [0, 4096])
+    def test_encode_matches_xla(self, width, n_extra):
+        from minnow_c_tpu.ops import encode_pallas
+        n = encode_pallas.TILE + n_extra
+        rng = np.random.default_rng(width + n_extra)
+        x = jnp.asarray(rng.uniform(0, 64.0, n).astype(np.float32))
+        wp, x0p, rp = encode_pallas.encode_pallas(
+            x, width, periodic_width=64.0, interpret=True)
+        wx, x0x, rx = fastpath.fast_uniform_encode(
+            x, width, periodic_width=64.0)
+        assert float(x0p) == float(x0x) and float(rp) == float(rx)
+        np.testing.assert_array_equal(np.asarray(wp), np.asarray(wx))
+
+    def test_encode_decode_closure(self):
+        """Pallas encode -> Pallas decode round trip within one bin."""
+        from minnow_c_tpu.ops import encode_pallas
+        n, W, width = decode_pallas.TILE, 64.0, 12
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.uniform(0, W, n).astype(np.float32))
+        words, x0, rv = encode_pallas.encode_pallas(
+            x, width, periodic_width=W, interpret=True)
+        key = _rng.field_key_arr(1, 0, 0)
+        y = np.asarray(decode_pallas.decode_pallas(
+            words, key, width, n, x0, rv, W, periodic=True,
+            interpret=True))
+        err = np.abs(y - np.asarray(x))
+        err = np.minimum(err, W - err)
+        bin_w = float(rv) / (1 << width)
+        assert err.max() <= bin_w * 1.01

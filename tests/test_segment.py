@@ -189,3 +189,43 @@ class TestFileIO:
         buf = _io.BytesIO(b"\x00" * 48)
         with pytest.raises(ValueError):
             list(seg_io.iter_segments(buf))
+
+
+class TestMultiVersionDispatch:
+    """Two frozen versions of one algorithm coexist; streams decode with
+    the version they were written with (header_format.tex:239-283)."""
+
+    def test_newest_prefers_v1(self):
+        from minnow_c_tpu import semver as sv
+        v = registry.newest(mnw.AlgoCode.TEST)
+        assert sv.major(v) == 1 and sv.minor(v) == 0
+
+    def test_old_version_stream_decodes_with_old_module(self):
+        from minnow_c_tpu import semver as sv
+        n, W = 2000, 16.0
+        rng = np.random.default_rng(0)
+        pos = rng.uniform(0, W, (3, n)).astype(np.float32)
+
+        def seg_at(version):
+            return mnw.Seg(fields=[mnw.Field(
+                hd=mnw.FieldHeader(mnw.FieldCode.POSN, mnw.AlgoCode.TEST,
+                                   version, n),
+                data=pos, acc=mnw.PositionAccuracy(delta=1e-3, width=W))])
+
+        v09 = sv.pack(0, 9, 0, sv.DEV)
+        v10 = sv.pack(1, 0, 0)
+        blob09 = api.compress_segment(seg_at(v09), seed=1)
+        blob10 = api.compress_segment(seg_at(v10), seed=1)
+        # v0.9 stores unpacked words -> strictly bigger stream
+        assert len(blob09) > len(blob10)
+        for blob in (blob09, blob10):
+            out = api.decompress_segment(blob)
+            err = np.abs(np.asarray(out.fields[0].data) - pos)
+            err = np.minimum(err, W - err)
+            assert err.max() <= 1e-3
+
+    def test_patch_resolves_to_registered_minor(self):
+        from minnow_c_tpu import semver as sv
+        assert registry.supports(mnw.AlgoCode.TEST, sv.pack(0, 9, 7))
+        assert registry.supports(mnw.AlgoCode.TEST, sv.pack(1, 0, 3))
+        assert not registry.supports(mnw.AlgoCode.TEST, sv.pack(2, 0, 0))
