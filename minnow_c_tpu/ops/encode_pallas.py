@@ -1,10 +1,16 @@
 """Pallas TPU kernel: fused fast-uniform encode (bin + pack).
 
-The encode hot path splits into (a) a cheap XLA prepass -- periodic unwrap
-and min/max, which need global reductions -- and (b) this kernel: per-tile
-error-bounded bin indexing fused with uniform bitpacking, all in VMEM.
-Wire output is bit-identical to ``kernels.uniform_bin_index`` +
-``bitpack.uniform_pack`` (cross-checked in tests).
+STATUS: EXPERIMENTAL -- not used by the production encode path.
+
+Measured on v5e: the Mosaic compiler lowers f32 division to an approximate
+reciprocal, so ~0.2% of bin indices land one-to-several bins off versus
+the IEEE-exact XLA path (wire-defining semantics require exactness); the
+in-kernel *pack* stage is bit-correct.  The kernel is also slightly slower
+than the XLA fast path (~7 ms vs ~5.5 ms per 100 MB), since encode is
+lighter on VPU work than decode (no Threefry).  Production encode stays on
+``fastpath.fast_uniform_encode``; this module is kept as the working
+reference for Pallas packing and passes bit-exact tests in interpreter
+mode.
 
 Same layout trick as decode_pallas: elements are viewed as (blocks, 32)
 and packed words as (blocks, width), so the pack is 32 static
@@ -31,7 +37,10 @@ def _encode_kernel(x_ref, scal_ref, out_ref, *, width: int):
     x = x_ref[0]
     x0 = scal_ref[0]
     dx = scal_ref[1]
-    num_bins = scal_ref[2]  # f32(2^width)
+    # num_bins/top are static given width; keep SMEM scalars out of dtype
+    # conversions (they recurse in this jax version's TPU lowering).
+    num_bins = jnp.float32(float(1 << width))
+    top = jnp.int32((1 << width) - 1)
 
     # True division, not reciprocal-multiply: bin indices must be
     # bit-identical to kernels.uniform_bin_index (C semantics).
@@ -40,8 +49,7 @@ def _encode_kernel(x_ref, scal_ref, out_ref, *, width: int):
     # C cast semantics: trunc toward zero; clamp the FP-error escapes
     # (util.c:159-166).  Mosaic lacks f32->u32; go via i32 (values < 2^24).
     bins = scaled.astype(jnp.int32)
-    top = num_bins.astype(jnp.int32) - 1
-    bins = jnp.where(delta < 0.0, 0, bins)
+    bins = jnp.where(delta < 0.0, jnp.int32(0), bins)
     bins = jnp.where(delta >= 1.0, top, bins)
     b = bins.astype(jnp.uint32)
 
@@ -83,10 +91,7 @@ def encode_pallas(x, width: int, periodic_width=None,
     outs = []
     if n_tiles:
         xm = x[: n_tiles * TILE].reshape(n_tiles, BLOCKS, 32)
-        scal = jnp.stack([
-            jnp.float32(x0),
-            rng_v.astype(jnp.float32),
-            jnp.float32(1 << width)])
+        scal = jnp.stack([jnp.float32(x0), rng_v.astype(jnp.float32)])
         kernel = functools.partial(_encode_kernel, width=width)
         words = pl.pallas_call(
             kernel,
@@ -95,7 +100,7 @@ def encode_pallas(x, width: int, periodic_width=None,
                 pl.BlockSpec((1, BLOCKS, 32), lambda i: (i, i * 0, i * 0),
                              memory_space=pltpu.ANY
                              if interpret else pltpu.VMEM),
-                pl.BlockSpec((3,), lambda i: (i * 0,),
+                pl.BlockSpec((2,), lambda i: (i * 0,),
                              memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((1, BLOCKS, width),
