@@ -38,6 +38,7 @@ from ..ops import bitpack
 from ..segment.stream import Reader, Writer
 from ..types import (
     AlgoCode,
+    Field,
     FieldCode,
     FieldHeader,
     FloatQuantization,
@@ -210,6 +211,105 @@ class TrimV1_0:
             blocks.append(encode_block(words_hi, hi_width, self.try_entropy,
                                        self.accel))
         return blocks
+
+    # -- fused decompress (optional fast path) -----------------------------
+
+    def decompress_field_fused(self, hd: FieldHeader,
+                               blocks: List[Optional[bytes]],
+                               field_index: int):
+        """words -> Field in one fused device pipeline (unpack + dither +
+        undo + rewrap, ``ops.decode_pallas``), skipping the QField bins
+        materialization.  Returns None when the field is ineligible
+        (non-Trim plane coding, per-particle depths, log scaling, corrupt
+        blocks) -- callers fall back to the generic path.  Output bits are
+        identical to decompress + dequantize (same dither spec and keys).
+        """
+        code = hd.field_code
+        if type(self)._decode_plane is not TrimV1_0._decode_plane:
+            return None  # derived codec changed the plane wire
+        if code not in (FieldCode.POSN, FieldCode.VELC, FieldCode.UNSF):
+            return None
+        if any(b is None for b in blocks):
+            return None
+        import jax
+
+        from ..ops import decode_pallas, fastpath
+        from ..ops import rng as _rng
+        from ..quant.engine import depth_to_delta
+        from ..types import (FloatAccuracy, PositionAccuracy,
+                             VelocityAccuracy)
+
+        on_tpu = jax.default_backend() == "tpu"
+
+        def plane(words, key, depth, x0v, dxv, box, periodic):
+            if on_tpu:
+                return decode_pallas.decode_pallas(
+                    words, key, depth, n, x0v, dxv, box, periodic=periodic)
+            return fastpath.fast_uniform_decode(
+                words, key, depth, n, x0v, dxv,
+                periodic_width=(box if periodic else None))
+
+        n = hd.particle_len
+        meta, _, _ = decode_block(blocks[0])
+        r = Reader(meta.tobytes())
+        if code == FieldCode.UNSF:
+            x0 = r.f32()
+            x1 = r.f32()
+            depth = r.u8()
+            if r.u8():  # per-particle depths
+                return None
+            if r.u8():  # log10 scaled
+                return None
+            r.u8()
+            r.f32()
+            seed = r.u64()
+            if depth < 1 or n < 32:
+                return None
+            payload, w, _ = decode_block(blocks[1])
+            words = jnp.asarray(_payload_words(payload))
+            key = _rng.field_key_arr(seed, field_index, 0)
+            x = plane(words, key, depth, x0,
+                      np.float32(x1) - np.float32(x0), 0.0, False)
+            acc = FloatAccuracy(delta=depth_to_delta(depth, x0, x1))
+            return Field(hd=hd, data=x, acc=acc)
+
+        is_pos = code == FieldCode.POSN
+        x0 = tuple(r.f32() for _ in range(3))
+        x1 = tuple(r.f32() for _ in range(3))
+        if is_pos:
+            width = r.f32()
+        depth = r.u8()
+        if r.u8():  # per-particle depths
+            return None
+        if not is_pos:
+            if r.u8():  # symlog
+                return None
+            r.u8()
+            r.f32()
+        else:
+            r.u16()
+        seed = r.u64()
+        if depth < 1 or n < 32:
+            return None
+        x0a = np.asarray(x0, dtype=np.float32)
+        x1a = np.asarray(x1, dtype=np.float32)
+        max_diff = float(np.float32(np.max(x1a - x0a)))
+        dims = []
+        for d in range(3):
+            payload, w, _ = decode_block(blocks[1 + d])
+            words = jnp.asarray(_payload_words(payload))
+            key = _rng.field_key_arr(seed, field_index, d)
+            dims.append(plane(words, key, depth, float(x0a[d]), max_diff,
+                              width if is_pos else 0.0, is_pos))
+        data = jnp.stack(dims)
+        if is_pos:
+            acc = PositionAccuracy(
+                delta=depth_to_delta(depth, x0a[0], x0a[0] + max_diff),
+                width=width)
+        else:
+            acc = VelocityAccuracy(
+                delta=depth_to_delta(depth, x0a[0], x0a[0] + max_diff))
+        return Field(hd=hd, data=data, acc=acc)
 
     # -- decompress --------------------------------------------------------
 

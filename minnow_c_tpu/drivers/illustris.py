@@ -110,7 +110,8 @@ def decompress(in_fp: BinaryIO, h5_path: str) -> dict:
                 in_fp.seek(offset)
                 raw = in_fp.read(seg_io.IO_HEADER_BYTES)
                 io_hd = seg_io.IOHeader.unpack(raw)
-                seg = decompress_segment(in_fp.read(io_hd.segment_bytes))
+                seg = decompress_segment(
+                    in_fp.read(io_hd.segment_bytes), fused=True)
                 for fld in seg.fields:
                     arr = np.asarray(fld.data)
                     if fld.hd.field_code == FieldCode.POSN:

@@ -262,7 +262,7 @@ def decompress_snapshot(fp: BinaryIO) -> dict:
     across processes -- they are self-describing segments)."""
     pos_parts, vel_parts, id_parts = [], [], []
     for hdr, seg_bytes in seg_io.iter_segments(fp):
-        seg = decompress_segment(seg_bytes)
+        seg = decompress_segment(seg_bytes, fused=True)
         for f in seg.fields:
             arr = np.asarray(f.data)
             if f.hd.field_code == FieldCode.POSN:

@@ -165,15 +165,34 @@ def compress_segment(s: Seg, seed: int = 0) -> bytes:
     return seg_to_wire(cs, particle_num)
 
 
-def decompress_segment(data: bytes) -> Seg:
+def decompress_segment(data: bytes, fused: bool = False) -> Seg:
     """Full decode: spec segment bytes -> Seg (invalid fields/dims
-    degrade gracefully)."""
+    degrade gracefully).
+
+    ``fused=True`` routes eligible fields (Trim plane coding, uniform
+    depth, linear scale) through the single-kernel device fast path
+    (``TrimV1_0.decompress_field_fused`` -> ops.decode_pallas), skipping
+    the intermediate bin materialization; output bits are identical to the
+    generic path (same dither spec and keys -- tested).  Ineligible fields
+    fall back transparently."""
     parsed = wire.deserialize(data)
+    out_fields = [None] * len(parsed.fields)
     qfields = []
-    for f in parsed.fields:
+    q_slots = []
+    for i, f in enumerate(parsed.fields):
         hd = FieldHeader(field_code=f.field_code, algo_code=f.algo_code,
                          algo_version=f.version,
                          particle_len=parsed.particle_num)
         codec = registry.get(hd.algo_code, hd.algo_version)
+        if fused and hasattr(codec, "decompress_field_fused"):
+            fld = codec.decompress_field_fused(hd, f.blocks, i)
+            if fld is not None:
+                out_fields[i] = fld
+                continue
         qfields.append(codec.decompress(hd, f.blocks))
-    return undo_quantize(QSeg(fields=qfields))
+        q_slots.append(i)
+    generic = undo_quantize(QSeg(fields=qfields)) if qfields else \
+        Seg(fields=[])
+    for j, i in enumerate(q_slots):
+        out_fields[i] = generic.fields[j]
+    return Seg(fields=out_fields)

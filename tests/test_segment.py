@@ -229,3 +229,31 @@ class TestMultiVersionDispatch:
         assert registry.supports(mnw.AlgoCode.TEST, sv.pack(0, 9, 7))
         assert registry.supports(mnw.AlgoCode.TEST, sv.pack(1, 0, 3))
         assert not registry.supports(mnw.AlgoCode.TEST, sv.pack(2, 0, 0))
+
+
+class TestFusedDecode:
+    def test_fused_bits_match_generic(self):
+        """fused=True must produce byte-identical decode output for
+        eligible fields and fall back for the rest."""
+        seg, pos, vel, ids = make_seg(n=33000)
+        blob = api.compress_segment(seg, seed=21)
+        a = api.decompress_segment(blob)
+        b = api.decompress_segment(blob, fused=True)
+        for fa, fb in zip(a.fields, b.fields):
+            np.testing.assert_array_equal(np.asarray(fa.data),
+                                          np.asarray(fb.data))
+
+    def test_fused_falls_back_for_other_codecs(self):
+        n, W = 2000, 16.0
+        rng = np.random.default_rng(1)
+        pos = rng.uniform(0, W, (3, n)).astype(np.float32)
+        ver = registry.newest(mnw.AlgoCode.COIL)
+        seg = mnw.Seg(fields=[mnw.Field(
+            hd=mnw.FieldHeader(mnw.FieldCode.POSN, mnw.AlgoCode.COIL, ver,
+                               n),
+            data=pos, acc=mnw.PositionAccuracy(delta=1e-3, width=W))])
+        blob = api.compress_segment(seg, seed=2)
+        a = api.decompress_segment(blob)
+        b = api.decompress_segment(blob, fused=True)
+        np.testing.assert_array_equal(np.asarray(a.fields[0].data),
+                                      np.asarray(b.fields[0].data))
