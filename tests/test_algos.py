@@ -185,3 +185,45 @@ class TestRegistryVersioning:
 
     def test_codes_disjoint(self):
         assert int(mnw.AlgoCode.TRIM) != int(mnw.AlgoCode.DIFF)
+
+
+class TestCompressedSizeParity:
+    def test_trim_size_at_most_reference_pipeline(self):
+        """BASELINE requirement: compressed size <= the reference's own
+        pipeline at parity settings.  The reference's only realized
+        encoder is its mock fast-uniform pipeline (bin at depth -> pack ->
+        LZ4, test/compress_util_bench.c:234-298); compute that size with
+        the same primitives and assert our Trim segment stays within a
+        small fixed header overhead of it."""
+        import jax.numpy as jnp
+
+        from minnow_c_tpu.ops import bitpack, entropy, kernels
+        from minnow_c_tpu.quant import engine as qe
+
+        n, W, delta = 200_000, 64.0, 1e-3
+        rng = np.random.default_rng(0)
+        pos = rng.uniform(0, W, (3, n)).astype(np.float32)
+
+        # reference-equivalent size: per dim, bin at the same depth, pack,
+        # LZ4 (plus the 4-byte uncompressed-size word its block headers
+        # would need, util.c:423-429)
+        ref_bytes = 0
+        x0s = pos.min(axis=1)
+        dxs = (pos.max(axis=1) - x0s).max()
+        depth = qe.delta_to_depth(delta, 0.0, float(dxs))
+        for d in range(3):
+            bins = kernels.uniform_bin_index(jnp.asarray(pos[d]), depth,
+                                             float(x0s[d]), float(dxs))
+            words = np.asarray(bitpack.uniform_pack(bins, depth))
+            comp = entropy.encode(words)
+            ref_bytes += min(len(comp), words.nbytes) + 4
+
+        ver = registry.newest(mnw.AlgoCode.TRIM)
+        seg = mnw.Seg(fields=[mnw.Field(
+            hd=mnw.FieldHeader(mnw.FieldCode.POSN, mnw.AlgoCode.TRIM, ver,
+                               n),
+            data=pos, acc=mnw.PositionAccuracy(delta=delta, width=W))])
+        blob = api.compress_segment(seg, seed=1)
+        overhead = len(blob) - ref_bytes
+        # fixed metadata: segment+field+block headers, preludes, meta block
+        assert overhead < 512, (len(blob), ref_bytes)
