@@ -1,0 +1,58 @@
+"""Multi-host (multi-process) SPMD setup helpers.
+
+BASELINE config 5 targets 1B-particle batches across 2+ hosts.  The
+recipe: every process calls ``initialize()`` (jax.distributed) so all
+hosts' devices form one global mesh; block-DP sharded arrays are built
+from per-host local shards with ``make_array_from_process_local_data``;
+the codec's SPMD programs (``sharding.ShardedPositionCodec``) then run
+unchanged -- XLA inserts ICI/DCN collectives for the header all-reduce,
+and each host writes the segments of its own blocks (ordered gather by
+block index).
+
+No multi-host hardware exists in this environment; the logic is tested
+with two coordinator-connected CPU processes on one machine
+(tests/test_multihost.py), which exercises the same jax.distributed code
+paths.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Join the jax.distributed cluster (no-op for single-process)."""
+    import jax
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def global_block_array(local_blocks: np.ndarray, mesh):
+    """Assemble a globally-sharded (B, ...) block array from this
+    process's local blocks.  ``local_blocks`` holds this host's
+    contiguous slice of the global block axis; all hosts must pass equal
+    counts."""
+    import jax
+
+    n_proc = jax.process_count()
+    global_shape = (local_blocks.shape[0] * n_proc,) + \
+        local_blocks.shape[1:]
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(mesh.axis_names[0]))
+    return jax.make_array_from_process_local_data(sharding, local_blocks,
+                                                  global_shape)
+
+
+def local_block_slice(global_out, mesh):
+    """This process's addressable slice of a block-sharded result, as a
+    numpy array in global block order."""
+    shards = sorted(global_out.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
