@@ -195,12 +195,12 @@ def compress_snapshot(fp: BinaryIO,
         stats["id_widths"] = widths
         packed = []
         for i in range(3):
-            flat = jnp.asarray(rel[i].reshape(-1))
             w = max(widths[i], 1)
-            pw = np.asarray(bitpack.uniform_pack(flat, w))
-            wpb = bitpack.packed_words(nb, w)
-            packed.append(pw.reshape(B, wpb) if B * wpb == pw.size
-                          else _ragged_rows(pw, B, nb, w))
+            # per-block pack (vmapped): each block's stream is padded
+            # independently, so any (nb, width) combination is valid
+            pw = np.asarray(jax.vmap(
+                lambda r: bitpack.uniform_pack(r, w))(jnp.asarray(rel[i])))
+            packed.append(pw)
         payloads = [np.ascontiguousarray(packed[i][b])
                     for b in range(B) for i in range(3)]
         comp = entropy.encode_blocks(payloads, accel)
@@ -224,16 +224,6 @@ def compress_snapshot(fp: BinaryIO,
         seg_io.IO_HEADER_BYTES * B
     stats["num_blocks"] = B
     return stats
-
-
-def _ragged_rows(pw, B, nb, w):
-    """Split a whole-array pack into per-block word rows.  Only valid when
-    nb*w is a multiple of 32 (guaranteed for nb % 32 == 0)."""
-    bits = nb * w
-    if bits % 32:
-        raise ValueError("block size must be a multiple of 32 particles")
-    wpb = bits // 32
-    return pw.reshape(B, wpb)
 
 
 def _wrap_precompressed(raw_words: np.ndarray, comp: bytes,

@@ -118,3 +118,23 @@ class TestScalarInterop:
         buf.seek(0)
         out = snapshot.decompress_snapshot(buf)
         np.testing.assert_array_equal(out["ids"], ids)
+
+
+class TestOddShapes:
+    def test_block_size_not_multiple_of_32(self):
+        # nb = 1000 with odd ID widths exercises per-block pack padding
+        n = 4000
+        rng = np.random.default_rng(8)
+        ids = rng.integers(0, 100**3, n, dtype=np.uint64)  # width ~20ish
+        pos = rng.uniform(0, 64.0, (3, n)).astype(np.float32)
+        spec = snapshot.SnapshotSpec(
+            pos=mnw.PositionAccuracy(delta=1e-3, width=64.0),
+            ids=mnw.IDAccuracy(width=100))
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot(buf, pos, None, ids, spec, num_blocks=4)
+        buf.seek(0)
+        out = snapshot.decompress_snapshot(buf)
+        np.testing.assert_array_equal(out["ids"], ids)
+        err = np.abs(out["pos"] - pos)
+        err = np.minimum(err, 64.0 - err)
+        assert err.max() <= 1e-3
