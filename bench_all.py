@@ -189,12 +189,19 @@ def config5():
         capture_output=True, text=True, timeout=900,
         cwd=os.path.dirname(os.path.abspath(__file__)))
     ok = "OK" in r.stdout
+    r2 = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_multihost.py", "-q"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    mh_ok = r2.returncode == 0
     results["config5_multichip_dryrun"] = {
-        "passed": ok,
-        "note": "8-way mesh SPMD encode+decode with header all-reduce; "
-                "single physical chip available, ICI scaling untestable "
-                "here"}
-    log(f"config5: dryrun ok={ok}")
+        "dryrun_8way_mesh": ok,
+        "two_process_spmd": mh_ok,
+        "note": "8-way mesh SPMD encode+decode with header all-reduce, "
+                "plus a real two-process jax.distributed run (DCN over "
+                "localhost); single physical chip available, so ICI "
+                "scaling efficiency is untestable in this environment"}
+    log(f"config5: dryrun ok={ok} two-process spmd ok={mh_ok}")
     if not ok:
         log(r.stderr[-2000:])
 

@@ -1,0 +1,70 @@
+"""Wire-robustness fuzzing: mutated/truncated/garbage segment bytes must
+fail with controlled errors (ValueError/EOFError/KeyError) or degrade
+gracefully -- never crash with an uncontrolled exception class."""
+
+import numpy as np
+
+import minnow_c_tpu as mnw
+from minnow_c_tpu.algos import registry
+from minnow_c_tpu.segment import api
+
+ALLOWED = (ValueError, EOFError, KeyError)
+
+
+def base_blob(n=600, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(0, 8.0, (3, n)).astype(np.float32)
+    ids = rng.permutation(1 << 16)[:n].astype(np.uint64)
+    ver = registry.newest(mnw.AlgoCode.TRIM)
+    seg = mnw.Seg(fields=[
+        mnw.Field(hd=mnw.FieldHeader(mnw.FieldCode.POSN, mnw.AlgoCode.TRIM,
+                                     ver, n),
+                  data=pos, acc=mnw.PositionAccuracy(delta=1e-2, width=8.0)),
+        mnw.Field(hd=mnw.FieldHeader(mnw.FieldCode.PTID, mnw.AlgoCode.TRIM,
+                                     ver, n),
+                  data=ids, acc=mnw.IDAccuracy(width=64)),
+    ])
+    return api.compress_segment(seg, seed=1)
+
+
+def _try(blob):
+    try:
+        api.decompress_segment(blob)
+    except ALLOWED:
+        pass
+    try:
+        api.decompress_segment(blob, fused=True)
+    except ALLOWED:
+        pass
+
+
+def test_single_byte_mutations():
+    blob = base_blob()
+    rng = np.random.default_rng(1)
+    # mutate a spread of offsets incl. every header region
+    offsets = list(range(0, 120, 4)) + \
+        list(rng.integers(0, len(blob), 60))
+    for off in offsets:
+        b = bytearray(blob)
+        b[off % len(blob)] ^= rng.integers(1, 256)
+        _try(bytes(b))
+
+
+def test_truncations():
+    blob = base_blob()
+    for cut in (0, 1, 4, 15, 16, 63, 64, len(blob) // 2, len(blob) - 1):
+        _try(blob[:cut])
+
+
+def test_garbage():
+    rng = np.random.default_rng(2)
+    for n in (0, 3, 16, 64, 4096):
+        _try(rng.integers(0, 256, n).astype(np.uint8).tobytes())
+
+
+def test_header_field_count_lies():
+    blob = bytearray(base_blob())
+    # claim an absurd field count (the header checksum will catch it; and
+    # even with a fixed-up checksum the parser must fail cleanly)
+    blob[8:12] = (10 ** 6).to_bytes(4, "little")
+    _try(bytes(blob))
