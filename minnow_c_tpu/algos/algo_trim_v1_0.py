@@ -97,8 +97,10 @@ class TrimV1_0:
         return _pack_plane(bins, depth), depth
 
     def _decode_plane(self, words: np.ndarray, width: int, n: int):
-        """Inverse of _encode_plane."""
-        return np.asarray(_unpack_plane(words, width, n))
+        """Inverse of _encode_plane.  Returns a DEVICE array: bins stay on
+        device through dequantization so only the final floats cross the
+        (slow) device->host link once."""
+        return _unpack_plane(words, width, n)
 
     # -- compress ----------------------------------------------------------
 
@@ -364,7 +366,7 @@ class TrimV1_0:
         for i in range(3):
             blk = blocks[1 + i] if len(blocks) > 1 + i else None
             if blk is None:
-                dims.append(np.zeros(n, dtype=np.uint32))
+                dims.append(jnp.zeros(n, dtype=jnp.uint32))
                 dim_valid.append(False)
                 continue
             payload, w, _ = decode_block(blk)
@@ -372,9 +374,9 @@ class TrimV1_0:
             if depths is None:
                 dims.append(self._decode_plane(words, w, n))
             else:
-                dims.append(np.asarray(_unpack_plane_var(words, depths)))
+                dims.append(_unpack_plane_var(words, depths))
             dim_valid.append(True)
-        data = np.stack(dims)
+        data = jnp.stack([jnp.asarray(d) for d in dims])
 
         if is_pos:
             quant = PositionQuantization(x0=x0, x1=x1, width=width,
@@ -402,15 +404,15 @@ class TrimV1_0:
         for i in range(3):
             blk = blocks[1 + i] if len(blocks) > 1 + i else None
             if blk is None:
-                dims.append(np.zeros(n, dtype=np.uint32))
+                dims.append(jnp.zeros(n, dtype=jnp.uint32))
                 dim_valid.append(False)
                 continue
             payload, w, _ = decode_block(blk)
             dims.append(self._decode_plane(_payload_words(payload), w, n))
             dim_valid.append(True)
         quant = IDQuantization(width=width, x0=x0, x1=x1)
-        qf = QField(hd=hd, data=np.stack(dims), quant=quant,
-                    valid=all(dim_valid))
+        qf = QField(hd=hd, data=jnp.stack([jnp.asarray(d) for d in dims]),
+                    quant=quant, valid=all(dim_valid))
         qf.dim_valid = tuple(dim_valid)
         return qf
 
