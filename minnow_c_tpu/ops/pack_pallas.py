@@ -1,0 +1,70 @@
+"""Pallas TPU kernel: uniform bitpack (pack only).
+
+STATUS: EXPERIMENTAL, NOT USED -- on v5e hardware Mosaic miscompiles the
+32-way shift/OR fold (~0.3% of words lose interior straddle bits; the
+same bug class the XLA backend shows for the equivalent unroll, while the
+*decode*-direction fold compiles correctly).  Kept as a minimal
+reproducer and for re-testing on future toolchains.
+
+The production pack is ``bitpack.uniform_pack`` (einsum-select fold);
+the ~50 s pathology it showed inside the batched encode was the
+bin->pack *fusion*, fixed with an optimization_barrier in
+``parallel/snapshot.py`` -- the pack itself runs at ~3 GB/s honest
+steady state.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 1 << 14
+BLOCKS = TILE // 32
+
+
+def _pack_kernel(b_ref, out_ref, *, width: int):
+    """bins (1, BLOCKS, 32) u32 -> words (1, BLOCKS, width) u32."""
+    b = b_ref[0] & jnp.uint32((1 << width) - 1)
+    cols = []
+    for j in range(width):
+        lo_bit = 32 * j
+        hi_bit = 32 * (j + 1)
+        acc = None
+        for k in range(lo_bit // width, (hi_bit - 1) // width + 1):
+            start = k * width - lo_bit
+            v = b[:, k]
+            part = (v << jnp.uint32(start)) if start >= 0 else \
+                (v >> jnp.uint32(-start))
+            acc = part if acc is None else (acc | part)
+        cols.append(acc)
+    out_ref[0] = jnp.stack(cols, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "interpret"))
+def pack_pallas_tiles(bins, width: int, interpret: bool = False):
+    """Pack ``n_tiles*TILE`` bins; input length must be a TILE multiple.
+    Returns the packed words (length n*width/32)."""
+    n = bins.shape[0]
+    n_tiles = n // TILE
+    assert n_tiles * TILE == n
+    bm = bins.reshape(n_tiles, BLOCKS, 32)
+    kernel = functools.partial(_pack_kernel, width=width)
+    words = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((1, BLOCKS, 32), lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.ANY
+                               if interpret else pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, BLOCKS, width),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.ANY
+                               if interpret else pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, BLOCKS, width),
+                                       jnp.uint32),
+        interpret=interpret,
+    )(bm)
+    return words.reshape(-1)

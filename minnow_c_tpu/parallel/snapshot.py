@@ -52,8 +52,16 @@ class SnapshotSpec:
     ids: Optional[IDAccuracy] = None
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
 def _batched_prepare_pos(x, width):
-    """(B, 3, nb) -> unwrapped, per-block x0 (B,3), per-block range (B,)."""
+    """(B, 3, nb) -> unwrapped, per-block x0 (B,3), per-block range (B,).
+
+    Module-level jit: wrapping these in fresh ``jax.jit(lambda ...)`` per
+    call forced an executable reload every invocation (~30-60 s each on
+    this runtime)."""
     def one(xb):
         xu = jax.vmap(lambda d: kernels.undo_periodic(d, width))(xb)
         x0 = jnp.min(xu, axis=1)
@@ -62,6 +70,7 @@ def _batched_prepare_pos(x, width):
     return jax.vmap(one)(x)
 
 
+@jax.jit
 def _batched_prepare_vel(x):
     def one(xb):
         x0 = jnp.min(xb, axis=1)
@@ -70,12 +79,24 @@ def _batched_prepare_vel(x):
     return jax.vmap(one)(x)
 
 
+@functools.partial(jax.jit, static_argnames=("w",))
+def _batched_id_pack(rel, w: int):
+    return jax.vmap(lambda r: bitpack.uniform_pack(r, w))(rel)
+
+
+@functools.partial(jax.jit, static_argnames=("depth",))
 def _batched_bin_pack(xu, x0, rng_b, depth: int):
-    """(B, 3, nb) floats -> (B, 3, words) packed bins at static depth."""
+    """(B, 3, nb) floats -> (B, 3, words) packed bins at static depth.
+
+    The barrier between binning and packing matters: fused, this backend
+    compiles the composition ~1000x slow (47 s for 30M values vs ~50 ms
+    staged) -- the same pathology as fusing unpack into decode consumers.
+    """
     def one(xb, x0b, rb):
         bins = jax.vmap(
             lambda xd, o: kernels.uniform_bin_index(xd, depth, o, rb))(
                 xb, x0b)
+        bins = jax.lax.optimization_barrier(bins)
         return jax.vmap(lambda b: bitpack.uniform_pack(b, depth))(bins)
     return jax.vmap(one)(xu, x0, rng_b)
 
@@ -116,13 +137,10 @@ def compress_snapshot(fp: BinaryIO,
     if pos is not None:
         acc = spec.pos
         xb = jnp.asarray(np.moveaxis(pos.reshape(3, B, nb), 1, 0))
-        xu, x0, rng_b = jax.jit(
-            lambda v: _batched_prepare_pos(v, acc.width))(xb)
+        xu, x0, rng_b = _batched_prepare_pos(xb, float(acc.width))
         g = float(np.asarray(jnp.max(rng_b)))
         depth = engine.delta_to_depth(acc.delta, 0.0, g)
-        words = jax.jit(
-            lambda a, b, c: _batched_bin_pack(a, b, c, depth))(xu, x0,
-                                                               rng_b)
+        words = _batched_bin_pack(xu, x0, rng_b, depth)
         words_h = np.asarray(words)
         x0_h = np.asarray(x0)
         rng_h = np.asarray(rng_b)
@@ -149,12 +167,10 @@ def compress_snapshot(fp: BinaryIO,
     if vel is not None:
         acc = spec.vel
         xb = jnp.asarray(np.moveaxis(vel.reshape(3, B, nb), 1, 0))
-        xm, x0, rng_b = jax.jit(_batched_prepare_vel)(xb)
+        xm, x0, rng_b = _batched_prepare_vel(xb)
         g = float(np.asarray(jnp.max(rng_b)))
         depth = engine.delta_to_depth(acc.delta, 0.0, g)
-        words = jax.jit(
-            lambda a, b, c: _batched_bin_pack(a, b, c, depth))(xm, x0,
-                                                               rng_b)
+        words = _batched_bin_pack(xm, x0, rng_b, depth)
         words_h = np.asarray(words)
         x0_h = np.asarray(x0)
         rng_h = np.asarray(rng_b)
@@ -198,8 +214,7 @@ def compress_snapshot(fp: BinaryIO,
             w = max(widths[i], 1)
             # per-block pack (vmapped): each block's stream is padded
             # independently, so any (nb, width) combination is valid
-            pw = np.asarray(jax.vmap(
-                lambda r: bitpack.uniform_pack(r, w))(jnp.asarray(rel[i])))
+            pw = np.asarray(_batched_id_pack(jnp.asarray(rel[i]), w))
             packed.append(pw)
         payloads = [np.ascontiguousarray(packed[i][b])
                     for b in range(B) for i in range(3)]
