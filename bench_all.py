@@ -140,11 +140,14 @@ def config4():
     from minnow_c_tpu.bench import harness
 
     def roundtrip(salt):
-        # Real >=1-ULP input perturbation per iteration: unchained repeats
-        # replay on this runtime and report impossible numbers.
-        eps = (salt & jnp.uint32(0xFF)).astype(jnp.float32) * \
-            jnp.float32(W * 2.0 ** -20)
-        words, x0b, rng_b = codec.encode(xd + eps)
+        # Full-entropy input perturbation: xor the salt into the mantissa
+        # low bits of every value.  Low-entropy salts (a handful of eps
+        # values) let the runtime replay cached executions and report
+        # impossible numbers (observed 446 GB/s).
+        bits = jax.lax.bitcast_convert_type(xd, jnp.uint32)
+        xs = jax.lax.bitcast_convert_type(bits ^ (salt & jnp.uint32(0x3FFFFF)),
+                                          jnp.float32)
+        words, x0b, rng_b = codec.encode(xs)
         return codec.decode(words, x0b, rng_b, seed=4)
 
     res = harness.run(roundtrip, bytes_per_iter=n * 12)
