@@ -140,13 +140,19 @@ def config4():
     from minnow_c_tpu.bench import harness
 
     def roundtrip(salt):
-        # Full-entropy input perturbation: xor the salt into the mantissa
-        # low bits of every value.  Low-entropy salts (a handful of eps
-        # values) let the runtime replay cached executions and report
-        # impossible numbers (observed 446 GB/s).
+        # Replay-proof: the input buffer must be UNIQUE every iteration --
+        # the runtime replays cached executions for previously-seen
+        # buffers and reports numbers above the memory-bandwidth floor
+        # (observed 446 and 372 GB/s for a pipeline floored at ~150 GB/s).
+        # Spread the full 32-bit salt across two elements' mantissas
+        # (22+22 overlapping bits reconstruct all 32), so the buffer space
+        # covers every salt value.
         bits = jax.lax.bitcast_convert_type(xd, jnp.uint32)
-        xs = jax.lax.bitcast_convert_type(bits ^ (salt & jnp.uint32(0x3FFFFF)),
-                                          jnp.float32)
+        m = jnp.uint32(0x3FFFFF)
+        bits = bits.at[0, 0, 0].set(bits[0, 0, 0] ^ (salt & m))
+        bits = bits.at[0, 0, 1].set(
+            bits[0, 0, 1] ^ ((salt >> jnp.uint32(10)) & m))
+        xs = jax.lax.bitcast_convert_type(bits, jnp.float32)
         words, x0b, rng_b = codec.encode(xs)
         return codec.decode(words, x0b, rng_b, seed=4)
 

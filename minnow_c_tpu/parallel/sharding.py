@@ -106,9 +106,11 @@ class ShardedPositionCodec:
                 return bins, x0, rng_b
 
             bins, x0, rng_b = jax.vmap(one_block)(x)
+            # Barrier: the bin->pack fusion compiles ~1000x slow on this
+            # backend (see parallel/snapshot.py).
+            bins = jax.lax.optimization_barrier(bins)
             # Pack all 3 dims of every local block: (B_local, 3, n_b) ->
             # (B_local, 3, words)
-            n_b = x.shape[2]
             words = jax.vmap(jax.vmap(
                 lambda b: bitpack.uniform_pack(b, depth)))(bins)
             return words, x0, rng_b
@@ -129,10 +131,15 @@ class ShardedPositionCodec:
             def one_block(wb, x0b, rb, bi):
                 def one_dim(wd, o, d):
                     bins = bitpack.uniform_unpack(wd, depth, n_b)
+                    # Barrier: fusing the unpack into the float consumers
+                    # compiles ~70x slow on this backend (see
+                    # ops/fastpath.py).
+                    bins = jax.lax.optimization_barrier(bins)
                     key = _rng.field_key_jax(seed_arr[0], bi, d)
                     dx = rb / jnp.float32(1 << depth)
                     u = _rng.uniform24(key, bins.shape)
                     x = o + dx * (bins.astype(jnp.float32) + u)
+                    x = jax.lax.optimization_barrier(x)
                     return kernels.periodic(x, width)
 
                 return jnp.stack([one_dim(wb[d], x0b[d], d)
