@@ -71,6 +71,12 @@ static inline uint32_t hash4(uint32_t v) {
   return (v * 2654435761u) >> (32 - kHashLog);
 }
 
+static inline uint64_t read64(const uint8_t *p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;
+}
+
 }  // namespace
 
 // Compress src[0..src_len) into dst (capacity dst_cap, which must be at
@@ -143,13 +149,23 @@ int32_t mnw_lz4_compress(const uint8_t *src, int32_t src_len, uint8_t *dst,
           ip--;
           match--;
         }
-        // Extend forwards.
+        // Extend forwards, 8 bytes at a time.
         const uint8_t *mp = match + kMinMatch;
         const uint8_t *cp = ip + kMinMatch;
+        while (cp + 8 <= match_limit) {
+          uint64_t diff = read64(cp) ^ read64(mp);
+          if (diff) {
+            cp += __builtin_ctzll(diff) >> 3;
+            goto extended;
+          }
+          cp += 8;
+          mp += 8;
+        }
         while (cp < match_limit && *cp == *mp) {
           cp++;
           mp++;
         }
+      extended:;
         int match_len = (int)(cp - ip);
         emit_sequence(anchor, (int)(ip - anchor), (int)(ip - match),
                       match_len);
@@ -225,7 +241,32 @@ int32_t mnw_lz4_decompress(const uint8_t *src, int32_t src_len, uint8_t *dst,
       }
       while (n-- > 0) *op++ = *match++;
     } else {
-      for (int n = 0; n < match_len; n++) *op++ = *match++;
+      // Overlapping short-offset match (RLE-like).  Materialize a whole
+      // number of pattern periods >= 8 bytes, then copy with that period
+      // multiple as the stride (>= 8, so 8-byte chunk copies are safe and
+      // preserve the periodicity).
+      int rep = offset;
+      while (rep < 8) rep += offset;
+      int head = match_len < rep ? match_len : rep;
+      int written = 0;
+      while (written < head) {
+        int chunk = offset < head - written ? offset : head - written;
+        std::memcpy(op + written, match, (size_t)chunk);
+        written += chunk;
+      }
+      if (match_len > head) {
+        int n = match_len - head;
+        const uint8_t *srcp = op;
+        uint8_t *dstp = op + rep;
+        while (n >= 8) {
+          std::memcpy(dstp, srcp, 8);
+          dstp += 8;
+          srcp += 8;
+          n -= 8;
+        }
+        while (n-- > 0) *dstp++ = *srcp++;
+      }
+      op += match_len;
     }
   }
   return (op == oend) ? (int32_t)(ip - src) : -1;
