@@ -227,3 +227,45 @@ class TestCompressedSizeParity:
         overhead = len(blob) - ref_bytes
         # fixed metadata: segment+field+block headers, preludes, meta block
         assert overhead < 512, (len(blob), ref_bytes)
+
+
+class TestSortV11:
+    def test_nearly_sorted_ids_much_smaller(self):
+        n = 50000
+        rng = np.random.default_rng(0)
+        ids = np.arange(n, dtype=np.uint64) + 1000  # Lagrangian order
+        # a few percent swapped
+        for _ in range(n // 50):
+            i, j = rng.integers(0, n, 2)
+            ids[i], ids[j] = ids[j], ids[i]
+
+        def one(ver):
+            seg = mnw.Seg(fields=[mnw.Field(
+                hd=mnw.FieldHeader(mnw.FieldCode.PTID, mnw.AlgoCode.SORT,
+                                   ver, n),
+                data=ids, acc=mnw.IDAccuracy(width=1024))])
+            return api.compress_segment(seg, seed=1)
+
+        b10 = one(semver.pack(1, 0, 0))
+        b11 = one(semver.pack(1, 1, 0))
+        assert len(b11) < 0.7 * len(b10)
+        for blob in (b10, b11):
+            out = api.decompress_segment(blob)
+            np.testing.assert_array_equal(np.asarray(out.fields[0].data),
+                                          ids)
+
+    def test_newest_resolves_v11(self):
+        v = registry.newest(mnw.AlgoCode.SORT)
+        assert semver.minor(v) == 1
+
+    def test_v10_streams_still_decode(self):
+        n = 3000
+        rng = np.random.default_rng(1)
+        ids = rng.permutation(1 << 18)[:n].astype(np.uint64)
+        seg = mnw.Seg(fields=[mnw.Field(
+            hd=mnw.FieldHeader(mnw.FieldCode.PTID, mnw.AlgoCode.SORT,
+                               semver.pack(1, 0, 0), n),
+            data=ids, acc=mnw.IDAccuracy(width=1024))])
+        blob = api.compress_segment(seg, seed=2)
+        out = api.decompress_segment(blob)
+        np.testing.assert_array_equal(np.asarray(out.fields[0].data), ids)

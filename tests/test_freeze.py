@@ -22,17 +22,22 @@ from minnow_c_tpu.segment import api
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
                        "wire_digests.json")
 
+from minnow_c_tpu import semver as _sv
+
+# name -> (algo code, pinned packed version).  "sort" keeps naming the 1.0
+# stream (fixture written before 1.1 existed); new versions get new keys.
 ALGOS = {
-    "trim": mnw.AlgoCode.TRIM,
-    "diff": mnw.AlgoCode.DIFF,
-    "coil": mnw.AlgoCode.COIL,
-    "octo": mnw.AlgoCode.OCTO,
-    "sort": mnw.AlgoCode.SORT,
-    "cart": mnw.AlgoCode.CART,
+    "trim": (mnw.AlgoCode.TRIM, _sv.pack(1, 0, 0)),
+    "diff": (mnw.AlgoCode.DIFF, _sv.pack(1, 0, 0)),
+    "coil": (mnw.AlgoCode.COIL, _sv.pack(1, 0, 0)),
+    "octo": (mnw.AlgoCode.OCTO, _sv.pack(1, 0, 0)),
+    "sort": (mnw.AlgoCode.SORT, _sv.pack(1, 0, 0)),
+    "sort_v1_1": (mnw.AlgoCode.SORT, _sv.pack(1, 1, 0)),
+    "cart": (mnw.AlgoCode.CART, _sv.pack(1, 0, 0)),
 }
 
 
-def reference_segment(algo):
+def reference_segment(algo, ver):
     """A deterministic segment exercising every field type."""
     n, W = 4096, 64.0
     rng = np.random.default_rng(12345)
@@ -42,7 +47,6 @@ def reference_segment(algo):
     ids = rng.permutation(1 << 18)[:n].astype(np.uint64)
     uf = rng.uniform(1, 10, n).astype(np.float32)
     ui = (rng.integers(0, 1000, n) + 5_000_000).astype(np.uint64)
-    ver = registry.newest(algo)
 
     def hd(code):
         return mnw.FieldHeader(code, algo, ver, n)
@@ -63,8 +67,8 @@ def reference_segment(algo):
 
 def current_digests():
     out = {}
-    for name, algo in ALGOS.items():
-        blob = api.compress_segment(reference_segment(algo), seed=777)
+    for name, (algo, ver) in ALGOS.items():
+        blob = api.compress_segment(reference_segment(algo, ver), seed=777)
         out[f"{name}_encode_sha256"] = hashlib.sha256(blob).hexdigest()
         out[f"{name}_bytes"] = len(blob)
         # decode digest: the dithered output must also be frozen
@@ -85,6 +89,14 @@ def test_wire_digests_frozen():
         pytest.skip("wire digest fixture generated; commit it")
     with open(FIXTURE) as f:
         want = json.load(f)
+    missing = sorted(set(got) - set(want))
+    if missing:
+        # new frozen versions append their digests; existing entries must
+        # never change
+        want.update({k: got[k] for k in missing})
+        with open(FIXTURE, "w") as f:
+            json.dump(want, f, indent=2, sort_keys=True)
+        pytest.skip(f"fixture extended with {missing}; commit it")
     mismatches = {k: (want.get(k), got.get(k))
                   for k in sorted(set(want) | set(got))
                   if want.get(k) != got.get(k)}
