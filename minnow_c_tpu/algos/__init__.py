@@ -7,6 +7,7 @@ forever so old files always decompress (header_format.tex:278-283).
 
 from . import registry  # noqa: F401
 from . import algo_trim_v1_0  # noqa: F401  (registers Trim v1.0)
+from . import algo_trim_v1_1  # noqa: F401  (registers Trim v1.1)
 from . import algo_diff_v1_0  # noqa: F401  (registers Diff v1.0)
 from . import algo_coil_v1_0  # noqa: F401  (registers Coil v1.0)
 from . import algo_octo_v1_0  # noqa: F401  (registers Octo v1.0)

@@ -102,6 +102,15 @@ class TrimV1_0:
         (slow) device->host link once."""
         return _unpack_plane(words, width, n)
 
+    def _encode_plane_var(self, bins, depths: np.ndarray):
+        """Per-particle-depth plane (Deltas mode): v1.0 packs exact
+        per-element widths (contiguous bitstream)."""
+        return _pack_plane_var(bins, depths), 0
+
+    def _decode_plane_var(self, words: np.ndarray, depths: np.ndarray,
+                          n: int):
+        return _unpack_plane_var(words, depths)
+
     # -- compress ----------------------------------------------------------
 
     def compress(self, qf: QField) -> List[bytes]:
@@ -146,8 +155,8 @@ class TrimV1_0:
                 blocks.append(encode_block(words, wstore, self.try_entropy,
                                            self.accel))
             else:
-                words = _pack_plane_var(bins[i], q.depths)
-                blocks.append(encode_block(words, 0, self.try_entropy,
+                words, wstore = self._encode_plane_var(bins[i], q.depths)
+                blocks.append(encode_block(words, wstore, self.try_entropy,
                                            self.accel))
         if q.depths is not None:
             blocks.append(encode_block(
@@ -189,8 +198,8 @@ class TrimV1_0:
             blocks.append(encode_block(words, wstore, self.try_entropy,
                                        self.accel))
         else:
-            words = _pack_plane_var(bins, q.depths)
-            blocks.append(encode_block(words, 0, self.try_entropy,
+            words, wstore = self._encode_plane_var(bins, q.depths)
+            blocks.append(encode_block(words, wstore, self.try_entropy,
                                        self.accel))
             blocks.append(encode_block(
                 np.asarray(q.depths, dtype=np.uint8), 8, self.try_entropy,
@@ -374,7 +383,7 @@ class TrimV1_0:
             if depths is None:
                 dims.append(self._decode_plane(words, w, n))
             else:
-                dims.append(_unpack_plane_var(words, depths))
+                dims.append(self._decode_plane_var(words, depths, n))
             dim_valid.append(True)
         data = jnp.stack([jnp.asarray(d) for d in dims])
 
@@ -444,7 +453,7 @@ class TrimV1_0:
         if depths is None:
             data = self._decode_plane(words, w, n)
         else:
-            data = np.asarray(_unpack_plane_var(words, depths))
+            data = self._decode_plane_var(words, depths, n)
         return QField(hd=hd, data=data, quant=quant)
 
     def _decompress_uint(self, hd: FieldHeader, blocks) -> QField:

@@ -269,3 +269,52 @@ class TestSortV11:
         blob = api.compress_segment(seg, seed=2)
         out = api.decompress_segment(blob)
         np.testing.assert_array_equal(np.asarray(out.fields[0].data), ids)
+
+
+class TestTrimV11Deltas:
+    def _seg(self, ver, n=20000, W=32.0):
+        rng = np.random.default_rng(4)
+        pos = rng.uniform(0, W, (3, n)).astype(np.float32)
+        deltas = 10.0 ** rng.uniform(-3, -1, n).astype(np.float32)
+        seg = mnw.Seg(fields=[mnw.Field(
+            hd=mnw.FieldHeader(mnw.FieldCode.POSN, mnw.AlgoCode.TRIM, ver,
+                               n),
+            data=pos,
+            acc=mnw.PositionAccuracy(delta=0.0, width=W, deltas=deltas))])
+        return seg, pos, deltas, W
+
+    @pytest.mark.parametrize("minor", [0, 1])
+    def test_per_particle_deltas_roundtrip(self, minor):
+        ver = semver.pack(1, minor, 0)
+        seg, pos, deltas, W = self._seg(ver)
+        blob = api.compress_segment(seg, seed=6)
+        out = api.decompress_segment(blob)
+        err = np.abs(np.asarray(out.fields[0].data) - pos)
+        err = np.minimum(err, W - err)
+        assert (err <= deltas[None, :]).all()
+
+    def test_newest_trim_is_v11(self):
+        v = registry.newest(mnw.AlgoCode.TRIM)
+        assert semver.minor(v) == 1
+
+    def test_uniform_path_wire_identical_across_versions(self):
+        # v1.1 only re-specifies the Deltas-mode payload; uniform-depth
+        # streams must match v1.0 byte-for-byte except the stamped version.
+        n, W = 5000, 16.0
+        rng = np.random.default_rng(5)
+        pos = rng.uniform(0, W, (3, n)).astype(np.float32)
+
+        def blob(ver):
+            seg = mnw.Seg(fields=[mnw.Field(
+                hd=mnw.FieldHeader(mnw.FieldCode.POSN, mnw.AlgoCode.TRIM,
+                                   ver, n),
+                data=pos, acc=mnw.PositionAccuracy(delta=1e-3, width=W))])
+            return bytearray(api.compress_segment(seg, seed=1))
+
+        b0 = blob(semver.pack(1, 0, 0))
+        b1 = blob(semver.pack(1, 1, 0))
+        assert len(b0) == len(b1)
+        # differing bytes must be confined to the version field (offset
+        # 24..28 in the FieldHeader) and the header checksum (offset 0..4)
+        diff_offsets = [i for i, (a, b) in enumerate(zip(b0, b1)) if a != b]
+        assert all(i < 28 for i in diff_offsets), diff_offsets[:10]

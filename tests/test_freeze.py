@@ -33,6 +33,7 @@ ALGOS = {
     "octo": (mnw.AlgoCode.OCTO, _sv.pack(1, 0, 0)),
     "sort": (mnw.AlgoCode.SORT, _sv.pack(1, 0, 0)),
     "sort_v1_1": (mnw.AlgoCode.SORT, _sv.pack(1, 1, 0)),
+    "trim_v1_1": (mnw.AlgoCode.TRIM, _sv.pack(1, 1, 0)),
     "cart": (mnw.AlgoCode.CART, _sv.pack(1, 0, 0)),
 }
 
