@@ -36,7 +36,7 @@ def make_seg(n=20000, seed=0, W=64.0):
 class TestRegistry:
     def test_newest_and_get(self):
         v = registry.newest(mnw.AlgoCode.TRIM)
-        assert semver.major(v) == 1 and semver.minor(v) == 0
+        assert semver.major(v) == 1 and semver.minor(v) == 1  # Trim v1.1
         codec = registry.get(mnw.AlgoCode.TRIM, v)
         assert codec.algo_code == mnw.AlgoCode.TRIM
 
