@@ -129,7 +129,7 @@ def decode_pallas(words, key, width: int, n: int, x0, dx, box=0.0,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((1, BLOCKS, width), lambda i: (i, i * 0, i * 0),
-                             memory_space=pltpu.ANY
+                             memory_space=pl.ANY
                              if interpret else pltpu.VMEM),
                 pl.BlockSpec((2,), lambda i: (i * 0,),
                              memory_space=pltpu.SMEM),
@@ -138,7 +138,7 @@ def decode_pallas(words, key, width: int, n: int, x0, dx, box=0.0,
             ],
             out_specs=pl.BlockSpec((1, BLOCKS, 32),
                                    lambda i: (i, i * 0, i * 0),
-                                   memory_space=pltpu.ANY
+                                   memory_space=pl.ANY
                                    if interpret else pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_tiles, BLOCKS, 32),
                                            jnp.float32),

@@ -98,14 +98,14 @@ def encode_pallas(x, width: int, periodic_width=None,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((1, BLOCKS, 32), lambda i: (i, i * 0, i * 0),
-                             memory_space=pltpu.ANY
+                             memory_space=pl.ANY
                              if interpret else pltpu.VMEM),
                 pl.BlockSpec((2,), lambda i: (i * 0,),
                              memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((1, BLOCKS, width),
                                    lambda i: (i, i * 0, i * 0),
-                                   memory_space=pltpu.ANY
+                                   memory_space=pl.ANY
                                    if interpret else pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_tiles, BLOCKS, width),
                                            jnp.uint32),

@@ -57,11 +57,11 @@ def pack_pallas_tiles(bins, width: int, interpret: bool = False):
         kernel,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((1, BLOCKS, 32), lambda i: (i, i * 0, i * 0),
-                               memory_space=pltpu.ANY
+                               memory_space=pl.ANY
                                if interpret else pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, BLOCKS, width),
                                lambda i: (i, i * 0, i * 0),
-                               memory_space=pltpu.ANY
+                               memory_space=pl.ANY
                                if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, BLOCKS, width),
                                        jnp.uint32),

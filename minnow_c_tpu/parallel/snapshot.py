@@ -70,12 +70,17 @@ def _batched_prepare_pos(x, width):
     return jax.vmap(one)(x)
 
 
-@jax.jit
-def _batched_prepare_vel(x):
+@functools.partial(jax.jit, static_argnames=("sym_log10_scaled",
+                                              "threshold"))
+def _batched_prepare_vel(x, sym_log10_scaled: int = 0,
+                         threshold: float = 0.0):
+    from ..quant.engine import map_float
+
     def one(xb):
-        x0 = jnp.min(xb, axis=1)
-        x1 = jnp.max(xb, axis=1)
-        return xb, x0, jnp.max(x1 - x0)
+        xm = map_float(xb, 2 if sym_log10_scaled else 0, threshold)
+        x0 = jnp.min(xm, axis=1)
+        x1 = jnp.max(xm, axis=1)
+        return xm, x0, jnp.max(x1 - x0)
     return jax.vmap(one)(x)
 
 
@@ -167,7 +172,9 @@ def compress_snapshot(fp: BinaryIO,
     if vel is not None:
         acc = spec.vel
         xb = jnp.asarray(np.moveaxis(vel.reshape(3, B, nb), 1, 0))
-        xm, x0, rng_b = _batched_prepare_vel(xb)
+        xm, x0, rng_b = _batched_prepare_vel(
+            xb, int(acc.sym_log10_scaled),
+            float(acc.sym_log10_threshold))
         g = float(np.asarray(jnp.max(rng_b)))
         depth = engine.delta_to_depth(acc.delta, 0.0, g)
         words = _batched_bin_pack(xm, x0, rng_b, depth)
@@ -185,8 +192,8 @@ def compress_snapshot(fp: BinaryIO,
             for v in x0_h[b] + rng_h[b]:
                 meta.f32(float(v))
             meta.u8(depth).u8(0)
-            meta.u8(0).u8(0)
-            meta.f32(0.0)
+            meta.u8(2 if acc.sym_log10_scaled else 0).u8(0)
+            meta.f32(float(acc.sym_log10_threshold))
             meta.u64(seed)
             blocks = [encode_block(meta.data, 0, True, accel)]
             for i in range(3):

@@ -138,3 +138,21 @@ class TestOddShapes:
         err = np.abs(out["pos"] - pos)
         err = np.minimum(err, 64.0 - err)
         assert err.max() <= 1e-3
+
+
+class TestSymlogVelocity:
+    def test_symlog_velocity_snapshot(self):
+        n = 4096
+        rng = np.random.default_rng(12)
+        vel = rng.normal(0, 300, (3, n)).astype(np.float32)
+        spec = snapshot.SnapshotSpec(
+            vel=mnw.VelocityAccuracy(delta=1e-3, sym_log10_scaled=2,
+                                     sym_log10_threshold=1.0))
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot(buf, None, vel, None, spec, num_blocks=4,
+                                   seed=3)
+        buf.seek(0)
+        out = snapshot.decompress_snapshot(buf)
+        sl = lambda x: np.sign(x) * np.log10(1 + np.abs(x))
+        err = np.abs(sl(out["vel"]) - sl(vel))
+        assert err.max() <= 1.2e-3  # delta bound in symlog space
