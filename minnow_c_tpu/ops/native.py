@@ -70,12 +70,6 @@ def lib() -> ctypes.CDLL:
         return _lib
 
 
-def _as_bytes_ptr(buf) -> ctypes.c_void_p:
-    arr = np.frombuffer(buf, dtype=np.uint8) if isinstance(
-        buf, (bytes, bytearray, memoryview)) else np.ascontiguousarray(buf)
-    return arr.ctypes.data_as(ctypes.c_void_p), arr
-
-
 def uniform_pack_host(x: np.ndarray, width: int) -> np.ndarray:
     """Host bitpack oracle (bit-exact vs the TPU kernel)."""
     from . import bitpack

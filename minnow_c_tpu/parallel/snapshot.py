@@ -267,13 +267,21 @@ def _wrap_precompressed(raw_words: np.ndarray, comp: bytes,
     return w.data
 
 
-def decompress_snapshot(fp: BinaryIO) -> dict:
+def decompress_snapshot(fp: BinaryIO, batched: bool = True) -> dict:
     """Read a chained multi-segment snapshot back into concatenated field
-    arrays (ordered gather in file order).  Uses the standard segment
-    decoder per block; blocks decode independently (and could fan out
-    across processes -- they are self-describing segments)."""
+    arrays (ordered gather in file order).
+
+    ``batched=True`` decodes all blocks of each field in one device pass
+    when the file has the uniform structure the snapshot writer produces
+    (same fields, shared depth, Trim coding) -- bit-identical to the
+    per-segment path, which remains the fallback for any other file."""
+    segments = [s for _, s in seg_io.iter_segments(fp)]
+    if batched:
+        out = _decompress_snapshot_batched(segments)
+        if out is not None:
+            return out
     pos_parts, vel_parts, id_parts = [], [], []
-    for hdr, seg_bytes in seg_io.iter_segments(fp):
+    for seg_bytes in segments:
         seg = decompress_segment(seg_bytes, fused=True)
         for f in seg.fields:
             arr = np.asarray(f.data)
@@ -290,4 +298,157 @@ def decompress_snapshot(fp: BinaryIO) -> dict:
         out["vel"] = np.concatenate(vel_parts, axis=1)
     if id_parts:
         out["ids"] = np.concatenate(id_parts)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "nb", "periodic"))
+def _batched_float_decode(words, x0, rng_b, key, depth: int, nb: int,
+                          periodic: bool, box):
+    """(B, 3, wpb) words -> (B, 3, nb) floats.  All blocks share the dither
+    key and counters 0..nb (exactly what per-segment decode does), so the
+    dither vector is computed once and broadcast."""
+    from ..ops import rng as _rng
+
+    u = _rng.uniform_dither((key[0], key[1]), (nb,))
+    dx = rng_b.astype(jnp.float32) / jnp.float32(1 << depth)
+
+    def one_plane(w_bd, x0_bd, dx_b):
+        bins = bitpack.uniform_unpack(w_bd, depth, nb)
+        bins = jax.lax.optimization_barrier(bins)
+        x = x0_bd + dx_b * (bins.astype(jnp.float32) + u)
+        if periodic:
+            x = jax.lax.optimization_barrier(x)
+            x = jnp.where(x >= box, x - box, x)
+            x = jnp.where(x < 0, x + box, x)
+        return x
+
+    return jax.vmap(lambda wb, x0b, dxb: jax.vmap(
+        lambda wd, o: one_plane(wd, o, dxb))(wb, x0b))(words, x0, dx)
+
+
+def _decompress_snapshot_batched(segments) -> Optional[dict]:
+    """Batched decode of a uniform snapshot file; None if the file doesn't
+    fit the writer's structure (caller falls back)."""
+    from ..algos.blocks import decode_block
+    from ..ops import rng as _rng
+    from ..segment.stream import Reader
+
+    try:
+        parsed = [wire.deserialize(s) for s in segments]
+    except ValueError:
+        return None
+    if not parsed:
+        return None
+    nb = parsed[0].particle_num
+    sig = [(f.field_code, f.algo_code, len(f.blocks))
+           for f in parsed[0].fields]
+    for p in parsed:
+        if p.particle_num != nb or \
+                [(f.field_code, f.algo_code, len(f.blocks))
+                 for f in p.fields] != sig:
+            return None
+        for f in p.fields:
+            if (f.algo_code != int(AlgoCode.TRIM) or
+                    any(b is None for b in f.blocks)):
+                return None
+
+    B = len(parsed)
+    out = {}
+    for fi, (code, _, _) in enumerate(sig):
+        blocks_by_seg = [p.fields[fi].blocks for p in parsed]
+        if code in (int(FieldCode.POSN), int(FieldCode.VELC)):
+            is_pos = code == int(FieldCode.POSN)
+            metas = []
+            for b in range(B):
+                meta, _, _ = decode_block(blocks_by_seg[b][0])
+                r = Reader(meta.tobytes())
+                x0 = [r.f32() for _ in range(3)]
+                x1 = [r.f32() for _ in range(3)]
+                box = r.f32() if is_pos else 0.0
+                depth = r.u8()
+                if r.u8():
+                    return None  # per-particle depths: fall back
+                if not is_pos:
+                    if r.u8():
+                        return None  # symlog: fall back
+                    r.u8()
+                    r.f32()
+                else:
+                    r.u16()
+                seed = r.u64()
+                metas.append((x0, x1, box, depth, seed))
+            depth = metas[0][3]
+            seed = metas[0][4]
+            box = metas[0][2]
+            if any(m[3] != depth or m[4] != seed or m[2] != box
+                   for m in metas):
+                return None
+            if depth < 1:
+                return None
+            words = []
+            for b in range(B):
+                row = []
+                for d in range(3):
+                    payload, w, _ = decode_block(blocks_by_seg[b][1 + d])
+                    if w != depth:
+                        return None
+                    row.append(np.frombuffer(payload.tobytes(),
+                                             dtype="<u4"))
+                words.append(np.stack(row))
+            words = jnp.asarray(np.stack(words))  # (B, 3, wpb)
+            x0 = jnp.asarray(np.array([m[0] for m in metas],
+                                      dtype=np.float32))
+            rng_b = jnp.asarray(np.array(
+                [np.float32(np.max(np.float32(m[1]) - np.float32(m[0])))
+                 for m in metas], dtype=np.float32))
+            # NB: per-segment decode derives a key per dim; replicate that
+            keys = [jnp.asarray(_rng.field_key(seed, fi, d),
+                                dtype=jnp.uint32) for d in range(3)]
+            dims = []
+            for d in range(3):
+                res = _batched_float_decode(
+                    words[:, d:d + 1], x0[:, d:d + 1], rng_b, keys[d],
+                    depth, nb, is_pos, jnp.float32(box))
+                dims.append(res[:, 0])
+            data = jnp.stack(dims, axis=1)  # (B, 3, nb)
+            arr = np.asarray(data)
+            out["pos" if is_pos else "vel"] = np.concatenate(
+                [arr[b] for b in range(B)], axis=1)
+        elif code == int(FieldCode.PTID):
+            metas = []
+            for b in range(B):
+                meta, _, _ = decode_block(blocks_by_seg[b][0])
+                r = Reader(meta.tobytes())
+                width = r.u64()
+                x0 = [r.u64() for _ in range(3)]
+                _ = [r.u64() for _ in range(3)]
+                metas.append((width, x0))
+            width = metas[0][0]
+            if any(m[0] != width for m in metas):
+                return None
+            dims = []
+            for d in range(3):
+                rows = []
+                wbits = None
+                for b in range(B):
+                    payload, w, _ = decode_block(blocks_by_seg[b][1 + d])
+                    if wbits is None:
+                        wbits = w
+                    elif w != wbits:
+                        return None
+                    rows.append(np.frombuffer(payload.tobytes(),
+                                              dtype="<u4"))
+                words_d = jnp.asarray(np.stack(rows))
+                bins = jax.vmap(
+                    lambda r: bitpack.uniform_unpack(r, int(wbits), nb)
+                )(words_d)
+                x0d = jnp.asarray(np.array([m[1][d] for m in metas],
+                                           dtype=np.uint64))
+                dims.append(bins.astype(jnp.uint64) + x0d[:, None])
+            w64 = jnp.uint64(width)
+            dimsw = [jnp.where(v >= w64, v - w64, v) for v in dims]
+            ids = dimsw[0] + w64 * dimsw[1] + w64 * w64 * dimsw[2]
+            out["ids"] = np.asarray(ids).reshape(-1)
+        else:
+            return None
     return out

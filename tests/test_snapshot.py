@@ -156,3 +156,31 @@ class TestSymlogVelocity:
         sl = lambda x: np.sign(x) * np.log10(1 + np.abs(x))
         err = np.abs(sl(out["vel"]) - sl(vel))
         assert err.max() <= 1.2e-3  # delta bound in symlog space
+
+
+class TestBatchedDecode:
+    def test_batched_bit_identical_to_fallback(self):
+        pos, vel, ids = make_snapshot(n=16384)
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot(buf, pos, vel, ids, SPEC, num_blocks=4,
+                                   seed=7)
+        buf.seek(0)
+        a = snapshot.decompress_snapshot(buf, batched=True)
+        buf.seek(0)
+        b = snapshot.decompress_snapshot(buf, batched=False)
+        for k in ("pos", "vel", "ids"):
+            np.testing.assert_array_equal(a[k], b[k])
+
+    def test_batched_falls_back_on_symlog(self):
+        n = 2048
+        rng = np.random.default_rng(3)
+        vel = rng.normal(0, 300, (3, n)).astype(np.float32)
+        spec = snapshot.SnapshotSpec(
+            vel=mnw.VelocityAccuracy(delta=1e-3, sym_log10_scaled=2,
+                                     sym_log10_threshold=1.0))
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot(buf, None, vel, None, spec, num_blocks=2)
+        buf.seek(0)
+        out = snapshot.decompress_snapshot(buf, batched=True)  # falls back
+        sl = lambda x: np.sign(x) * np.log10(1 + np.abs(x))
+        assert np.abs(sl(out["vel"]) - sl(vel)).max() <= 1.2e-3
