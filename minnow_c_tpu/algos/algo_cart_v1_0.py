@@ -82,8 +82,8 @@ class CartV1_0(TrimV1_0):
             raise ValueError("Cart plane magic mismatch")
         body = raw[8:8 + 4 * n_words]
         packed = _undo_transpose_delta(body, n_words)
-        return np.asarray(bitpack.uniform_unpack(jnp.asarray(packed), width,
-                                                 n))
+        # device-resident: bins stay on device through dequantization
+        return bitpack.uniform_unpack(jnp.asarray(packed), width, n)
 
 
 registry.register(CartV1_0())

@@ -82,7 +82,8 @@ class CoilV1_0(TrimV1_0):
         d = (zi >> 1) ^ -(zi & 1)
         d = d.at[0].set(0)
         out = jnp.int32(first) + jnp.cumsum(d)
-        return np.asarray(out.astype(jnp.uint32))
+        # device-resident: bins stay on device through dequantization
+        return out.astype(jnp.uint32)
 
 
 registry.register(CoilV1_0())

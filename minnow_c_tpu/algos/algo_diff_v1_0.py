@@ -67,9 +67,9 @@ class DiffV1_0(TrimV1_0):
         zi = z.astype(jnp.int32)
         d = (zi >> 1) ^ -(zi & 1)
         rest = first.astype(jnp.int32) + jnp.cumsum(d)
-        return np.asarray(
-            jnp.concatenate([jnp.asarray([first], dtype=jnp.uint32),
-                             rest.astype(jnp.uint32)]))
+        # device-resident: bins stay on device through dequantization
+        return jnp.concatenate([jnp.asarray([first], dtype=jnp.uint32),
+                                rest.astype(jnp.uint32)])
 
 
 registry.register(DiffV1_0())
