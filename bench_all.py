@@ -129,7 +129,11 @@ def config4():
     from minnow_c_tpu.ops import entropy
 
     W = 64.0
-    B, nb = 8, 12_500_000 // 2  # 50M on this 16GB chip; 100M on larger
+    # 50M particles: the salted-chain harness keeps a 4-output rolling
+    # window live (anti-elision), and at 100M that window alone is 4.8 GB
+    # -- with encode+decode intermediates it exhausts the 16 GB chip.
+    # 100M fits for a single pass (no harness) or on larger-HBM parts.
+    B, nb = 8, 12_500_000 // 2
     n = B * nb
     rng = np.random.default_rng(3)
     x = rng.uniform(0, W, (B, 3, nb)).astype(np.float32)
@@ -228,6 +232,7 @@ def main():
     for fn in fns:
         try:
             fn()
+            results.pop(fn.__name__, None)  # clear stale error entries
         except Exception as e:  # keep the matrix running
             results[fn.__name__] = {"error": repr(e)[:500]}
             log(f"{fn.__name__} FAILED: {e!r}")
