@@ -72,4 +72,119 @@ class DiffV1_0(TrimV1_0):
                                 rest.astype(jnp.uint32)])
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("width", "n", "depth",
+                                             "periodic"))
+def _diff_plane_fused(words, key, width: int, n: int, depth: int, x0, dx,
+                      box, periodic: bool):
+    """Fused device decode of one Diff plane: unpack zigzag deltas ->
+    cumsum -> bins -> dithered undo -> optional periodic rewrap.  Bit-
+    identical to _decode_plane + engine undo (same ops, same dither)."""
+    from ..ops import rng as _rng
+
+    first = jnp.uint32(words[0])
+    z = bitpack.uniform_unpack(words[1:], width, n - 1)
+    z = jax.lax.optimization_barrier(z)
+    zi = z.astype(jnp.int32)
+    d = (zi >> 1) ^ -(zi & 1)
+    rest = first.astype(jnp.int32) + jnp.cumsum(d)
+    bins = jnp.concatenate([jnp.asarray([first], dtype=jnp.uint32),
+                            rest.astype(jnp.uint32)])
+    bins = jax.lax.optimization_barrier(bins)
+    bin_w = jnp.float32(dx) / jnp.float32(1 << depth)
+    u = _rng.uniform_dither((key[0], key[1]), (n,))
+    x = jnp.float32(x0) + bin_w * (bins.astype(jnp.float32) + u)
+    if periodic:
+        x = jax.lax.optimization_barrier(x)
+        x = jnp.where(x >= box, x - box, x)
+        x = jnp.where(x < 0, x + box, x)
+    return x
+
+
+def _fused_for_diff(self, hd, blocks, field_index):
+    """decompress_field_fused for Diff-coded fields (see TrimV1_0's for
+    the contract)."""
+    from ..ops import rng as _rng
+    from ..quant.engine import depth_to_delta
+    from ..segment.stream import Reader
+    from ..types import (Field, FieldCode, FloatAccuracy, PositionAccuracy,
+                         VelocityAccuracy)
+    from .blocks import decode_block
+
+    code = hd.field_code
+    if type(self) is not DiffV1_0:
+        return None
+    if code not in (FieldCode.POSN, FieldCode.VELC, FieldCode.UNSF):
+        return None
+    if any(b is None for b in blocks):
+        return None
+    n = hd.particle_len
+    if n < 2:
+        return None
+    meta, _, _ = decode_block(blocks[0])
+    r = Reader(meta.tobytes())
+    if code == FieldCode.UNSF:
+        x0 = r.f32()
+        x1 = r.f32()
+        depth = r.u8()
+        if r.u8() or r.u8():
+            return None  # per-particle depths / log scaling
+        r.u8()
+        r.f32()
+        seed = r.u64()
+        payload, w, _ = decode_block(blocks[1])
+        words = jnp.asarray(np.frombuffer(payload.tobytes(), dtype="<u4"))
+        key = _rng.field_key_arr(seed, field_index, 0)
+        x = _diff_plane_fused(words, key, w, n, depth, x0,
+                              np.float32(x1) - np.float32(x0),
+                              jnp.float32(0.0), False)
+        return Field(hd=hd, data=x,
+                     acc=FloatAccuracy(delta=depth_to_delta(depth, x0, x1)))
+
+    is_pos = code == FieldCode.POSN
+    x0 = tuple(r.f32() for _ in range(3))
+    x1 = tuple(r.f32() for _ in range(3))
+    if is_pos:
+        box = r.f32()
+    depth = r.u8()
+    if r.u8():
+        return None
+    if not is_pos:
+        if r.u8():
+            return None
+        r.u8()
+        r.f32()
+    else:
+        r.u16()
+    seed = r.u64()
+    x0a = np.asarray(x0, dtype=np.float32)
+    x1a = np.asarray(x1, dtype=np.float32)
+    max_diff = float(np.float32(np.max(x1a - x0a)))
+    dims = []
+    for d in range(3):
+        payload, w, _ = decode_block(blocks[1 + d])
+        words = jnp.asarray(np.frombuffer(payload.tobytes(), dtype="<u4"))
+        key = _rng.field_key_arr(seed, field_index, d)
+        # canonical bin width (see TrimV1_0.decompress_field_fused)
+        dx_eff = float(np.float32(float(x0a[d]) + max_diff) - x0a[d])
+        dims.append(_diff_plane_fused(
+            words, key, w, n, depth, float(x0a[d]), dx_eff,
+            jnp.float32(box if is_pos else 0.0), is_pos))
+    data = jnp.stack(dims)
+    if is_pos:
+        acc = PositionAccuracy(
+            delta=depth_to_delta(depth, x0a[0], x0a[0] + max_diff),
+            width=box)
+    else:
+        acc = VelocityAccuracy(
+            delta=depth_to_delta(depth, x0a[0], x0a[0] + max_diff))
+    return Field(hd=hd, data=data, acc=acc)
+
+
+DiffV1_0.decompress_field_fused = _fused_for_diff
+
 registry.register(DiffV1_0())

@@ -310,7 +310,11 @@ class TrimV1_0:
             payload, w, _ = decode_block(blocks[1 + d])
             words = jnp.asarray(_payload_words(payload))
             key = _rng.field_key_arr(seed, field_index, d)
-            dims.append(plane(words, key, depth, float(x0a[d]), max_diff,
+            # Canonical bin width is f32(x0 + maxDiff) - f32(x0) (the
+            # generic engine path, which the frozen decode digests pin);
+            # passing maxDiff directly differs by 1 ULP for offset ranges.
+            dx_eff = float(np.float32(float(x0a[d]) + max_diff) - x0a[d])
+            dims.append(plane(words, key, depth, float(x0a[d]), dx_eff,
                               width if is_pos else 0.0, is_pos))
         data = jnp.stack(dims)
         if is_pos:

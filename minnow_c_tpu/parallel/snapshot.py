@@ -396,19 +396,23 @@ def _decompress_snapshot_batched(segments) -> Optional[dict]:
                                              dtype="<u4"))
                 words.append(np.stack(row))
             words = jnp.asarray(np.stack(words))  # (B, 3, wpb)
-            x0 = jnp.asarray(np.array([m[0] for m in metas],
-                                      dtype=np.float32))
-            rng_b = jnp.asarray(np.array(
+            x0_np = np.array([m[0] for m in metas], dtype=np.float32)
+            md_np = np.array(
                 [np.float32(np.max(np.float32(m[1]) - np.float32(m[0])))
-                 for m in metas], dtype=np.float32))
+                 for m in metas], dtype=np.float64)
+            # canonical per-dim bin range: f32(x0 + maxDiff) - f32(x0)
+            dx_np = (np.float32(x0_np.astype(np.float64) + md_np[:, None]) -
+                     x0_np).astype(np.float32)  # (B, 3)
+            x0 = jnp.asarray(x0_np)
+            dx_eff = jnp.asarray(dx_np)
             # NB: per-segment decode derives a key per dim; replicate that
             keys = [jnp.asarray(_rng.field_key(seed, fi, d),
                                 dtype=jnp.uint32) for d in range(3)]
             dims = []
             for d in range(3):
                 res = _batched_float_decode(
-                    words[:, d:d + 1], x0[:, d:d + 1], rng_b, keys[d],
-                    depth, nb, is_pos, jnp.float32(box))
+                    words[:, d:d + 1], x0[:, d:d + 1], dx_eff[:, d],
+                    keys[d], depth, nb, is_pos, jnp.float32(box))
                 dims.append(res[:, 0])
             data = jnp.stack(dims, axis=1)  # (B, 3, nb)
             arr = np.asarray(data)

@@ -257,3 +257,30 @@ class TestFusedDecode:
         b = api.decompress_segment(blob, fused=True)
         np.testing.assert_array_equal(np.asarray(a.fields[0].data),
                                       np.asarray(b.fields[0].data))
+
+    def test_fused_diff_bits_match_generic(self):
+        n, W = 33000, 64.0
+        rng = np.random.default_rng(8)
+        steps = rng.normal(0, 0.02, (3, n)).astype(np.float32)
+        pos = (np.cumsum(steps, axis=1) + W / 2).astype(np.float32) % W
+        vel = rng.normal(0, 150, (3, n)).astype(np.float32)
+        uf = rng.uniform(1, 2, n).astype(np.float32)
+        ver = registry.newest(mnw.AlgoCode.DIFF)
+
+        def hd(code):
+            return mnw.FieldHeader(code, mnw.AlgoCode.DIFF, ver, n)
+
+        seg = mnw.Seg(fields=[
+            mnw.Field(hd=hd(mnw.FieldCode.POSN), data=pos,
+                      acc=mnw.PositionAccuracy(delta=1e-3, width=W)),
+            mnw.Field(hd=hd(mnw.FieldCode.VELC), data=vel,
+                      acc=mnw.VelocityAccuracy(delta=0.5)),
+            mnw.Field(hd=hd(mnw.FieldCode.UNSF), data=uf,
+                      acc=mnw.FloatAccuracy(delta=1e-4)),
+        ])
+        blob = api.compress_segment(seg, seed=31)
+        a = api.decompress_segment(blob)
+        b = api.decompress_segment(blob, fused=True)
+        for fa, fb in zip(a.fields, b.fields):
+            np.testing.assert_array_equal(np.asarray(fa.data),
+                                          np.asarray(fb.data))
