@@ -46,13 +46,21 @@ def config1():
     rng = np.random.default_rng(0)
     pos = rng.uniform(0, W, (3, n)).astype(np.float32)
     ver = registry.newest(mnw.AlgoCode.TRIM)
-    seg = mnw.Seg(fields=[mnw.Field(
-        hd=mnw.FieldHeader(mnw.FieldCode.POSN, mnw.AlgoCode.TRIM, ver, n),
-        data=pos, acc=mnw.PositionAccuracy(delta=1e-3, width=W))])
+
+    def make(p):
+        return mnw.Seg(fields=[mnw.Field(
+            hd=mnw.FieldHeader(mnw.FieldCode.POSN, mnw.AlgoCode.TRIM, ver,
+                               n),
+            data=p, acc=mnw.PositionAccuracy(delta=1e-3, width=W))])
+
+    # Warm: compile every program in the pipeline on identical shapes
+    # (the bench.c pause/resume intent -- compiles are not throughput).
+    warm = api.compress_segment(make(pos), seed=0)
+    api.decompress_segment(warm, fused=True)
     t0 = time.perf_counter()
-    blob = api.compress_segment(seg, seed=1)
+    blob = api.compress_segment(make(pos), seed=1)
     t1 = time.perf_counter()
-    out = api.decompress_segment(blob)
+    out = api.decompress_segment(blob, fused=True)
     t2 = time.perf_counter()
     err = np.abs(np.asarray(out.fields[0].data) - pos)
     err = np.minimum(err, W - err)
@@ -60,8 +68,10 @@ def config1():
     results["config1_1M_roundtrip"] = {
         "within_delta": ok, "encode_s": round(t1 - t0, 3),
         "decode_s": round(t2 - t1, 3),
-        "ratio": round(len(blob) / pos.nbytes, 4)}
-    log(f"config1: ok={ok} ratio={len(blob)/pos.nbytes:.3f}")
+        "ratio": round(len(blob) / pos.nbytes, 4),
+        "note": "warm (compiles excluded); fused decode"}
+    log(f"config1: ok={ok} enc={t1-t0:.2f}s dec={t2-t1:.2f}s "
+        f"ratio={len(blob)/pos.nbytes:.3f}")
 
 
 def config2():
@@ -238,10 +248,28 @@ def main():
             log(f"{fn.__name__} FAILED: {e!r}")
     with open("bench_results.json", "w") as f:
         json.dump(results, f, indent=2)
-    lines = ["# BENCH NOTES (full config matrix)", "",
-             "Generated by bench_all.py; headline metric lives in "
-             "bench.py.", "```json",
-             json.dumps(results, indent=2), "```"]
+    preamble = [
+        "# BENCH NOTES (full config matrix)", "",
+        "Generated by bench_all.py; headline metric lives in bench.py.", "",
+        "## On the BASELINE target \"decode bit-exact vs minnow_c\"", "",
+        "This target is unmeetable as literally stated: the reference's",
+        "decode dither RNG is seeded from `clock()` at call time",
+        "(`/root/reference/src/quant.c:639`), so *two consecutive runs of",
+        "the reference itself* produce different decode bits.  Bit-exact",
+        "parity is therefore asserted at every deterministic boundary",
+        "instead, against a compiled build of the reference C",
+        "(`tests/ref_oracle.py`): bin indices (the lossy map), bit-packed",
+        "streams at all widths 0-32 incl. word straddles, checksums, and",
+        "the xoroshiro128+ RNG stream itself (state-for-state).  Our own",
+        "decode is made deterministic by a header-carried seed and a",
+        "spec'd counter-based dither (Threefry-2x32-13), frozen by",
+        "committed encode AND decode digests",
+        "(`tests/fixtures/wire_digests.json`).  Statistically, decode",
+        "output matches the reference's distribution exactly: same bins,",
+        "same uniform-in-bin law.", "",
+        "## Results", "",
+    ]
+    lines = preamble + ["```json", json.dumps(results, indent=2), "```"]
     with open("BENCH_NOTES.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     log("wrote bench_results.json, BENCH_NOTES.md")

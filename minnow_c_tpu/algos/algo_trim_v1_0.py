@@ -28,8 +28,10 @@ go into a new algo_trim_v1_1.py (header_format.tex:278-283).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -79,6 +81,34 @@ def _unpack_plane_var(words: np.ndarray, depths: np.ndarray):
 def _payload_words(payload: np.ndarray) -> np.ndarray:
     return np.frombuffer(payload.tobytes(), dtype="<u4").astype(
         np.uint32, copy=False)
+
+
+def _unmap_eager(y, mode: int, threshold: float):
+    """Device-side inverse float mapping for the fused decode path.
+
+    Deliberately *eager* (op-by-op), exactly like the generic engine path
+    after ``undo_float_uniform``: under jit, XLA constant-combines
+    ``y * log2(10) * ln2`` inside the fused exp2 into one rounding, which
+    shifts ~ULP bits vs the frozen eager decode digests.  Eager mul/exp2
+    match the generic composition bit-for-bit."""
+    from ..quant.engine import unmap_float
+    return unmap_float(y, mode, threshold)
+
+
+def _undo_var_fused(bins, depths, key, x0, x1, periodic_width=None,
+                    unmap_mode: int = 0, threshold: float = 0.0):
+    """Fused Deltas-mode undo: the exact generic composition --
+    ``undo_float_var`` (the same standalone jitted program the engine
+    runs) followed by eager unmap / periodic rewrap -- skipping the
+    QField materialization.  Bit-identical to decompress + dequantize."""
+    from ..ops import kernels
+    from ..quant import engine
+    y = engine.undo_float_var(bins, x0, x1, jnp.asarray(depths), key)
+    if unmap_mode:
+        y = engine.unmap_float(y, unmap_mode, threshold)
+    if periodic_width is not None:
+        y = kernels.periodic(y, periodic_width)
+    return y
 
 
 class TrimV1_0:
@@ -260,51 +290,103 @@ class TrimV1_0:
                 words, key, depth, n, x0v, dxv,
                 periodic_width=(box if periodic else None))
 
+        from ..quant.engine import unmap_float as _unmap
+
         n = hd.particle_len
         meta, _, _ = decode_block(blocks[0])
         r = Reader(meta.tobytes())
         if code == FieldCode.UNSF:
+            from ..quant.engine import depths_to_deltas
             x0 = r.f32()
             x1 = r.f32()
             depth = r.u8()
-            if r.u8():  # per-particle depths
-                return None
-            if r.u8():  # log10 scaled
-                return None
+            has_depths = r.u8()
+            log10_scaled = r.u8()
             r.u8()
-            r.f32()
+            threshold = r.f32()
             seed = r.u64()
+            key = _rng.field_key_arr(seed, field_index, 0)
+            if has_depths:
+                if len(blocks) < 3 or blocks[2] is None:
+                    return None
+                dp, _, _ = decode_block(blocks[2])
+                depths = np.asarray(dp, dtype=np.uint8)
+                payload, w, _ = decode_block(blocks[1])
+                bins = self._decode_plane_var(_payload_words(payload),
+                                              depths, n)
+                x = _undo_var_fused(jnp.asarray(bins), depths, key,
+                                  float(x0), float(x1),
+                                  unmap_mode=int(log10_scaled),
+                                  threshold=float(threshold))
+                acc = FloatAccuracy(
+                    delta=0.0, deltas=depths_to_deltas(depths, x0, x1),
+                    log10_scaled=log10_scaled,
+                    sym_log10_threshold=threshold)
+                return Field(hd=hd, data=x, acc=acc)
             if depth < 1 or n < 32:
                 return None
             payload, w, _ = decode_block(blocks[1])
             words = jnp.asarray(_payload_words(payload))
-            key = _rng.field_key_arr(seed, field_index, 0)
             x = plane(words, key, depth, x0,
                       np.float32(x1) - np.float32(x0), 0.0, False)
-            acc = FloatAccuracy(delta=depth_to_delta(depth, x0, x1))
+            if log10_scaled:
+                # Same elementwise composition as the generic path
+                # (unmap after undo); stays on device, fuses into the
+                # decode consumers.
+                x = _unmap_eager(x, log10_scaled, float(threshold))
+            acc = FloatAccuracy(delta=depth_to_delta(depth, x0, x1),
+                                log10_scaled=log10_scaled,
+                                sym_log10_threshold=threshold)
             return Field(hd=hd, data=x, acc=acc)
 
         is_pos = code == FieldCode.POSN
         x0 = tuple(r.f32() for _ in range(3))
         x1 = tuple(r.f32() for _ in range(3))
+        symlog, threshold = 0, 0.0
+        width = 0.0
         if is_pos:
             width = r.f32()
         depth = r.u8()
-        if r.u8():  # per-particle depths
-            return None
+        has_depths = r.u8()
         if not is_pos:
-            if r.u8():  # symlog
-                return None
+            symlog = r.u8()
             r.u8()
-            r.f32()
+            threshold = r.f32()
         else:
             r.u16()
         seed = r.u64()
-        if depth < 1 or n < 32:
-            return None
         x0a = np.asarray(x0, dtype=np.float32)
         x1a = np.asarray(x1, dtype=np.float32)
         max_diff = float(np.float32(np.max(x1a - x0a)))
+        if has_depths:
+            from ..quant.engine import depths_to_deltas
+            if len(blocks) < 5 or blocks[4] is None:
+                return None
+            dp, _, _ = decode_block(blocks[4])
+            depths = np.asarray(dp, dtype=np.uint8)
+            dims = []
+            for d in range(3):
+                payload, w, _ = decode_block(blocks[1 + d])
+                bins = self._decode_plane_var(_payload_words(payload),
+                                              depths, n)
+                key = _rng.field_key_arr(seed, field_index, d)
+                dims.append(_undo_var_fused(
+                    jnp.asarray(bins), depths, key, float(x0a[d]),
+                    float(x0a[d]) + max_diff,
+                    periodic_width=(width if is_pos else None),
+                    unmap_mode=int(symlog), threshold=float(threshold)))
+            data = jnp.stack(dims)
+            deltas = depths_to_deltas(depths, x0a[0], x0a[0] + max_diff)
+            if is_pos:
+                acc = PositionAccuracy(delta=0.0, width=width,
+                                       deltas=deltas)
+            else:
+                acc = VelocityAccuracy(delta=0.0, deltas=deltas,
+                                       sym_log10_scaled=symlog,
+                                       sym_log10_threshold=threshold)
+            return Field(hd=hd, data=data, acc=acc)
+        if depth < 1 or n < 32:
+            return None
         dims = []
         for d in range(3):
             payload, w, _ = decode_block(blocks[1 + d])
@@ -314,8 +396,11 @@ class TrimV1_0:
             # generic engine path, which the frozen decode digests pin);
             # passing maxDiff directly differs by 1 ULP for offset ranges.
             dx_eff = float(np.float32(float(x0a[d]) + max_diff) - x0a[d])
-            dims.append(plane(words, key, depth, float(x0a[d]), dx_eff,
-                              width if is_pos else 0.0, is_pos))
+            y = plane(words, key, depth, float(x0a[d]), dx_eff,
+                      width if is_pos else 0.0, is_pos)
+            if symlog:
+                y = _unmap_eager(y, symlog, float(threshold))
+            dims.append(y)
         data = jnp.stack(dims)
         if is_pos:
             acc = PositionAccuracy(
@@ -323,7 +408,8 @@ class TrimV1_0:
                 width=width)
         else:
             acc = VelocityAccuracy(
-                delta=depth_to_delta(depth, x0a[0], x0a[0] + max_diff))
+                delta=depth_to_delta(depth, x0a[0], x0a[0] + max_diff),
+                sym_log10_scaled=symlog, sym_log10_threshold=threshold)
         return Field(hd=hd, data=data, acc=acc)
 
     # -- decompress --------------------------------------------------------

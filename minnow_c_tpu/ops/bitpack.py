@@ -27,7 +27,7 @@ TPU-native design -- no sequential bit cursor, no scatter:
 
 All functions are jit-safe with static ``width``.  Pallas-tiled variants
 (identical semantics, VMEM-resident intermediates) live in
-``bitpack_pallas.py``.
+``pack_pallas.py`` (encode) and ``decode_pallas.py`` (fused decode).
 """
 
 from __future__ import annotations

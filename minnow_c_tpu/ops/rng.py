@@ -206,7 +206,8 @@ def field_key_jax(seed, field_index, dim):
 
 
 def _threefry2x32(k0, k1, c0, c1, xp):
-    """20-round Threefry-2x32; ``xp`` is numpy or jax.numpy.  All inputs
+    """Threefry-2x32 with ``_TF_ROUNDS`` (=13) rounds; ``xp`` is numpy or
+    jax.numpy.  All inputs
     uint32 arrays/scalars; returns (x0, x1) uint32."""
     u32 = xp.uint32
     k0 = xp.asarray(k0, dtype=xp.uint32)

@@ -106,6 +106,113 @@ def _batched_bin_pack(xu, x0, rng_b, depth: int):
     return jax.vmap(one)(xu, x0, rng_b)
 
 
+def _encode_pos_batch(pos: np.ndarray, B: int, nb: int, acc, seed: int,
+                      accel: int, depth: Optional[int] = None):
+    """Batched device encode of positions (3, B*nb) -> per-block wire
+    block lists (Trim v1.0 layout) + the shared depth.  ``depth=None``
+    derives it from the observed global range."""
+    xb = jnp.asarray(np.moveaxis(pos.reshape(3, B, nb), 1, 0))
+    xu, x0, rng_b = _batched_prepare_pos(xb, float(acc.width))
+    if depth is None:
+        g = float(np.asarray(jnp.max(rng_b)))
+        depth = engine.delta_to_depth(acc.delta, 0.0, g)
+    words = _batched_bin_pack(xu, x0, rng_b, depth)
+    words_h = np.asarray(words)
+    x0_h = np.asarray(x0)
+    rng_h = np.asarray(rng_b)
+    payloads = [words_h[b, i] for b in range(B) for i in range(3)]
+    comp = entropy.encode_blocks(
+        [np.ascontiguousarray(p) for p in payloads], accel)
+    out = []
+    for b in range(B):
+        meta = Writer()
+        for v in x0_h[b]:
+            meta.f32(float(v))
+        for v in x0_h[b] + rng_h[b]:
+            meta.f32(float(v))
+        meta.f32(acc.width)
+        meta.u8(depth).u8(0).u16(0)
+        meta.u64(seed)
+        blocks = [encode_block(meta.data, 0, True, accel)]
+        for i in range(3):
+            blocks.append(_wrap_precompressed(
+                words_h[b, i], comp[b * 3 + i], depth))
+        out.append(blocks)
+    return out, depth
+
+
+def _encode_vel_batch(vel: np.ndarray, B: int, nb: int, acc, seed: int,
+                      accel: int, depth: Optional[int] = None):
+    xb = jnp.asarray(np.moveaxis(vel.reshape(3, B, nb), 1, 0))
+    xm, x0, rng_b = _batched_prepare_vel(
+        xb, int(acc.sym_log10_scaled), float(acc.sym_log10_threshold))
+    if depth is None:
+        g = float(np.asarray(jnp.max(rng_b)))
+        depth = engine.delta_to_depth(acc.delta, 0.0, g)
+    words = _batched_bin_pack(xm, x0, rng_b, depth)
+    words_h = np.asarray(words)
+    x0_h = np.asarray(x0)
+    rng_h = np.asarray(rng_b)
+    payloads = [words_h[b, i] for b in range(B) for i in range(3)]
+    comp = entropy.encode_blocks(
+        [np.ascontiguousarray(p) for p in payloads], accel)
+    out = []
+    for b in range(B):
+        meta = Writer()
+        for v in x0_h[b]:
+            meta.f32(float(v))
+        for v in x0_h[b] + rng_h[b]:
+            meta.f32(float(v))
+        meta.u8(depth).u8(0)
+        meta.u8(2 if acc.sym_log10_scaled else 0).u8(0)
+        meta.f32(float(acc.sym_log10_threshold))
+        meta.u64(seed)
+        blocks = [encode_block(meta.data, 0, True, accel)]
+        for i in range(3):
+            blocks.append(_wrap_precompressed(
+                words_h[b, i], comp[b * 3 + i], depth))
+        out.append(blocks)
+    return out, depth
+
+
+def _encode_id_batch(ids: np.ndarray, B: int, nb: int, acc, accel: int):
+    qdims, x0g, _ = engine.id_decompose(
+        jnp.asarray(ids, dtype=jnp.uint64), int(acc.width))
+    x0g = np.asarray(x0g).astype(np.uint64)  # global per-dim offset
+    qd = np.asarray(qdims.astype(jnp.uint32)).reshape(3, B, nb)
+    # per-block min-subtract, shared per-dim width across blocks; the
+    # stored per-block origin must include the global decompose offset
+    # so undoID's re-wrap sees true unwrapped coordinates.
+    x0_rel = qd.min(axis=2)  # (3, B), relative to global offset
+    rel = qd - x0_rel[:, :, None]
+    x0_blocks = x0_rel.astype(np.uint64) + x0g[:, None]
+    widths = [int(rel[i].max()).bit_length() for i in range(3)]
+    packed = []
+    for i in range(3):
+        w = max(widths[i], 1)
+        # per-block pack (vmapped): each block's stream is padded
+        # independently, so any (nb, width) combination is valid
+        pw = np.asarray(_batched_id_pack(jnp.asarray(rel[i]), w))
+        packed.append(pw)
+    payloads = [np.ascontiguousarray(packed[i][b])
+                for b in range(B) for i in range(3)]
+    comp = entropy.encode_blocks(payloads, accel)
+    out = []
+    for b in range(B):
+        meta = Writer()
+        meta.u64(int(acc.width))
+        for i in range(3):
+            meta.u64(int(x0_blocks[i, b]))
+        for i in range(3):
+            meta.u64(int(x0_blocks[i, b]) + int(rel[i, b].max()))
+        blocks = [encode_block(meta.data, 0, True, accel)]
+        for i in range(3):
+            blocks.append(_wrap_precompressed(
+                packed[i][b], comp[b * 3 + i], max(widths[i], 1)))
+        out.append(blocks)
+    return out, widths
+
+
 def compress_snapshot(fp: BinaryIO,
                       pos: Optional[np.ndarray],
                       vel: Optional[np.ndarray],
@@ -117,6 +224,10 @@ def compress_snapshot(fp: BinaryIO,
     """Compress a snapshot into ``fp`` as ``num_blocks`` chained standard
     segments.  Arrays: pos/vel (3, n) f32, ids (n,) u64; n must divide by
     num_blocks.  Returns stats (bytes, depths)."""
+    from ..utils import native_order
+    pos = native_order(pos)
+    vel = native_order(vel)
+    ids = native_order(ids)
     n = None
     for a in (pos, vel, ids):
         if a is not None:
@@ -138,113 +249,108 @@ def compress_snapshot(fp: BinaryIO,
             wire.WireField(int(code), int(AlgoCode.TRIM), TRIM_VERSION,
                            blocks))
 
-    # ---- positions -------------------------------------------------------
     if pos is not None:
-        acc = spec.pos
-        xb = jnp.asarray(np.moveaxis(pos.reshape(3, B, nb), 1, 0))
-        xu, x0, rng_b = _batched_prepare_pos(xb, float(acc.width))
-        g = float(np.asarray(jnp.max(rng_b)))
-        depth = engine.delta_to_depth(acc.delta, 0.0, g)
-        words = _batched_bin_pack(xu, x0, rng_b, depth)
-        words_h = np.asarray(words)
-        x0_h = np.asarray(x0)
-        rng_h = np.asarray(rng_b)
+        field_blocks, depth = _encode_pos_batch(pos, B, nb, spec.pos, seed,
+                                                accel)
         stats["pos_depth"] = depth
-        payloads = [words_h[b, i] for b in range(B) for i in range(3)]
-        comp = entropy.encode_blocks(
-            [np.ascontiguousarray(p) for p in payloads], accel)
         for b in range(B):
-            meta = Writer()
-            for v in x0_h[b]:
-                meta.f32(float(v))
-            for v in x0_h[b] + rng_h[b]:
-                meta.f32(float(v))
-            meta.f32(acc.width)
-            meta.u8(depth).u8(0).u16(0)
-            meta.u64(seed)
-            blocks = [encode_block(meta.data, 0, True, accel)]
-            for i in range(3):
-                blocks.append(_wrap_precompressed(
-                    words_h[b, i], comp[b * 3 + i], depth))
-            add_field(b, FieldCode.POSN, blocks)
+            add_field(b, FieldCode.POSN, field_blocks[b])
 
-    # ---- velocities ------------------------------------------------------
     if vel is not None:
-        acc = spec.vel
-        xb = jnp.asarray(np.moveaxis(vel.reshape(3, B, nb), 1, 0))
-        xm, x0, rng_b = _batched_prepare_vel(
-            xb, int(acc.sym_log10_scaled),
-            float(acc.sym_log10_threshold))
-        g = float(np.asarray(jnp.max(rng_b)))
-        depth = engine.delta_to_depth(acc.delta, 0.0, g)
-        words = _batched_bin_pack(xm, x0, rng_b, depth)
-        words_h = np.asarray(words)
-        x0_h = np.asarray(x0)
-        rng_h = np.asarray(rng_b)
+        field_blocks, depth = _encode_vel_batch(vel, B, nb, spec.vel, seed,
+                                                accel)
         stats["vel_depth"] = depth
-        payloads = [words_h[b, i] for b in range(B) for i in range(3)]
-        comp = entropy.encode_blocks(
-            [np.ascontiguousarray(p) for p in payloads], accel)
         for b in range(B):
-            meta = Writer()
-            for v in x0_h[b]:
-                meta.f32(float(v))
-            for v in x0_h[b] + rng_h[b]:
-                meta.f32(float(v))
-            meta.u8(depth).u8(0)
-            meta.u8(2 if acc.sym_log10_scaled else 0).u8(0)
-            meta.f32(float(acc.sym_log10_threshold))
-            meta.u64(seed)
-            blocks = [encode_block(meta.data, 0, True, accel)]
-            for i in range(3):
-                blocks.append(_wrap_precompressed(
-                    words_h[b, i], comp[b * 3 + i], depth))
-            add_field(b, FieldCode.VELC, blocks)
+            add_field(b, FieldCode.VELC, field_blocks[b])
 
-    # ---- IDs -------------------------------------------------------------
     if ids is not None:
-        acc = spec.ids
-        qdims, x0g, _ = engine.id_decompose(
-            jnp.asarray(ids, dtype=jnp.uint64), int(acc.width))
-        x0g = np.asarray(x0g).astype(np.uint64)  # global per-dim offset
-        qd = np.asarray(qdims.astype(jnp.uint32)).reshape(3, B, nb)
-        # per-block min-subtract, shared per-dim width across blocks; the
-        # stored per-block origin must include the global decompose offset
-        # so undoID's re-wrap sees true unwrapped coordinates.
-        x0_rel = qd.min(axis=2)  # (3, B), relative to global offset
-        rel = qd - x0_rel[:, :, None]
-        x0_blocks = x0_rel.astype(np.uint64) + x0g[:, None]
-        widths = [int(rel[i].max()).bit_length() for i in range(3)]
+        field_blocks, widths = _encode_id_batch(ids, B, nb, spec.ids, accel)
         stats["id_widths"] = widths
-        packed = []
-        for i in range(3):
-            w = max(widths[i], 1)
-            # per-block pack (vmapped): each block's stream is padded
-            # independently, so any (nb, width) combination is valid
-            pw = np.asarray(_batched_id_pack(jnp.asarray(rel[i]), w))
-            packed.append(pw)
-        payloads = [np.ascontiguousarray(packed[i][b])
-                    for b in range(B) for i in range(3)]
-        comp = entropy.encode_blocks(payloads, accel)
         for b in range(B):
-            meta = Writer()
-            meta.u64(int(acc.width))
-            for i in range(3):
-                meta.u64(int(x0_blocks[i, b]))
-            for i in range(3):
-                meta.u64(int(x0_blocks[i, b]) + int(rel[i, b].max()))
-            blocks = [encode_block(meta.data, 0, True, accel)]
-            for i in range(3):
-                blocks.append(_wrap_precompressed(
-                    packed[i][b], comp[b * 3 + i], max(widths[i], 1)))
-            add_field(b, FieldCode.PTID, blocks)
+            add_field(b, FieldCode.PTID, field_blocks[b])
 
     # ---- serialize + chain -----------------------------------------------
     segments = [wire.serialize(fields, nb) for fields in per_block_fields]
-    seg_io.write_segments(fp, segments)
+    geometry = None
+    if pos is not None:
+        # IOHeader Origin/Width (header_format.tex:206-218): per-block
+        # bounding box of the raw (wrapped) positions, for skip-ahead
+        # spatial queries.  Conservative: a cluster straddling the
+        # periodic seam reports a box spanning it in wrapped coordinates.
+        pb = pos.reshape(3, B, nb)
+        lo = pb.min(axis=2)  # (3, B)
+        hi = pb.max(axis=2)
+        geometry = [(tuple(float(lo[d, b]) for d in range(3)),
+                     tuple(float(hi[d, b] - lo[d, b]) for d in range(3)))
+                    for b in range(B)]
+    seg_io.write_segments(fp, segments, geometry)
     stats["bytes"] = sum(len(s) for s in segments) + \
         seg_io.IO_HEADER_BYTES * B
     stats["num_blocks"] = B
+    return stats
+
+
+def compress_snapshot_streaming(fp: BinaryIO, blocks_iter, spec: SnapshotSpec,
+                                seed: int = 0, accel: int = 1,
+                                depths: Optional[dict] = None) -> dict:
+    """Memory-bounded snapshot encode: stream particle blocks through the
+    device in waves, writing each finished segment before the next block
+    is pulled.  Peak host+device memory is one block regardless of
+    snapshot size -- the 1B-particle shape of BASELINE config5, built on
+    the spec's segment-independence guarantee (header_format.tex:120-135).
+
+    ``blocks_iter`` yields dicts with any of ``pos``/``vel`` (3, nb) f32
+    and ``ids`` (nb,) u64 -- the same fields in every block.  Each block
+    becomes one self-describing segment with its own ranges; pass
+    ``depths={"pos": d1, "vel": d2}`` to pin shared bit depths across
+    blocks (keeps the batched reader's one-pass decode eligible and the
+    wave shapes compile-once), else each block derives its own from its
+    local range (accuracy still meets ``spec`` deltas).
+
+    In a multi-host run each process streams its own blocks into its own
+    file; chained files concatenate by client convention (L5 duty,
+    doc/separation_of_duties.md:7-12).
+    """
+    from ..utils import native_order
+
+    stats = {"bytes": 0, "num_blocks": 0}
+    depths = depths or {}
+
+    def seg_gen():
+        for blk in blocks_iter:
+            pos = native_order(blk.get("pos"))
+            vel = native_order(blk.get("vel"))
+            ids = native_order(blk.get("ids"))
+            nb = next(a.shape[-1] for a in (pos, vel, ids) if a is not None)
+            fields: List[wire.WireField] = []
+            geometry = None
+            if pos is not None:
+                fb, d = _encode_pos_batch(pos, 1, nb, spec.pos, seed,
+                                          accel, depth=depths.get("pos"))
+                fields.append(wire.WireField(
+                    int(FieldCode.POSN), int(AlgoCode.TRIM), TRIM_VERSION,
+                    fb[0]))
+                lo = pos.min(axis=1)
+                hi = pos.max(axis=1)
+                geometry = (tuple(float(v) for v in lo),
+                            tuple(float(h - l) for h, l in zip(hi, lo)))
+            if vel is not None:
+                fb, d = _encode_vel_batch(vel, 1, nb, spec.vel, seed,
+                                          accel, depth=depths.get("vel"))
+                fields.append(wire.WireField(
+                    int(FieldCode.VELC), int(AlgoCode.TRIM), TRIM_VERSION,
+                    fb[0]))
+            if ids is not None:
+                fb, _ = _encode_id_batch(ids, 1, nb, spec.ids, accel)
+                fields.append(wire.WireField(
+                    int(FieldCode.PTID), int(AlgoCode.TRIM), TRIM_VERSION,
+                    fb[0]))
+            seg = wire.serialize(fields, nb)
+            stats["bytes"] += len(seg) + seg_io.IO_HEADER_BYTES
+            stats["num_blocks"] += 1
+            yield seg, geometry
+
+    seg_io.write_segments_streaming(fp, seg_gen())
     return stats
 
 
@@ -267,15 +373,29 @@ def _wrap_precompressed(raw_words: np.ndarray, comp: bytes,
     return w.data
 
 
-def decompress_snapshot(fp: BinaryIO, batched: bool = True) -> dict:
+def decompress_snapshot(fp: BinaryIO, batched: bool = True,
+                        box=None, periodic=None) -> dict:
     """Read a chained multi-segment snapshot back into concatenated field
     arrays (ordered gather in file order).
 
     ``batched=True`` decodes all blocks of each field in one device pass
     when the file has the uniform structure the snapshot writer produces
     (same fields, shared depth, Trim coding) -- bit-identical to the
-    per-segment path, which remains the fallback for any other file."""
-    segments = [s for _, s in seg_io.iter_segments(fp)]
+    per-segment path, which remains the fallback for any other file.
+
+    ``box=(origin, width)`` restricts the read to segments whose IOHeader
+    bounding box intersects the query box (skip-ahead spatial query,
+    header_format.tex:206-218); only particles from those segments are
+    returned.  ``periodic`` optionally gives the box length(s) for
+    wrap-aware intersection."""
+    if box is not None:
+        origin, width = box
+        segments = [s for _, s in seg_io.iter_segments_intersecting(
+            fp, origin, width, periodic)]
+    else:
+        segments = [s for _, s in seg_io.iter_segments(fp)]
+    if not segments:
+        return {}
     if batched:
         out = _decompress_snapshot_batched(segments)
         if out is not None:
@@ -326,6 +446,14 @@ def _batched_float_decode(words, x0, rng_b, key, depth: int, nb: int,
         lambda wd, o: one_plane(wd, o, dxb))(wb, x0b))(words, x0, dx)
 
 
+def _batched_unmap(y, mode: int, threshold: float):
+    # Eager on purpose: jitting lets XLA constant-combine the exp2 scale
+    # chain into one rounding, which shifts ULP bits vs the per-segment
+    # (eager) decode path this must match bit-for-bit.
+    from ..quant.engine import unmap_float
+    return unmap_float(y, mode, threshold)
+
+
 def _decompress_snapshot_batched(segments) -> Optional[dict]:
     """Batched decode of a uniform snapshot file; None if the file doesn't
     fit the writer's structure (caller falls back)."""
@@ -368,20 +496,21 @@ def _decompress_snapshot_batched(segments) -> Optional[dict]:
                 depth = r.u8()
                 if r.u8():
                     return None  # per-particle depths: fall back
+                symlog, threshold = 0, 0.0
                 if not is_pos:
-                    if r.u8():
-                        return None  # symlog: fall back
+                    symlog = r.u8()
                     r.u8()
-                    r.f32()
+                    threshold = r.f32()
                 else:
                     r.u16()
                 seed = r.u64()
-                metas.append((x0, x1, box, depth, seed))
+                metas.append((x0, x1, box, depth, seed, symlog, threshold))
             depth = metas[0][3]
             seed = metas[0][4]
             box = metas[0][2]
-            if any(m[3] != depth or m[4] != seed or m[2] != box
-                   for m in metas):
+            symlog, threshold = metas[0][5], metas[0][6]
+            if any(m[3] != depth or m[4] != seed or m[2] != box or
+                   m[5] != symlog or m[6] != threshold for m in metas):
                 return None
             if depth < 1:
                 return None
@@ -415,6 +544,8 @@ def _decompress_snapshot_batched(segments) -> Optional[dict]:
                     keys[d], depth, nb, is_pos, jnp.float32(box))
                 dims.append(res[:, 0])
             data = jnp.stack(dims, axis=1)  # (B, 3, nb)
+            if symlog:
+                data = _batched_unmap(data, symlog, float(threshold))
             arr = np.asarray(data)
             out["pos" if is_pos else "vel"] = np.concatenate(
                 [arr[b] for b in range(B)], axis=1)

@@ -222,6 +222,8 @@ def undo_float_var(bins, x0, x1, depths, key):
 # ---------------------------------------------------------------------------
 
 def quantize(field: Field, seed: int = 0) -> QField:
+    from ..utils import native_order
+    field.data = native_order(field.data)
     code = field.hd.field_code
     if code == FieldCode.POSN:
         return _quantize_position(field, seed)

@@ -31,16 +31,23 @@ def quantize(s: Seg, seed: int = 0) -> QSeg:
     return QSeg(fields=[engine.quantize(f, seed) for f in s.fields])
 
 
-def undo_quantize(qs: QSeg) -> Seg:
+def undo_quantize(qs: QSeg, field_indices=None) -> Seg:
     """Dequantize every valid field (UndoQuantize, funcs.c:25-38).  Fields
     with ``valid=False`` are passed through as invalid placeholders; float
-    fields with invalid dimensions get those planes set to NaN."""
+    fields with invalid dimensions get those planes set to NaN.
+
+    ``field_indices`` optionally gives each field's true position in its
+    segment (the dither key derives from it); defaults to enumeration
+    order.  Callers decoding a *subset* of a segment's fields must pass
+    the original positions or the dither streams won't match a full
+    decode."""
     out = []
     for i, qf in enumerate(qs.fields):
+        fi = field_indices[i] if field_indices is not None else i
         if not qf.valid and qf.data is None:
             out.append(Field(hd=qf.hd, data=None, acc=None, valid=False))
             continue
-        f = engine.dequantize(qf, field_index=i)
+        f = engine.dequantize(qf, field_index=fi)
         dim_valid = getattr(qf, "dim_valid", None)
         if dim_valid is not None and not all(dim_valid):
             data = np.asarray(f.data)
@@ -191,8 +198,8 @@ def decompress_segment(data: bytes, fused: bool = False) -> Seg:
                 continue
         qfields.append(codec.decompress(hd, f.blocks))
         q_slots.append(i)
-    generic = undo_quantize(QSeg(fields=qfields)) if qfields else \
-        Seg(fields=[])
+    generic = undo_quantize(QSeg(fields=qfields), field_indices=q_slots) \
+        if qfields else Seg(fields=[])
     for j, i in enumerate(q_slots):
         out_fields[i] = generic.fields[j]
     return Seg(fields=out_fields)

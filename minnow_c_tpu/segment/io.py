@@ -85,6 +85,39 @@ def write_segments(fp: BinaryIO,
         offset = next_off
 
 
+def write_segments_streaming(fp: BinaryIO, seg_iter) -> int:
+    """Incremental variant of ``write_segments``: consume an iterator of
+    ``(segment_bytes, (origin, width) | None)`` pairs, writing each
+    segment (with its chained IOHeader) before pulling the next -- peak
+    memory is one segment regardless of file size.  One-item lookahead
+    resolves the last header's ``NextIOHeader = 0``.  Returns the number
+    of segments written."""
+    def write_one(item, offset, last):
+        seg, geom = item
+        org, wid = ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)) if geom is None \
+            else geom
+        next_off = 0 if last else offset + IO_HEADER_BYTES + len(seg)
+        hd = IOHeader(magic=MAGIC, version=LIBRARY_VERSION, origin=org,
+                      width=wid, segment_bytes=len(seg),
+                      next_io_header=next_off)
+        fp.write(hd.pack())
+        fp.write(seg)
+        return next_off
+
+    count = 0
+    offset = fp.tell()
+    prev = None
+    for item in seg_iter:
+        if prev is not None:
+            offset = write_one(prev, offset, last=False)
+            count += 1
+        prev = item
+    if prev is not None:
+        write_one(prev, offset, last=True)
+        count += 1
+    return count
+
+
 def iter_segments(fp: BinaryIO) -> Iterator[Tuple[IOHeader, bytes]]:
     """Iterate (header, segment bytes) pairs following the chain."""
     offset = fp.tell()
@@ -95,6 +128,67 @@ def iter_segments(fp: BinaryIO) -> Iterator[Tuple[IOHeader, bytes]]:
             return
         hd = IOHeader.unpack(raw)
         yield hd, fp.read(hd.segment_bytes)
+        if hd.next_io_header == 0:
+            return
+        offset = hd.next_io_header
+
+
+def _interval_hits(o: float, w: float, qo: float, qw: float,
+                   L: Optional[float]) -> bool:
+    """1-D closed-interval intersection of [o, o+w] and [qo, qo+qw],
+    modulo the periodic box length ``L`` when given."""
+    if L is None:
+        return o <= qo + qw and qo <= o + w
+    # Wrap both interval starts into [0, L); an interval may straddle the
+    # seam, in which case it is the union of two plain intervals.
+    def pieces(a, w):
+        if w >= L:
+            return [(0.0, L)]  # interval covers the whole box
+        a %= L
+        if a + w > L:  # straddles the periodic seam
+            return [(a, L), (0.0, (a + w) % L)]
+        return [(a, a + w)]
+    return any(p0 <= q1 and q0 <= p1
+               for p0, p1 in pieces(o, w)
+               for q0, q1 in pieces(qo, qw))
+
+
+def box_intersects(origin, width, q_origin, q_width,
+                   periodic=None) -> bool:
+    """Axis-aligned box intersection for skip-ahead spatial queries
+    (header_format.tex:206-218).  A header whose Width is all zeros means
+    the writer recorded no geometry: conservatively treated as
+    intersecting everything.  ``periodic`` is an optional per-dim (or
+    scalar) box length for wrap-aware comparison."""
+    if all(w == 0.0 for w in width) and all(o == 0.0 for o in origin):
+        return True
+    for d in range(3):
+        L = None
+        if periodic is not None:
+            L = float(periodic[d]) if hasattr(periodic, "__len__") \
+                else float(periodic)
+        if not _interval_hits(float(origin[d]), float(width[d]),
+                              float(q_origin[d]), float(q_width[d]), L):
+            return False
+    return True
+
+
+def iter_segments_intersecting(fp: BinaryIO, origin, width,
+                               periodic=None
+                               ) -> Iterator[Tuple[IOHeader, bytes]]:
+    """Skip-ahead spatial query: yield only the (header, segment bytes)
+    pairs whose IOHeader bounding box intersects the query box
+    [origin, origin+width].  Non-matching segments are skipped without
+    reading their bodies (seek straight to NextIOHeader)."""
+    offset = fp.tell()
+    while True:
+        fp.seek(offset)
+        raw = fp.read(IO_HEADER_BYTES)
+        if len(raw) < IO_HEADER_BYTES:
+            return
+        hd = IOHeader.unpack(raw)
+        if box_intersects(hd.origin, hd.width, origin, width, periodic):
+            yield hd, fp.read(hd.segment_bytes)
         if hd.next_io_header == 0:
             return
         offset = hd.next_io_header

@@ -258,6 +258,100 @@ class TestFusedDecode:
         np.testing.assert_array_equal(np.asarray(a.fields[0].data),
                                       np.asarray(b.fields[0].data))
 
+    def test_fused_scaled_fields_match_generic(self):
+        """symlog velocities and log10/symlog Unsf decode on the fast
+        path, bit-identical to the generic path (no silent fallback for
+        writer-producible streams)."""
+        n, W = 33000, 64.0
+        rng = np.random.default_rng(17)
+        vel = rng.normal(0, 300, (3, n)).astype(np.float32)
+        uf_log = rng.uniform(1e-3, 1e4, n).astype(np.float32)
+        uf_sym = rng.normal(0, 50, n).astype(np.float32)
+        ver = registry.newest(mnw.AlgoCode.TRIM)
+
+        def hd(code):
+            return mnw.FieldHeader(code, mnw.AlgoCode.TRIM, ver, n)
+
+        seg = mnw.Seg(fields=[
+            mnw.Field(hd=hd(mnw.FieldCode.VELC), data=vel,
+                      acc=mnw.VelocityAccuracy(
+                          delta=0.05, sym_log10_scaled=2,
+                          sym_log10_threshold=10.0)),
+            mnw.Field(hd=hd(mnw.FieldCode.UNSF), data=uf_log,
+                      acc=mnw.FloatAccuracy(delta=1e-3, log10_scaled=1)),
+            mnw.Field(hd=hd(mnw.FieldCode.UNSF), data=uf_sym,
+                      acc=mnw.FloatAccuracy(delta=1e-3, log10_scaled=2,
+                                            sym_log10_threshold=5.0)),
+        ])
+        blob = api.compress_segment(seg, seed=41)
+        a = api.decompress_segment(blob)
+        b = api.decompress_segment(blob, fused=True)
+        for fa, fb in zip(a.fields, b.fields):
+            np.testing.assert_array_equal(np.asarray(fa.data),
+                                          np.asarray(fb.data))
+
+    def test_fused_per_particle_depths_match_generic(self):
+        """Deltas mode (per-particle accuracy) decodes through the fused
+        var path for both Trim v1.0 (exact bitstream) and v1.1 (chunked),
+        bit-identical to generic."""
+        from minnow_c_tpu import semver as sv
+        n, W = 21000, 64.0
+        rng = np.random.default_rng(23)
+        pos = rng.uniform(0, W, (3, n)).astype(np.float32)
+        uf = rng.uniform(1, 9, n).astype(np.float32)
+        deltas = rng.choice(
+            np.array([1e-1, 1e-2, 1e-3], dtype=np.float32), n)
+        for ver in (sv.pack(1, 0, 0), sv.pack(1, 1, 0)):
+            def hd(code):
+                return mnw.FieldHeader(code, mnw.AlgoCode.TRIM, ver, n)
+
+            seg = mnw.Seg(fields=[
+                mnw.Field(hd=hd(mnw.FieldCode.POSN), data=pos,
+                          acc=mnw.PositionAccuracy(
+                              delta=0.0, width=W, deltas=deltas)),
+                mnw.Field(hd=hd(mnw.FieldCode.UNSF), data=uf,
+                          acc=mnw.FloatAccuracy(delta=0.0,
+                                                deltas=deltas)),
+            ])
+            blob = api.compress_segment(seg, seed=47)
+            a = api.decompress_segment(blob)
+            b = api.decompress_segment(blob, fused=True)
+            for fa, fb in zip(a.fields, b.fields):
+                np.testing.assert_array_equal(np.asarray(fa.data),
+                                              np.asarray(fb.data))
+
+    def test_fused_mixed_fallback_keeps_field_indices(self):
+        """A segment where some fields decode fused and others fall back:
+        the fallback fields' dither keys must use their true segment
+        positions, so fused=True stays bit-identical to fused=False."""
+        n, W = 2048, 64.0
+        rng = np.random.default_rng(29)
+        pos = rng.uniform(0, W, (3, n)).astype(np.float32)
+        uf = rng.uniform(1, 2, n).astype(np.float32)
+        deltas = np.full(n, 1e-2, dtype=np.float32)
+        ver = registry.newest(mnw.AlgoCode.TRIM)
+
+        def hd(code):
+            return mnw.FieldHeader(code, mnw.AlgoCode.TRIM, ver, n)
+
+        # field 0 eligible (uniform pos), field 1 tiny n uniform float
+        # (n >= 32 so eligible), field 2 per-particle depths -- exercise
+        # several paths in one segment with distinct field indices.
+        seg = mnw.Seg(fields=[
+            mnw.Field(hd=hd(mnw.FieldCode.POSN), data=pos,
+                      acc=mnw.PositionAccuracy(delta=1e-3, width=W)),
+            mnw.Field(hd=hd(mnw.FieldCode.UNSF), data=uf,
+                      acc=mnw.FloatAccuracy(delta=1e-4)),
+            mnw.Field(hd=hd(mnw.FieldCode.UNSF), data=uf,
+                      acc=mnw.FloatAccuracy(delta=0.0, deltas=deltas)),
+        ])
+        blob = api.compress_segment(seg, seed=53)
+        a = api.decompress_segment(blob)
+        b = api.decompress_segment(blob, fused=True)
+        for fa, fb in zip(a.fields, b.fields):
+            np.testing.assert_array_equal(np.asarray(fa.data),
+                                          np.asarray(fb.data))
+
     def test_fused_diff_bits_match_generic(self):
         n, W = 33000, 64.0
         rng = np.random.default_rng(8)

@@ -43,6 +43,26 @@ class TestSnapshotRoundTrip:
         assert np.abs(out["vel"] - vel).max() <= 1.0
         np.testing.assert_array_equal(out["ids"], ids)
 
+    def test_batched_symlog_velocities_match_fallback(self):
+        """symlog-scaled velocities decode through the batched device
+        pass (no silent fallback), bit-identical to the per-segment
+        path."""
+        pos, vel, ids = make_snapshot(n=16384)
+        spec = snapshot.SnapshotSpec(
+            pos=mnw.PositionAccuracy(delta=1e-3, width=64.0),
+            vel=mnw.VelocityAccuracy(delta=0.01, sym_log10_scaled=2,
+                                     sym_log10_threshold=20.0),
+            ids=mnw.IDAccuracy(width=1024))
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot(buf, pos, vel, ids, spec, num_blocks=4,
+                                   seed=7)
+        buf.seek(0)
+        out_b = snapshot.decompress_snapshot(buf, batched=True)
+        buf.seek(0)
+        out_g = snapshot.decompress_snapshot(buf, batched=False)
+        np.testing.assert_array_equal(out_b["vel"], out_g["vel"])
+        np.testing.assert_array_equal(out_b["pos"], out_g["pos"])
+
     def test_block_count_preserved_in_order(self):
         pos, vel, ids = make_snapshot(n=4096)
         buf = _io.BytesIO()

@@ -1,0 +1,111 @@
+"""Streaming (memory-bounded) snapshot encode: blocks flow through the
+device in waves and segments hit the file before the next block is even
+produced -- peak memory independent of snapshot size (the 1B-particle
+BASELINE shape at reduced scale)."""
+
+import io as _io
+
+import numpy as np
+
+import minnow_c_tpu as mnw
+from minnow_c_tpu.parallel import snapshot
+from minnow_c_tpu.segment import io as seg_io
+
+W = 64.0
+SPEC = snapshot.SnapshotSpec(
+    pos=mnw.PositionAccuracy(delta=1e-3, width=W),
+    vel=mnw.VelocityAccuracy(delta=1.0),
+    ids=mnw.IDAccuracy(width=1024),
+)
+
+
+def make_blocks(n_blocks=6, nb=4096, seed=0):
+    rng = np.random.default_rng(seed)
+    blocks = []
+    for b in range(n_blocks):
+        blocks.append({
+            "pos": rng.uniform(0, W, (3, nb)).astype(np.float32),
+            "vel": rng.normal(0, 200, (3, nb)).astype(np.float32),
+            "ids": rng.permutation(1 << 22)[:nb].astype(np.uint64),
+        })
+    return blocks
+
+
+class TestStreamingEncode:
+    def test_roundtrip_within_delta(self):
+        blocks = make_blocks()
+        buf = _io.BytesIO()
+        stats = snapshot.compress_snapshot_streaming(buf, iter(blocks),
+                                                     SPEC, seed=5)
+        assert stats["num_blocks"] == len(blocks)
+        buf.seek(0)
+        out = snapshot.decompress_snapshot(buf)
+        pos = np.concatenate([b["pos"] for b in blocks], axis=1)
+        vel = np.concatenate([b["vel"] for b in blocks], axis=1)
+        ids = np.concatenate([b["ids"] for b in blocks])
+        err = np.abs(out["pos"] - pos)
+        err = np.minimum(err, W - err)
+        assert err.max() <= 1e-3
+        assert np.abs(out["vel"] - vel).max() <= 1.0
+        np.testing.assert_array_equal(out["ids"], ids)
+
+    def test_segments_written_before_next_block_pulled(self):
+        """Laziness/memory-boundedness: by the time block k is produced,
+        at least k-1 segments are already on disk."""
+        blocks = make_blocks(n_blocks=4)
+        buf = _io.BytesIO()
+        positions = []
+
+        def gen():
+            for b in blocks:
+                positions.append(buf.tell())
+                yield b
+
+        snapshot.compress_snapshot_streaming(buf, gen(), SPEC)
+        # one-segment lookahead: block k is pulled with k-1 segments
+        # flushed (positions strictly increase from block 2 on)
+        assert positions[0] == 0 and positions[1] == 0
+        assert all(b > a for a, b in zip(positions[1:], positions[2:]))
+
+    def test_pinned_depths_enable_batched_reader(self):
+        blocks = make_blocks(n_blocks=4, seed=2)
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot_streaming(
+            buf, iter(blocks), SPEC, seed=5,
+            depths={"pos": 17, "vel": 12})
+        buf.seek(0)
+        segs = [s for _, s in seg_io.iter_segments(buf)]
+        batched = snapshot._decompress_snapshot_batched(segs)
+        assert batched is not None  # uniform depth: one-pass decode
+        buf.seek(0)
+        generic = snapshot.decompress_snapshot(buf, batched=False)
+        np.testing.assert_array_equal(batched["pos"], generic["pos"])
+        np.testing.assert_array_equal(batched["vel"], generic["vel"])
+        np.testing.assert_array_equal(batched["ids"], generic["ids"])
+
+    def test_streaming_matches_onepass_wire_when_depths_pinned(self):
+        """With pinned depths and identical block boundaries, streaming
+        produces the same per-segment payload bytes as the one-pass
+        writer (same device passes, same wire)."""
+        blocks = make_blocks(n_blocks=2, seed=7)
+        pos = np.concatenate([b["pos"] for b in blocks], axis=1)
+        vel = np.concatenate([b["vel"] for b in blocks], axis=1)
+        ids = np.concatenate([b["ids"] for b in blocks])
+        one = _io.BytesIO()
+        st = snapshot.compress_snapshot(one, pos, vel, ids, SPEC,
+                                        num_blocks=2, seed=5)
+        sv = _io.BytesIO()
+        snapshot.compress_snapshot_streaming(
+            sv, iter(blocks), SPEC, seed=5,
+            depths={"pos": st["pos_depth"], "vel": st["vel_depth"]})
+        # ID meta may differ (streaming min-subtracts per block against
+        # its own decompose offset; values round-trip identically), so
+        # compare decoded output -- same seed/depths/keys/counters means
+        # the float decodes must be bit-identical across both writers.
+        one.seek(0)
+        sv.seek(0)
+        da = snapshot.decompress_snapshot(one)
+        db = snapshot.decompress_snapshot(sv)
+        np.testing.assert_array_equal(da["pos"], db["pos"])
+        np.testing.assert_array_equal(da["vel"], db["vel"])
+        np.testing.assert_array_equal(da["ids"], db["ids"])
