@@ -50,6 +50,8 @@ def encode_block(payload, width: int = 0, try_entropy: bool = True,
         payload = np.ascontiguousarray(payload)
         payload = payload.astype(payload.dtype.newbyteorder("<"),
                                  copy=False).tobytes()
+    from ..utils.debug import debug_assert
+    debug_assert(0 <= width <= 64, f"block width {width} out of range")
     raw_len = len(payload)
     flags = 0
     stored = payload

@@ -48,7 +48,16 @@ def chunk_widths(z: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 def pack_chunks(zc: np.ndarray, widths: np.ndarray) -> bytes:
     """Pack each chunk row at its width; returns the concatenated
     word-aligned chunk bodies as bytes (in chunk order)."""
+    from ..utils.debug import debug_assert
     n_chunks = zc.shape[0]
+    debug_assert(widths.shape[0] == n_chunks, "widths/chunks mismatch")
+    # O(n) scan: every chunk's values must fit its declared width, or the
+    # pack silently drops bits (DebugAssert tier -- free in release).
+    debug_assert(
+        lambda: n_chunks == 0 or bool((
+            ((zc.max(axis=1) >> np.minimum(widths, 31).astype(np.uint32))
+             == 0) | (widths.astype(np.int64) >= 32)).all()),
+        "chunk value exceeds declared width")
     chunk_bytes = [b""] * n_chunks
     for wv in np.unique(widths):
         if wv == 0:

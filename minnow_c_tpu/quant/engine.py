@@ -56,6 +56,9 @@ from ..types import (
 
 MAX_DEPTH = 24  # f32 mantissa limit (quant.c:684-693)
 
+from ..utils.debug import debug_assert as _dbg  # noqa: E402  (DebugAssert
+# tier, debug.h:52-63: O(n) invariant scans gated behind MINNOW_DEBUG)
+
 
 # ---------------------------------------------------------------------------
 # depth <-> delta (quant.c:654-733), C-exact f32 arithmetic
@@ -265,6 +268,8 @@ def _quantize_position(field: Field, seed: int) -> QField:
         depth = delta_to_depth(acc.delta, x0_h[0], x0_h[0] + max_diff)
         bins = dims_bins_uniform(xu, x0, jnp.float32(max_diff), depth)
         depths = None
+        _dbg(lambda: int(jnp.max(bins)) < (1 << depth),
+             "position bin index exceeds 2^depth")
     else:
         depths = deltas_to_depths(acc.deltas, x0_h[0], x0_h[0] + max_diff)
         bins = dims_bins_var(xu, x0, jnp.float32(max_diff),

@@ -1,0 +1,55 @@
+"""DebugAssert tier (debug.h:52-63 analog): internal-invariant checks
+that are free in release mode and active under MINNOW_DEBUG / set_debug."""
+
+import numpy as np
+import pytest
+
+from minnow_c_tpu.utils import debug as dbg
+
+
+@pytest.fixture
+def debug_on():
+    dbg.set_debug(True)
+    yield
+    dbg.set_debug(False)
+
+
+class TestDebugAssert:
+    def test_noop_when_disabled(self):
+        calls = []
+
+        def pred():
+            calls.append(1)
+            return False
+
+        dbg.set_debug(False)
+        dbg.debug_assert(pred, "never evaluated")
+        assert calls == []  # predicate not even evaluated in release
+
+    def test_raises_when_enabled(self, debug_on):
+        with pytest.raises(AssertionError, match="boom"):
+            dbg.debug_assert(False, "boom")
+        dbg.debug_assert(True, "fine")
+
+    def test_catches_chunk_width_violation(self, debug_on):
+        from minnow_c_tpu.algos import chunked
+        zc = np.full((2, chunked.CHUNK), 7, dtype=np.uint32)
+        widths = np.array([3, 2], dtype=np.uint8)  # 7 needs 3 bits
+        with pytest.raises(AssertionError, match="exceeds declared width"):
+            chunked.pack_chunks(zc, widths)
+        widths_ok = np.array([3, 3], dtype=np.uint8)
+        chunked.pack_chunks(zc, widths_ok)  # no raise
+
+    def test_quantize_invariant_clean_run(self, debug_on):
+        import minnow_c_tpu as mnw
+        from minnow_c_tpu.algos import registry
+        from minnow_c_tpu.quant import engine
+        n, W = 4096, 64.0
+        pos = np.random.default_rng(0).uniform(
+            0, W, (3, n)).astype(np.float32)
+        ver = registry.newest(mnw.AlgoCode.TRIM)
+        f = mnw.Field(
+            hd=mnw.FieldHeader(mnw.FieldCode.POSN, mnw.AlgoCode.TRIM, ver,
+                               n),
+            data=pos, acc=mnw.PositionAccuracy(delta=1e-3, width=W))
+        engine.quantize(f, seed=1)  # invariant holds, no raise
