@@ -75,10 +75,15 @@ def config1():
 
 
 def config2():
-    from minnow_c_tpu.ops import fastpath
+    from minnow_c_tpu.ops import bitpack, fastpath, kernels
     from minnow_c_tpu.bench import harness
 
-    n, W = 1_048_576 * 3, 64.0  # 3M values = 1M particles x 3 dims
+    # 100 MB of f32 input -- the reference bench's workload size
+    # (test/compress_util_bench.c:318).  Smaller buffers (the old 12 MB)
+    # are dispatch-latency-bound through the remote runtime and
+    # under-report by ~8x; per-chip kernel throughput needs the dispatch
+    # amortized.
+    n, W = (1 << 14) * 1536, 64.0  # 25.2M values
     rng = np.random.default_rng(1)
     x = jax.device_put(jnp.asarray(
         rng.uniform(0, W, n).astype(np.float32)))
@@ -90,9 +95,21 @@ def config2():
             periodic_width=W)[0]
 
     res = harness.run(enc, bytes_per_iter=n * 4)
+
+    bins = jax.block_until_ready(jax.jit(
+        lambda xx: kernels.uniform_bin_index(
+            xx, depth, jnp.min(xx), jnp.max(xx) - jnp.min(xx)))(x))
+
+    def pack_only(salt):
+        return bitpack.uniform_pack(bins ^ (salt & jnp.uint32(1)), depth)
+
+    res_p = harness.run(pack_only, bytes_per_iter=n * 4)
     results["config2_encode_kernel"] = {
-        "GBps": round(res.gb_per_second, 2), "depth": depth}
-    log(f"config2: encode kernel {res.gb_per_second:.2f} GB/s")
+        "GBps": round(res.gb_per_second, 2),
+        "pack_only_GBps": round(res_p.gb_per_second, 2),
+        "depth": depth, "input_MB": round(n * 4 / 1e6)}
+    log(f"config2: encode {res.gb_per_second:.2f} GB/s, "
+        f"pack {res_p.gb_per_second:.2f} GB/s")
 
 
 def config3():

@@ -9,8 +9,23 @@ reproducer and for re-testing on future toolchains.
 The production pack is ``bitpack.uniform_pack`` (einsum-select fold);
 the ~50 s pathology it showed inside the batched encode was the
 bin->pack *fusion*, fixed with an optimization_barrier in
-``parallel/snapshot.py`` -- the pack itself runs at ~3 GB/s honest
-steady state.
+``parallel/snapshot.py``.
+
+Round-2 measurements (exp/pack_variants.py, v5e, depth 14, 100 MB --
+the reference bench's workload size; smaller buffers are dispatch-
+latency-bound and under-report ~8x, which is where round 1's stale
+"2.5 GB/s" came from):
+
+  einsum-select pack (production)   21.3 GB/s   exact
+  full fast_uniform_encode          20.3 GB/s   exact
+  Pallas f32-dot fold, default prec 26.5 GB/s   WRONG BITS (MXU f32 dot
+                                                is bf16-ish on TPU)
+  Pallas f32-dot, Precision.HIGHEST 17.9 GB/s   exact
+  Pallas bf16 byte-plane dot fold   21.7 GB/s   exact
+  Pallas fused bin+pack (bf16 fold) 13.9 GB/s   exact
+
+The einsum-select XLA fold remains the best *exact* formulation on this
+toolchain, and meets the >=20 GB/s encode target.
 """
 
 from __future__ import annotations
