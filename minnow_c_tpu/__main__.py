@@ -32,6 +32,16 @@ def main(argv=None):
     i = sub.add_parser("info", help="list segments of a .min file")
     i.add_argument("input")
 
+    q = sub.add_parser("query", help="count segments intersecting a box "
+                                     "(skip-ahead spatial query)")
+    q.add_argument("input")
+    q.add_argument("--origin", type=float, nargs=3, required=True,
+                   metavar=("X", "Y", "Z"))
+    q.add_argument("--size", type=float, nargs=3, required=True,
+                   metavar=("W", "H", "D"))
+    q.add_argument("--periodic", type=float, default=None,
+                   help="box length for wrap-aware intersection")
+
     args = p.parse_args(argv)
 
     if args.cmd == "compress":
@@ -59,9 +69,28 @@ def main(argv=None):
         with open(args.input, "rb") as f:
             _read_record(f)  # skip the raw client header
             for k, hd in enumerate(seg_io.iter_headers(f)):
+                geom = "no geometry" if all(
+                    w == 0.0 for w in hd.width) else \
+                    (f"box {tuple(round(o, 3) for o in hd.origin)} + "
+                     f"{tuple(round(w, 3) for w in hd.width)}")
                 print(f"segment {k}: {hd.segment_bytes} bytes, "
-                      f"library v{semver.to_string(hd.version)}, "
-                      f"origin {hd.origin}")
+                      f"library v{semver.to_string(hd.version)}, {geom}")
+    elif args.cmd == "query":
+        from .drivers.gadget2 import _read_record
+        from .segment import io as seg_io
+        with open(args.input, "rb") as f:
+            _read_record(f)
+            total = hits = 0
+            start = f.tell()
+            for hd in seg_io.iter_headers(f):
+                total += 1
+            f.seek(start)
+            for hd, _seg in seg_io.iter_segments_intersecting(
+                    f, tuple(args.origin), tuple(args.size),
+                    args.periodic):
+                hits += 1
+            print(f"{hits} of {total} segments intersect "
+                  f"[{args.origin}, +{args.size}]")
     return 0
 
 

@@ -47,6 +47,24 @@ def _bits_for(v: int) -> int:
     return max(1, int(v).bit_length())
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("rank_width", "n"))
+def _sort_undo_device(deltas, rank_body, rank_width: int, n: int):
+    """Device tail of Sort v1.0 decode: cumsum the sorted deltas, unpack
+    the rank stream, un-permute.  Integer-exact, so bit-identical to the
+    original host numpy path (frozen decode digests enforce).  Barriers
+    keep the gather from fusing into consumers (~100x pathology)."""
+    sorted_vals = jnp.cumsum(deltas.astype(jnp.uint64)).astype(jnp.uint32)
+    ranks = bitpack.uniform_unpack(rank_body, rank_width, n)
+    ranks = jax.lax.optimization_barrier(ranks)
+    sorted_vals = jax.lax.optimization_barrier(sorted_vals)
+    return sorted_vals[ranks]
+
+
 class SortV1_0(TrimV1_0):
     algo_code = int(AlgoCode.SORT)
     version = VERSION
@@ -97,13 +115,13 @@ class SortV1_0(TrimV1_0):
         total_delta_words = chunked.total_words(widths)
         deltas = chunked.unpack_chunks(body, widths).reshape(-1)[:n].copy()
         deltas[0] = first
-        sorted_vals = np.cumsum(deltas.astype(np.uint64)).astype(np.uint32)
 
         rank_width = _bits_for(n - 1)
         rank_body = body[total_delta_words:total_delta_words + n_rank_words]
-        ranks = np.asarray(bitpack.uniform_unpack(jnp.asarray(rank_body),
-                                                  rank_width, n))
-        return sorted_vals[ranks]
+        # cumsum + rank unpack + un-permute run on device; bins stay
+        # device-resident through dequantization.
+        return _sort_undo_device(jnp.asarray(deltas),
+                                 jnp.asarray(rank_body), rank_width, n)
 
 
 registry.register(SortV1_0())

@@ -37,6 +37,27 @@ from .algo_trim_v1_0 import TrimV1_0
 VERSION = semver.pack(1, 1, 0)
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("rank_first",))
+def _sort11_undo_device(deltas, rz, rank_first: int):
+    """Device tail of Sort v1.1 decode: delta cumsum, rank un-zigzag +
+    cumsum, un-permute.  Same integer arithmetic as the original host
+    numpy path (int64 intermediates, u32 truncation) -- bit-identical."""
+    sorted_vals = jnp.cumsum(deltas.astype(jnp.uint64)).astype(jnp.uint32)
+    zi = rz.astype(jnp.int64)
+    d = (zi >> 1) ^ -(zi & 1)
+    rest = (jnp.int64(rank_first) + jnp.cumsum(d)).astype(jnp.uint32)
+    ranks = jnp.concatenate(
+        [jnp.asarray([rank_first], dtype=jnp.uint32), rest])
+    ranks = jax.lax.optimization_barrier(ranks)
+    sorted_vals = jax.lax.optimization_barrier(sorted_vals)
+    return sorted_vals[ranks]
+
+
 class SortV1_1(TrimV1_0):
     algo_code = int(AlgoCode.SORT)
     version = VERSION
@@ -95,15 +116,10 @@ class SortV1_1(TrimV1_0):
         deltas = chunked.unpack_chunks(body[:dw], widths).reshape(-1)[:n]
         deltas = deltas.copy()
         deltas[0] = first
-        sorted_vals = np.cumsum(deltas.astype(np.uint64)).astype(np.uint32)
-
         rz = chunked.unpack_chunks(body[dw:], rwidths).reshape(-1)[:n - 1]
-        zi = rz.astype(np.int64)
-        d = (zi >> 1) ^ -(zi & 1)
-        ranks = np.empty(n, dtype=np.uint32)
-        ranks[0] = rank_first
-        ranks[1:] = (int(rank_first) + np.cumsum(d)).astype(np.uint32)
-        return sorted_vals[ranks]
+        # device tail (integer-exact, digests enforce bit-identity)
+        return _sort11_undo_device(jnp.asarray(deltas), jnp.asarray(rz),
+                                   int(rank_first))
 
 
 registry.register(SortV1_1())

@@ -78,6 +78,14 @@ class TestGadget2:
             capture_output=True, text=True, env=env,
             cwd=os.path.dirname(os.path.dirname(__file__)))
         assert r3.returncode == 0, r3.stderr
+        r4 = subprocess.run(
+            [sys.executable, "-m", "minnow_c_tpu", "query", str(comp),
+             "--origin", "1", "1", "1", "--size", "2", "2", "2",
+             "--periodic", "64"],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(__file__)))
+        assert r4.returncode == 0, r4.stderr
+        assert "of 2 segments intersect" in r4.stdout
         _, p2, _, i2 = gadget2.read_snapshot(_io.BytesIO(back.read_bytes()))
         err = np.abs(p2 - pos)
         err = np.minimum(err, 64.0 - err)
