@@ -20,6 +20,17 @@ import numpy as np
 from . import rng as _rng
 
 
+def _exact_pow2_f32(level):
+    """2^level as exact f32 for integer depth arrays (level <= 24).
+
+    NOT ``jnp.exp2``: XLA's exp2 is an approximate transcendental even at
+    integer inputs (CPU backend: exp2(19.0) == 524287.78), which shifts
+    ~0.6% of per-element-depth bin indices off by one vs the C-exact
+    semantics (``(float)(1 << level)``, util.c:160-166).  An integer shift
+    converted to f32 is exact."""
+    return (jnp.uint32(1) << level.astype(jnp.uint32)).astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Min / max (util.c:27-68)
 # ---------------------------------------------------------------------------
@@ -98,7 +109,7 @@ def uniform_bin_index(x, level, x0, dx):
     x0 = jnp.float32(x0)
     dx = jnp.float32(dx)
     num_bins = jnp.float32(np.float32(1 << int(level))) if isinstance(
-        level, (int, np.integer)) else jnp.exp2(level.astype(jnp.float32))
+        level, (int, np.integer)) else _exact_pow2_f32(level)
     delta = (x - x0) / dx
     scaled = (delta * num_bins).astype(jnp.uint32)
     top = (num_bins - 1).astype(jnp.uint32)
@@ -112,7 +123,7 @@ def bin_index(x, level, x0, dx):
     ``level`` is a u8/u32 array of per-element bit depths."""
     x0 = jnp.float32(x0)
     dx = jnp.float32(dx)
-    num_bins = jnp.exp2(level.astype(jnp.float32))
+    num_bins = _exact_pow2_f32(level)
     delta = (x - x0) / dx
     scaled = (delta * num_bins).astype(jnp.uint32)
     top = (num_bins - 1).astype(jnp.uint32)
@@ -132,7 +143,7 @@ def undo_uniform_bin_index(idx, level, x0, dx, key):
     x0 = jnp.float32(x0)
     dx = jnp.float32(dx)
     bins = np.float32(1 << int(level)) if isinstance(
-        level, (int, np.integer)) else jnp.exp2(level.astype(jnp.float32))
+        level, (int, np.integer)) else _exact_pow2_f32(level)
     bin_width = dx / bins
     offset = x0 + bin_width * idx.astype(jnp.float32)
     u = _rng.uniform24(key, idx.shape)
@@ -143,7 +154,7 @@ def undo_bin_index(idx, level, x0, dx, key):
     """Per-element-depth inverse (util_UndoBinIndex, util.c:198-221)."""
     x0 = jnp.float32(x0)
     dx = jnp.float32(dx)
-    bins = jnp.exp2(level.astype(jnp.float32))
+    bins = _exact_pow2_f32(level)
     bin_width = dx / bins
     offset = x0 + bin_width * idx.astype(jnp.float32)
     u = _rng.uniform24(key, idx.shape)

@@ -213,8 +213,9 @@ def undo_float_uniform(bins, x0, x1, depth: int, key):
 
 @jax.jit
 def undo_float_var(bins, x0, x1, depths, key):
+    from ..ops.kernels import _exact_pow2_f32
     dx = ((jnp.float32(x1) - jnp.float32(x0)) /
-          jnp.exp2(depths.astype(jnp.float32)))
+          _exact_pow2_f32(depths))  # exact 2^depth (XLA exp2 is not)
     u = _rng.uniform24(key, bins.shape)
     return jnp.float32(x0) + dx * (bins.astype(jnp.float32) + u)
 

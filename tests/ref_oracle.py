@@ -190,6 +190,101 @@ def ref_rand_u64(seed: int, count: int, streams: int = 1,
                     dtype=np.uint64)
 
 
+def ref_periodic(x: np.ndarray, L: float) -> np.ndarray:
+    """util_Periodic (util.c:70-84); in-place on a copy."""
+    l = lib()
+    l.util_Periodic.restype = None
+    l.util_Periodic.argtypes = [_Seq, ctypes.c_float]
+    x = np.ascontiguousarray(x, dtype=np.float32).copy()
+    l.util_Periodic(_wrap_seq(x), L)
+    return x
+
+
+def ref_undo_periodic(x: np.ndarray, L: float) -> np.ndarray:
+    """util_UndoPeriodic (util.c:97-113); in-place on a copy."""
+    l = lib()
+    l.util_UndoPeriodic.restype = None
+    l.util_UndoPeriodic.argtypes = [_Seq, ctypes.c_float]
+    x = np.ascontiguousarray(x, dtype=np.float32).copy()
+    l.util_UndoPeriodic(_wrap_seq(x), L)
+    return x
+
+
+def ref_u64_periodic(x: np.ndarray, L: int) -> np.ndarray:
+    l = lib()
+    l.util_U64Periodic.restype = None
+    l.util_U64Periodic.argtypes = [_Seq, ctypes.c_uint64]
+    x = np.ascontiguousarray(x, dtype=np.uint64).copy()
+    l.util_U64Periodic(_wrap_seq(x), L)
+    return x
+
+
+def ref_u64_undo_periodic(x: np.ndarray, L: int) -> np.ndarray:
+    l = lib()
+    l.util_U64UndoPeriodic.restype = None
+    l.util_U64UndoPeriodic.argtypes = [_Seq, ctypes.c_uint64]
+    x = np.ascontiguousarray(x, dtype=np.uint64).copy()
+    l.util_U64UndoPeriodic(_wrap_seq(x), L)
+    return x
+
+
+def ref_transpose_bytes(x: np.ndarray) -> np.ndarray:
+    """util_U32TransposeBytes (util.c:244-259)."""
+    l = lib()
+    l.util_U32TransposeBytes.restype = _Seq
+    l.util_U32TransposeBytes.argtypes = [_Seq, _Seq]
+    x = np.ascontiguousarray(x, dtype=np.uint32)
+    out = l.util_U32TransposeBytes(_wrap_seq(x), _Seq())
+    if out.Len == 0:
+        return np.zeros(0, dtype=np.uint8)
+    return np.ctypeslib.as_array(
+        ctypes.cast(out.Data, ctypes.POINTER(ctypes.c_uint8)),
+        shape=(out.Len,)).copy()
+
+
+def ref_undo_transpose_bytes(x: np.ndarray) -> np.ndarray:
+    l = lib()
+    l.util_U32UndoTransposeBytes.restype = _Seq
+    l.util_U32UndoTransposeBytes.argtypes = [_Seq, _Seq]
+    x = np.ascontiguousarray(x, dtype=np.uint8)
+    out = l.util_U32UndoTransposeBytes(_wrap_seq(x), _Seq())
+    if out.Len == 0:
+        return np.zeros(0, dtype=np.uint32)
+    return np.ctypeslib.as_array(
+        ctypes.cast(out.Data, ctypes.POINTER(ctypes.c_uint32)),
+        shape=(out.Len,)).copy()
+
+
+def ref_u8_delta_encode(x: np.ndarray) -> np.ndarray:
+    l = lib()
+    l.util_U8DeltaEncode.restype = _Seq
+    l.util_U8DeltaEncode.argtypes = [_Seq, _Seq]
+    x = np.ascontiguousarray(x, dtype=np.uint8)
+    out = l.util_U8DeltaEncode(_wrap_seq(x), _Seq())
+    if out.Len == 0:
+        return np.zeros(0, dtype=np.uint8)
+    return np.ctypeslib.as_array(
+        ctypes.cast(out.Data, ctypes.POINTER(ctypes.c_uint8)),
+        shape=(out.Len,)).copy()
+
+
+def ref_bin_index(x: np.ndarray, levels: np.ndarray, x0: float,
+                  dx: float) -> np.ndarray:
+    """util_BinIndex with per-element depths (util.c:145-170)."""
+    l = lib()
+    l.util_BinIndex.restype = _Seq
+    l.util_BinIndex.argtypes = [_Seq, _Seq, ctypes.c_float,
+                                ctypes.c_float, _Seq]
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    levels = np.ascontiguousarray(levels, dtype=np.uint8)
+    out = l.util_BinIndex(_wrap_seq(x), _wrap_seq(levels), x0, dx, _Seq())
+    if out.Len == 0:
+        return np.zeros(0, dtype=np.uint64)
+    return np.ctypeslib.as_array(
+        ctypes.cast(out.Data, ctypes.POINTER(ctypes.c_uint64)),
+        shape=(out.Len,)).copy()
+
+
 def ref_lz4_available() -> bool:
     l = lib()
     if l is None:

@@ -66,8 +66,46 @@ def reference_segment(algo, ver):
     ])
 
 
+def deltas_segment(algo, ver):
+    """Per-particle-depth (Deltas mode) segment: pins the variable-width
+    wire AND the C-exact 2^depth arithmetic (XLA's exp2 is approximate at
+    integer inputs and must never leak into this path)."""
+    n, W = 4096, 64.0
+    rng = np.random.default_rng(54321)
+    pos = rng.uniform(0, W, (3, n)).astype(np.float32)
+    uf = rng.uniform(1, 9, n).astype(np.float32)
+    deltas = rng.choice(
+        np.array([1e-1, 1e-2, 1e-3], dtype=np.float32), n)
+
+    def hd(code):
+        return mnw.FieldHeader(code, algo, ver, n)
+
+    return mnw.Seg(fields=[
+        mnw.Field(hd=hd(mnw.FieldCode.POSN), data=pos,
+                  acc=mnw.PositionAccuracy(delta=0.0, width=W,
+                                           deltas=deltas)),
+        mnw.Field(hd=hd(mnw.FieldCode.UNSF), data=uf,
+                  acc=mnw.FloatAccuracy(delta=0.0, deltas=deltas)),
+    ])
+
+
+DELTAS_ALGOS = {
+    "trim_deltas": (mnw.AlgoCode.TRIM, _sv.pack(1, 0, 0)),
+    "trim_v1_1_deltas": (mnw.AlgoCode.TRIM, _sv.pack(1, 1, 0)),
+}
+
+
 def current_digests():
     out = {}
+    for name, (algo, ver) in DELTAS_ALGOS.items():
+        blob = api.compress_segment(deltas_segment(algo, ver), seed=888)
+        out[f"{name}_encode_sha256"] = hashlib.sha256(blob).hexdigest()
+        out[f"{name}_bytes"] = len(blob)
+        seg = api.decompress_segment(blob)
+        h = hashlib.sha256()
+        for f in seg.fields:
+            h.update(np.ascontiguousarray(np.asarray(f.data)).tobytes())
+        out[f"{name}_decode_sha256"] = h.hexdigest()
     for name, (algo, ver) in ALGOS.items():
         blob = api.compress_segment(reference_segment(algo, ver), seed=777)
         out[f"{name}_encode_sha256"] = hashlib.sha256(blob).hexdigest()

@@ -15,6 +15,75 @@ def np32(*vals):
     return np.array(vals, dtype=np.float32)
 
 
+class TestOracleParityExtended:
+    """Bit-exact parity vs the compiled reference C for the remaining
+    util.c kernels (periodic wrap family, byte transpose, u8 delta,
+    per-element-depth bin index)."""
+
+    @pytest.fixture(autouse=True)
+    def _need_oracle(self):
+        if ref_oracle.lib() is None:
+            pytest.skip("reference oracle unavailable")
+
+    def test_periodic_parity(self):
+        rng = np.random.default_rng(1)
+        x = rng.uniform(-10.0, 20.0, 4096).astype(np.float32)
+        ours = np.asarray(kernels.periodic(jnp.asarray(x), 10.0))
+        ref = ref_oracle.ref_periodic(x, 10.0)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_undo_periodic_parity(self):
+        rng = np.random.default_rng(2)
+        x = (rng.uniform(9.0, 11.0, 4096).astype(np.float32) % 10.0)
+        ours = np.asarray(kernels.undo_periodic(jnp.asarray(x), 10.0))
+        ref = ref_oracle.ref_undo_periodic(x, 10.0)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_u64_periodic_parity(self):
+        rng = np.random.default_rng(3)
+        x = rng.integers(0, 2000, 4096).astype(np.uint64)
+        ours = np.asarray(kernels.u64_periodic(jnp.asarray(x), 1024))
+        ref = ref_oracle.ref_u64_periodic(x, 1024)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_u64_undo_periodic_parity(self):
+        rng = np.random.default_rng(4)
+        # cluster straddling the boundary, like Lagrangian ID coords
+        x = ((rng.integers(1000, 1100, 4096) % 1024)).astype(np.uint64)
+        ours = np.asarray(kernels.u64_undo_periodic(jnp.asarray(x), 1024))
+        ref = ref_oracle.ref_u64_undo_periodic(x, 1024)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_transpose_bytes_parity(self):
+        rng = np.random.default_rng(5)
+        x = rng.integers(0, 1 << 32, 4096, dtype=np.uint64).astype(
+            np.uint32)
+        ours = np.asarray(kernels.u32_transpose_bytes(jnp.asarray(x)))
+        ref = ref_oracle.ref_transpose_bytes(x)
+        np.testing.assert_array_equal(ours, ref)
+        back = np.asarray(kernels.u32_undo_transpose_bytes(
+            jnp.asarray(ref)))
+        ref_back = ref_oracle.ref_undo_transpose_bytes(ref)
+        np.testing.assert_array_equal(back, ref_back)
+
+    def test_u8_delta_parity(self):
+        rng = np.random.default_rng(6)
+        x = rng.integers(0, 256, 4096).astype(np.uint8)
+        ours = np.asarray(kernels.u8_delta_encode(jnp.asarray(x)))
+        ref = ref_oracle.ref_u8_delta_encode(x)
+        # Reference keeps y[0] = x[0]; wraparound subtraction elsewhere.
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_per_element_bin_index_parity(self):
+        rng = np.random.default_rng(7)
+        x = rng.uniform(0.0, 1.0, 4096).astype(np.float32)
+        levels = rng.integers(1, 20, 4096).astype(np.uint8)
+        ours = np.asarray(kernels.bin_index(jnp.asarray(x),
+                                            jnp.asarray(levels), 0.0, 1.0))
+        ref = ref_oracle.ref_bin_index(x, levels, 0.0, 1.0)
+        np.testing.assert_array_equal(ours.astype(np.uint64), ref)
+
+
 class TestMinMax:
     def test_basic(self):
         mn, mx = kernels.minmax(jnp.asarray(np32(3, 1, -2, 8, 0)))
