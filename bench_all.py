@@ -37,6 +37,32 @@ def log(msg):
     print(msg, flush=True)
 
 
+def salt_perturb(arr, pairs):
+    """XOR salt words into selected elements of ``arr[0, 0, :]``,
+    expressed elementwise (iota masks + where).
+
+    A scatter (``.at[0,0,i].set``) is the obvious spelling but (a) inside
+    a fori_loop body XLA assigns the scatter copy a pathological
+    ``T(4,128)`` layout over the two small leading dims -- 21x padding,
+    11.9 GB for a 572 MB array, instant OOM -- and (b) on a sharded
+    operand the scatter's output sharding is ambiguous and errors.  The
+    elementwise form has neither problem and fuses into the consumer.
+
+    ``pairs`` is a sequence of (element_index, uint32_value).
+    """
+    i0 = jax.lax.broadcasted_iota(jnp.uint32, arr.shape, 0)
+    i1 = jax.lax.broadcasted_iota(jnp.uint32, arr.shape, 1)
+    i2 = jax.lax.broadcasted_iota(jnp.uint32, arr.shape, 2)
+    first = (i0 == 0) & (i1 == 0)
+    bits = arr if arr.dtype == jnp.uint32 else \
+        jax.lax.bitcast_convert_type(arr, jnp.uint32)
+    for idx, val in pairs:
+        bits = bits ^ jnp.where(first & (i2 == jnp.uint32(idx)), val,
+                                jnp.uint32(0))
+    return bits if arr.dtype == jnp.uint32 else \
+        jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
 def config1():
     import minnow_c_tpu as mnw
     from minnow_c_tpu.algos import registry
@@ -152,60 +178,102 @@ def config3():
 
 def config4_100m():
     """The literal BASELINE config: 100M particles, single pass, 1 chip.
-    No harness window (that would hold 4.8 GB of outputs); instead warm
-    on one buffer and time single fresh dispatches on a second buffer --
-    honest because replay only triggers on previously-seen inputs.
-    Device phases and the (tunnel-bound) D2H gather reported separately."""
+
+    Encode and decode device phases are timed as separate salted chains
+    (bench/harness.py): every chain step's input carries bits derived from
+    the previous step's output, so the runtime cannot elide, reorder, or
+    replay any step.  Unsalted single dispatches are NOT timeable on this
+    runtime -- block_until_ready on a lazily-materialized remote array
+    returns in ~1 ms and reports fantasy multi-TB/s numbers (measured:
+    exp/diag_100m.py).  Correctness is checked over the FULL 100M output
+    on device (one scalar fetched), not a host-side sample."""
+    from minnow_c_tpu.bench import harness
     from minnow_c_tpu.parallel.sharding import (ShardedPositionCodec,
                                                 make_mesh, spmd_depth_for)
 
     W = 64.0
     B, nb = 8, 12_500_000
     n = B * nb
+    raw = n * 12
     rng = np.random.default_rng(7)
     mesh = make_mesh()
     depth = spmd_depth_for(1e-3, W)
     codec = ShardedPositionCodec(mesh=mesh, width=W, depth=depth)
+    seed_arr = jnp.asarray([4], dtype=jnp.uint32)
+    zero_blk = jnp.zeros((1,), jnp.int32)
 
-    def one_pass(x):
-        t0 = time.perf_counter()
-        enc = codec.encode(x)
-        jax.block_until_ready(enc)
-        t1 = time.perf_counter()
-        out = codec.decode(*enc, seed=4)
-        jax.block_until_ready(out)
-        t2 = time.perf_counter()
-        return enc, out, t1 - t0, t2 - t1
+    xd = jax.device_put(jnp.asarray(
+        rng.uniform(0, W, (B, 3, nb)).astype(np.float32)),
+        codec._in_shardings())
+    jax.block_until_ready(xd)
 
-    # warm buffer (compiles + first-dispatch slowdown), then measure on
-    # fresh data the runtime has never seen
-    xw = jax.device_put(jnp.asarray(
-        rng.uniform(0, W, (B, 3, nb)).astype(np.float32)))
-    for _ in range(3):
-        enc, out, _, _ = one_pass(xw)
-    del enc, out
-    xm = jax.device_put(jnp.asarray(
-        rng.uniform(0, W, (B, 3, nb)).astype(np.float32)))
-    del xw
-    enc, out, enc_s, dec_s = one_pass(xm)
-    # sample check: a 64Ki slice (~0.8 MB) -- a full-block fetch would be
-    # 150 MB ~ minutes through the ~25 MB/s tunnel
-    err = np.abs(np.asarray(out[0, :, :65536]) -
-                 np.asarray(xm[0, :, :65536]))
-    err = np.minimum(err, W - err)
-    delta_ach = W / (1 << depth)
-    raw = n * 12
+    # Full-array correctness first (also warms both programs): max
+    # periodic error across all 100M outputs, reduced on device.
+    enc0 = codec.encode(xd)
+    out0 = codec.decode(*enc0, seed=4)
+
+    @jax.jit
+    def max_err(a, b):
+        e = jnp.abs(a - b)
+        return jnp.max(jnp.minimum(e, W - e))
+
+    err = float(max_err(out0, xd))
+    words_d, hdrs = enc0[0], enc0[1:]
+    del enc0, out0
+
+    CHAIN = 4  # dispatches are ~1-100 ms through the tunnel; chaining
+    # amortizes the RPC while the salt dependency serializes real work
+
+    m = jnp.uint32(0x3FFFFF)  # f32 mantissa-only perturbation mask
+
+    # Big device arrays are jit ARGUMENTS, never closures: closed-over
+    # arrays are serialized as constants into the remote-compile request
+    # (HTTP 413 over ~100 MB).
+    @jax.jit
+    def enc_chain(xin, w0, salt):
+        def body(i, carry):
+            s, _ = carry
+            xs = salt_perturb(xin, [(0, s & m),
+                                    (1, (s >> jnp.uint32(10)) & m)])
+            words, x0b, rng_b = codec._encode(xs)
+            return (words[0, 0, 0] ^ i.astype(jnp.uint32), words)
+
+        _, words = jax.lax.fori_loop(
+            0, CHAIN, body, (salt, jnp.zeros_like(w0)))
+        return words
+
+    res_e = harness.run(lambda s: enc_chain(xd, words_d, s),
+                        bytes_per_iter=raw * CHAIN)
+    log(f"config4_100M encode: {res_e.gb_per_second:.1f} GB/s")
+
+    @jax.jit
+    def dec_chain(xlike, wd, salt):
+        def body(i, carry):
+            s, _ = carry
+            w = salt_perturb(wd, [(0, s)])
+            out = codec._decode(w, *hdrs, seed_arr, zero_blk)
+            s2 = jax.lax.bitcast_convert_type(out[0, 0, 0], jnp.uint32)
+            return (s2 ^ i.astype(jnp.uint32), out)
+
+        _, out = jax.lax.fori_loop(
+            0, CHAIN, body, (salt, jnp.zeros_like(xlike)))
+        return out
+
+    res_d = harness.run(lambda s: dec_chain(xd, words_d, s),
+                        bytes_per_iter=raw * CHAIN)
+    log(f"config4_100M decode: {res_d.gb_per_second:.1f} GB/s")
+
     results["config4_100M_single_pass"] = {
         "particles": n, "blocks": B, "depth": depth,
-        "encode_device_s": round(enc_s, 3),
-        "decode_device_s": round(dec_s, 3),
-        "encode_GBps": round(raw / enc_s / 1e9, 2),
-        "decode_GBps": round(raw / dec_s / 1e9, 2),
-        "within_delta_sample": bool((err <= delta_ach).all()),
-        "note": "single fresh-input pass after warm-up; D2H excluded "
-                "(tunnel-bound, see config4_sharded_blocks gather time)"}
-    log(f"config4_100M: enc {raw/enc_s/1e9:.1f} GB/s, "
-        f"dec {raw/dec_s/1e9:.1f} GB/s")
+        "encode_GBps": round(res_e.gb_per_second, 2),
+        "decode_GBps": round(res_d.gb_per_second, 2),
+        "max_err_full_array": err,
+        "delta_requested": 1e-3,
+        "within_delta": bool(err <= 1e-3),
+        "note": "salted-chain device phases (see bench/harness.py); "
+                "D2H excluded (tunnel-bound, see config4_sharded_blocks "
+                "gather time); error checked over the full 100M output "
+                "on device"}
 
 
 def config4():
@@ -214,12 +282,14 @@ def config4():
     from minnow_c_tpu.ops import entropy
 
     W = 64.0
-    # 50M particles for the harness variant: the salted-chain harness
+    # ~50M particles for the harness variant: the salted-chain harness
     # keeps a 4-output rolling window live (anti-elision), and at 100M
     # that window alone is 4.8 GB -- with encode+decode intermediates it
     # exhausts the 16 GB chip.  The literal 100M single-pass run lives in
-    # config4_100m.
-    B, nb = 8, 12_500_000 // 2
+    # config4_100m.  nb is 32-aligned so the pack takes the row-folded
+    # matmul (the vmapped fallback's batched matmul draws a T(4,128)
+    # batch-minor layout: 21x padding, OOM).
+    B, nb = 8, 6_249_984
     n = B * nb
     rng = np.random.default_rng(3)
     x = rng.uniform(0, W, (B, 3, nb)).astype(np.float32)
@@ -229,7 +299,18 @@ def config4():
     xd = jax.device_put(jnp.asarray(x))
     from minnow_c_tpu.bench import harness
 
-    def roundtrip(salt):
+    seed_arr = jnp.asarray([4], dtype=jnp.uint32)
+    zero_blk = jnp.zeros((1,), jnp.int32)
+    CHAIN = 4  # roundtrips per dispatch: today's tunnel dispatch latency
+    # can reach tens of ms/call, which starves one-dispatch-per-iter
+    # benchmarks; chaining keeps the salt data dependency while
+    # amortizing the RPC.
+
+    # The input buffer is a jit ARGUMENT, not a closure: closed-over
+    # device arrays are serialized as constants into the remote-compile
+    # request, which rejects the 600 MB body with HTTP 413.
+    @jax.jit
+    def roundtrip(xin, salt):
         # Replay-proof: the input buffer must be UNIQUE every iteration --
         # the runtime replays cached executions for previously-seen
         # buffers and reports numbers above the memory-bandwidth floor
@@ -237,16 +318,23 @@ def config4():
         # Spread the full 32-bit salt across two elements' mantissas
         # (22+22 overlapping bits reconstruct all 32), so the buffer space
         # covers every salt value.
-        bits = jax.lax.bitcast_convert_type(xd, jnp.uint32)
-        m = jnp.uint32(0x3FFFFF)
-        bits = bits.at[0, 0, 0].set(bits[0, 0, 0] ^ (salt & m))
-        bits = bits.at[0, 0, 1].set(
-            bits[0, 0, 1] ^ ((salt >> jnp.uint32(10)) & m))
-        xs = jax.lax.bitcast_convert_type(bits, jnp.float32)
-        words, x0b, rng_b = codec.encode(xs)
-        return codec.decode(words, x0b, rng_b, seed=4)
+        def body(i, carry):
+            s, _ = carry
+            m = jnp.uint32(0x3FFFFF)
+            xs = salt_perturb(xin, [(0, s & m),
+                                    (1, (s >> jnp.uint32(10)) & m)])
+            words, x0b, rng_b = codec._encode(xs)
+            out = codec._decode(words, x0b, rng_b, seed_arr, zero_blk)
+            s2 = jax.lax.bitcast_convert_type(out[0, 0, 0], jnp.uint32) ^ \
+                i.astype(jnp.uint32)
+            return (s2, out)
 
-    res = harness.run(roundtrip, bytes_per_iter=n * 12)
+        _, out = jax.lax.fori_loop(
+            0, CHAIN, body, (salt, jnp.zeros_like(xin)))
+        return out
+
+    res = harness.run(lambda s: roundtrip(xd, s),
+                      bytes_per_iter=n * 12 * CHAIN)
     enc = dec = (n * 12) / res.bytes_per_second / 2  # split evenly
     words, x0b, rng_b = codec.encode(xd)
     out = codec.decode(words, x0b, rng_b, seed=4)
@@ -261,14 +349,17 @@ def config4():
     tg2 = time.perf_counter()
     raw = n * 12
     comp = sum(len(b) for b in blobs)
-    err = np.abs(np.asarray(out[:1]) - x[:1])
-    err = np.minimum(err, W - err)
+    # error over the FULL output, reduced on device (one scalar fetched;
+    # a host-side slice fetch is minutes through the ~25 MB/s tunnel)
+    e = jnp.abs(out - xd)
+    err = float(jax.jit(lambda e: jnp.max(jnp.minimum(e, W - e)))(e))
     results["config4_sharded_blocks"] = {
         "particles": n, "blocks": B,
         "device_roundtrip_GBps": round(raw / (enc + dec) / 1e9, 2),
         "gather_D2H_s": round(tg1 - tg0, 2),
         "host_lz4_s": round(tg2 - tg1, 2),
-        "within_delta_sample": bool((err <= 1e-3).all()),
+        "max_err_full_array": err,
+        "within_delta_sample": bool(err <= 1e-3),
         "packed_ratio": round(comp / raw, 4),
         "note": "salted-chain roundtrip (encode+decode); D2H bounded by "
                 "~25MB/s tunnel, not chip"}

@@ -55,29 +55,15 @@ def packed_words(n: int, width: int) -> int:
 # wire bitstream is unchanged from the C semantics.
 
 
-@functools.partial(jax.jit, static_argnames=("width",))
-def uniform_pack(x, width: int):
-    """Pack the low ``width`` bits of each element of u32 array ``x``
-    (util_U32UniformPack, util.c:311-355).
-
-    Formulation: within a block, element k's lo/hi word contributions are
-    whole-matrix shifts by static per-column amounts, folded into the
+def _pack_fold_32(vals, width: int):
+    """The einsum-select fold: (n_blocks, 32) masked u32 values ->
+    (n_blocks, width) packed words.  Element k's lo/hi word contributions
+    are whole-matrix shifts by static per-column amounts, folded into the
     ``width`` output words with static 0/1 selection matrices (disjoint
     bits => integer matmul == OR).  Chosen over a 32-way slice/OR unroll,
     which XLA's CPU backend miscompiles (wrong bits for interior columns,
     observed jax 0.9.0), and over scatter-adds, which are ~100x slower on
     TPU."""
-    n = x.shape[0]
-    n_words = packed_words(n, width)
-    if width == 0 or n == 0:
-        return jnp.zeros((n_words,), dtype=jnp.uint32)
-    if width == 32:
-        return x
-    n_blocks = pl_cdiv(n, 32)
-    pad = n_blocks * 32 - n
-    if pad:
-        x = jnp.pad(x, (0, pad))
-    vals = x.reshape(n_blocks, 32) & jnp.uint32((1 << width) - 1)
     lsh = np.array([(k * width) % 32 for k in range(32)], dtype=np.uint32)
     tgt = np.array([(k * width) // 32 for k in range(32)])
     straddle = (lsh + width) > 32
@@ -90,8 +76,53 @@ def uniform_pack(x, width: int):
     sel_hi = np.zeros((32, width), dtype=np.uint32)
     in_range = tgt + 1 < width
     sel_hi[np.arange(32)[in_range], (tgt + 1)[in_range]] = 1
-    words = lo @ jnp.asarray(sel_lo) + hi @ jnp.asarray(sel_hi)
+    return lo @ jnp.asarray(sel_lo) + hi @ jnp.asarray(sel_hi)
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def uniform_pack(x, width: int):
+    """Pack the low ``width`` bits of each element of u32 array ``x``
+    (util_U32UniformPack, util.c:311-355)."""
+    n = x.shape[0]
+    n_words = packed_words(n, width)
+    if width == 0 or n == 0:
+        return jnp.zeros((n_words,), dtype=jnp.uint32)
+    if width == 32:
+        return x
+    n_blocks = pl_cdiv(n, 32)
+    pad = n_blocks * 32 - n
+    if pad:
+        x = jnp.pad(x, (0, pad))
+    vals = x.reshape(n_blocks, 32) & jnp.uint32((1 << width) - 1)
+    words = _pack_fold_32(vals, width)
     return words.reshape(-1)[:n_words]
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def uniform_pack_rows(x, width: int):
+    """Pack each row of u32 array ``x`` of shape (rows, n) independently;
+    requires ``n % 32 == 0``.  Row r's stream is bit-identical to
+    ``uniform_pack(x[r], width)`` and occupies exactly (n//32)*width words
+    (no partial tail word when 32 divides n), so the result is the dense
+    (rows, (n//32)*width) matrix of per-row streams.
+
+    Exists because ``vmap(uniform_pack)`` over leading batch dims turns
+    the fold into a *batched* matmul, for which XLA's TPU layout
+    assignment picks a batch-dims-minor T(4,128) layout with ~21x pad
+    expansion (a 572 MB temp becomes 11.9 GB -> OOM at scale).  Folding
+    the batch into the matmul's row dimension keeps it a plain 2-D matmul
+    with a sane layout."""
+    rows, n = x.shape
+    if n % 32 != 0:
+        raise ValueError("uniform_pack_rows requires n % 32 == 0")
+    out_words = (n // 32) * width
+    if width == 0 or n == 0:
+        return jnp.zeros((rows, out_words), dtype=jnp.uint32)
+    if width == 32:
+        return x
+    vals = x.reshape(rows * (n // 32), 32) & jnp.uint32((1 << width) - 1)
+    words = _pack_fold_32(vals, width)
+    return words.reshape(rows, out_words)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "n"))

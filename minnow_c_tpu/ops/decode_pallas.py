@@ -23,6 +23,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .bitpack import pl_cdiv
 from .rng import _TF_PARITY, _TF_ROT, _TF_ROUNDS
 
 TILE = 1 << 14  # elements per grid step (16Ki): the (BLOCKS, 32) tiles pad
@@ -155,3 +156,104 @@ def decode_pallas(words, key, width: int, n: int, x0, dx, box=0.0,
             ctr0=n_tiles * TILE)
         outs.append(t)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+
+def _decode_rows_kernel(words_ref, key_ref, scal_ref, out_ref, *,
+                        width: int, periodic: bool):
+    """One (row, tile) grid step: words (1, 1, BLOCKS, width) ->
+    out (1, 1, BLOCKS, 32).  Same math as ``_decode_kernel`` with
+    per-row key/scalars; each row is an independent stream whose dither
+    counter starts at 0."""
+    tile = pl.program_id(1)
+    k0 = key_ref[0, 0]
+    k1 = key_ref[0, 1]
+    x0 = scal_ref[0, 0]
+    dx_bin = scal_ref[0, 1]
+    box = scal_ref[0, 2]
+
+    words = words_ref[0, 0]
+    mask = jnp.uint32((1 << width) - 1)
+    cols = []
+    for k in range(32):
+        start = k * width
+        j = start // 32
+        off = start % 32
+        v = words[:, j] >> jnp.uint32(off)
+        if off + width > 32:
+            v = v | (words[:, j + 1] << jnp.uint32(32 - off))
+        cols.append(v & mask)
+    bins = jnp.stack(cols, axis=1)  # (BLOCKS, 32)
+
+    elem0 = tile.astype(jnp.uint32) * jnp.uint32(TILE)
+    idx = jax.lax.broadcasted_iota(jnp.uint32, (BLOCKS, 32), 0) * \
+        jnp.uint32(32) + \
+        jax.lax.broadcasted_iota(jnp.uint32, (BLOCKS, 32), 1) + \
+        elem0
+    ctr = idx >> jnp.uint32(2)
+    lane = idx & jnp.uint32(3)
+    a, b = _threefry13_tile(k0, k1, ctr)
+    word = jnp.where(lane < 2, a, b)
+    shift = jnp.where((lane & 1) == 0, jnp.uint32(0), jnp.uint32(16))
+    h = (word >> shift) & jnp.uint32(0xFFFF)
+    u = h.astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        1.0 / (1 << 16))
+
+    x = x0 + dx_bin * (bins.astype(jnp.int32).astype(jnp.float32) + u)
+    if periodic:
+        x = jnp.where(x >= box, x - box, x)
+        x = jnp.where(x < 0, x + box, x)
+    out_ref[0, 0] = x
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "n", "periodic", "interpret"))
+def decode_pallas_rows(words, keys, width: int, n: int, x0, dx, box=0.0,
+                       periodic: bool = False, interpret: bool = False):
+    """Batched fused decode of R independent streams.
+
+    ``words``: (R, n_words) packed streams, one per row (32-aligned
+    element counts => no partial tail word); ``keys``: (R, 2) u32 dither
+    keys; ``x0``/``dx``: (R,) f32 per-stream offset and full range;
+    ``n``: elements per stream.  Bit-identical per row to
+    ``decode_pallas(words[r], keys[r], ...)``.
+
+    This is the sharded-codec decode hot path: vmapping the XLA unpack
+    over (blocks, 3) leaves ~30x throughput on the table; here every
+    (row, tile) pair is one VMEM-resident kernel step, and per-row
+    scalars ride SMEM."""
+    if width == 0 or n == 0 or n % 32:
+        raise ValueError("decode_pallas_rows requires width>=1, 32 | n")
+    rows = words.shape[0]
+    words_per_tile = TILE * width // 32
+    n_tiles = pl_cdiv(n, TILE)
+    pad_words = n_tiles * words_per_tile - words.shape[1]
+    if pad_words:
+        words = jnp.pad(words, ((0, 0), (0, pad_words)))
+    w4 = words.reshape(rows, n_tiles, BLOCKS, width)
+    dx_bin = dx.astype(jnp.float32) / jnp.float32(1 << width)
+    scal = jnp.stack(
+        [x0.astype(jnp.float32), dx_bin,
+         jnp.full((rows,), box, jnp.float32)], axis=1)  # (R, 3)
+    kernel = functools.partial(_decode_rows_kernel, width=width,
+                               periodic=periodic)
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, BLOCKS, width),
+                         lambda r, i: (r, i, r * 0, r * 0),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda r, i: (r, r * 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda r, i: (r, r * 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, BLOCKS, 32),
+                               lambda r, i: (r, i, r * 0, r * 0),
+                               memory_space=pl.ANY
+                               if interpret else pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, n_tiles, BLOCKS, 32),
+                                       jnp.float32),
+        interpret=interpret,
+    )(w4, keys.astype(jnp.uint32), scal)
+    return out.reshape(rows, n_tiles * TILE)[:, :n]

@@ -81,6 +81,13 @@ class ShardedPositionCodec:
     width: float  # periodic box width
     depth: int  # bits per value
     axis: str = "dp"
+    # Fused Pallas decode (ops.decode_pallas_rows): None = auto (TPU
+    # backend only); tests force True with interpret to check bit parity
+    # on the CPU mesh.  Bits are identical either way (same dither spec,
+    # same f32 op order; the one Mosaic-hostile op, the bin-width
+    # division, stays in XLA).
+    fused_rows: Optional[bool] = None
+    interpret: bool = False
 
     @property
     def _spec_blocks(self):
@@ -110,9 +117,19 @@ class ShardedPositionCodec:
             # backend (see parallel/snapshot.py).
             bins = jax.lax.optimization_barrier(bins)
             # Pack all 3 dims of every local block: (B_local, 3, n_b) ->
-            # (B_local, 3, words)
-            words = jax.vmap(jax.vmap(
-                lambda b: bitpack.uniform_pack(b, depth)))(bins)
+            # (B_local, 3, words).  The (B_local, 3) batch dims are folded
+            # into the pack matmul's row dimension -- vmapping the pack
+            # instead makes it a batched matmul, and XLA's TPU layout
+            # assignment then picks a batch-dims-minor T(4,128) layout
+            # with ~21x pad expansion (OOM at 50M+ particles).
+            b_l, _, n_b = bins.shape
+            if n_b % 32 == 0:
+                words = bitpack.uniform_pack_rows(
+                    bins.reshape(b_l * 3, n_b), depth
+                ).reshape(b_l, 3, -1)
+            else:
+                words = jax.vmap(jax.vmap(
+                    lambda b: bitpack.uniform_pack(b, depth)))(bins)
             return words, x0, rng_b
 
         return jax.jit(jax.shard_map(
@@ -122,11 +139,34 @@ class ShardedPositionCodec:
     @functools.cached_property
     def _decode(self):
         width, depth, axis = self.width, self.depth, self.axis
+        fused = self.fused_rows
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        interpret = self.interpret
 
         def decode_local(words, x0, rng_b, seed_arr, block0):
             # words: (B_local, 3, n_words); block0: local base block index
             n_words = words.shape[2]
             n_b = (n_words * 32) // depth if depth else 0
+            b_l = words.shape[0]
+            idx = jax.lax.axis_index(axis) * b_l + jnp.arange(b_l)
+
+            if fused and depth >= 1 and n_b and n_b % 32 == 0:
+                # One Pallas grid over all (block, dim) streams: each row
+                # is VMEM-resident unpack+dither+undo+rewrap with per-row
+                # key/offset in SMEM.  ~30x over the vmapped XLA unpack,
+                # bit-identical (enforced by test_sharding).
+                from ..ops import decode_pallas
+
+                keys = jax.vmap(lambda bi: jnp.stack(
+                    [_rng.field_key_jax(seed_arr[0], bi, d)
+                     for d in range(3)]))(idx)  # (B_local, 3, 2)
+                out = decode_pallas.decode_pallas_rows(
+                    words.reshape(b_l * 3, n_words),
+                    keys.reshape(b_l * 3, 2), depth, n_b,
+                    x0.reshape(b_l * 3), jnp.repeat(rng_b, 3),
+                    box=width, periodic=True, interpret=interpret)
+                return out.reshape(b_l, 3, n_b)
 
             def one_block(wb, x0b, rb, bi):
                 def one_dim(wd, o, d):
@@ -145,14 +185,15 @@ class ShardedPositionCodec:
                 return jnp.stack([one_dim(wb[d], x0b[d], d)
                                   for d in range(3)])
 
-            idx = jax.lax.axis_index(axis) * words.shape[0] + \
-                jnp.arange(words.shape[0])
             return jax.vmap(one_block)(words, x0, rng_b, idx)
 
+        # check_vma=False: pallas_call out_shapes carry no varying-mesh-
+        # axes annotation; the body is collective-free (axis_index only),
+        # so the check buys nothing here.
         return jax.jit(jax.shard_map(
             decode_local, mesh=self.mesh,
             in_specs=(P(axis), P(axis), P(axis), P(), P()),
-            out_specs=P(axis)))
+            out_specs=P(axis), check_vma=False))
 
     def encode(self, x):
         """x: (B, 3, n_b) f32, B divisible by mesh size.  Returns (words

@@ -86,6 +86,13 @@ def _batched_prepare_vel(x, sym_log10_scaled: int = 0,
 
 @functools.partial(jax.jit, static_argnames=("w",))
 def _batched_id_pack(rel, w: int):
+    # Row-folded pack when blocks are 32-aligned: a vmapped pack is a
+    # batched matmul, and XLA's TPU layout assignment gives batched
+    # matmuls a batch-dims-minor T(4,128) layout with ~21x pad expansion
+    # (see ops/bitpack.uniform_pack_rows).  Streams are identical: a
+    # 32-aligned row has no partial tail word.
+    if rel.shape[1] % 32 == 0:
+        return bitpack.uniform_pack_rows(rel, w)
     return jax.vmap(lambda r: bitpack.uniform_pack(r, w))(rel)
 
 
@@ -101,9 +108,15 @@ def _batched_bin_pack(xu, x0, rng_b, depth: int):
         bins = jax.vmap(
             lambda xd, o: kernels.uniform_bin_index(xd, depth, o, rb))(
                 xb, x0b)
-        bins = jax.lax.optimization_barrier(bins)
-        return jax.vmap(lambda b: bitpack.uniform_pack(b, depth))(bins)
-    return jax.vmap(one)(xu, x0, rng_b)
+        return jax.lax.optimization_barrier(bins)
+    bins = jax.vmap(one)(xu, x0, rng_b)
+    b_l, _, n_b = bins.shape
+    if n_b % 32 == 0:
+        # fold (B, 3) into the pack matmul's rows (layout hazard above)
+        return bitpack.uniform_pack_rows(
+            bins.reshape(b_l * 3, n_b), depth).reshape(b_l, 3, -1)
+    return jax.vmap(jax.vmap(
+        lambda b: bitpack.uniform_pack(b, depth)))(bins)
 
 
 def _encode_pos_batch(pos: np.ndarray, B: int, nb: int, acc, seed: int,

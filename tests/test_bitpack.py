@@ -91,6 +91,22 @@ class TestUniformPack:
         back = np.asarray(bitpack.uniform_unpack(jnp.asarray(packed), 4, 2))
         np.testing.assert_array_equal(back, x & 0xF)
 
+    @pytest.mark.parametrize("width", [0, 1, 7, 9, 14, 16, 17, 24, 31, 32])
+    def test_rows_matches_per_row_pack(self, width):
+        # uniform_pack_rows row r == uniform_pack(x[r]) bit-for-bit
+        rng = np.random.default_rng(100 + width)
+        rows, n = 5, 32 * 7
+        x = rand_vals(rng, rows * n, max(width, 1)).reshape(rows, n)
+        got = np.asarray(bitpack.uniform_pack_rows(jnp.asarray(x), width))
+        assert got.shape == (rows, (n // 32) * width)
+        for r in range(rows):
+            ref = np.asarray(bitpack.uniform_pack(jnp.asarray(x[r]), width))
+            np.testing.assert_array_equal(got[r], ref)
+
+    def test_rows_rejects_ragged(self):
+        with pytest.raises(ValueError):
+            bitpack.uniform_pack_rows(jnp.zeros((2, 33), jnp.uint32), 4)
+
 
 class TestVariablePack:
     def test_roundtrip_random_widths(self):

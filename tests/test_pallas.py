@@ -26,6 +26,38 @@ def test_pallas_matches_xla(width, n_extra):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("width", [1, 14, 24])
+def test_pallas_rows_matches_per_row(width):
+    """decode_pallas_rows row r == decode_pallas(words[r]) bit-for-bit,
+    including a 32-aligned but non-TILE-multiple element count."""
+    n = decode_pallas.TILE + 64
+    R = 4
+    rng = np.random.default_rng(width)
+    bins = rng.integers(0, 1 << width, (R, n),
+                        dtype=np.uint64).astype(np.uint32)
+    words = np.stack([native.uniform_pack_host(b, width) for b in bins])
+    keys = np.stack([np.asarray(_rng.field_key_arr(9, r, 0))
+                     for r in range(R)]).astype(np.uint32)
+    x0 = np.linspace(0.0, 3.0, R).astype(np.float32)
+    dx = np.full((R,), 64.0, np.float32)
+    got = np.asarray(decode_pallas.decode_pallas_rows(
+        jnp.asarray(words), jnp.asarray(keys), width, n,
+        jnp.asarray(x0), jnp.asarray(dx), box=64.0, periodic=True,
+        interpret=True))
+    for r in range(R):
+        ref = np.asarray(decode_pallas.decode_pallas(
+            jnp.asarray(words[r]), jnp.asarray(keys[r]), width, n,
+            float(x0[r]), 64.0, 64.0, periodic=True, interpret=True))
+        np.testing.assert_array_equal(got[r], ref)
+
+
+def test_pallas_rows_rejects_unaligned():
+    with pytest.raises(ValueError):
+        decode_pallas.decode_pallas_rows(
+            jnp.zeros((2, 8), jnp.uint32), jnp.zeros((2, 2), jnp.uint32),
+            4, 33, jnp.zeros((2,)), jnp.ones((2,)))
+
+
 def test_pallas_no_periodic():
     n = decode_pallas.TILE
     rng = np.random.default_rng(0)

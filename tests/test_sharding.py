@@ -64,6 +64,21 @@ class TestShardedPositionCodec:
         # same bins everywhere, but block dither keys differ
         assert not np.array_equal(out[0], out[1])
 
+    def test_fused_rows_decode_bit_identical(self):
+        """The Pallas rows decode (TPU production path) must produce the
+        same bits as the XLA reference path, per global block key."""
+        mesh = make_mesh(8)
+        depth = spmd_depth_for(1e-3, W)
+        x = make_blocks(B=16, nb=512, seed=7)
+        ref_codec = ShardedPositionCodec(mesh=mesh, width=W, depth=depth,
+                                         fused_rows=False)
+        fused_codec = ShardedPositionCodec(mesh=mesh, width=W, depth=depth,
+                                           fused_rows=True, interpret=True)
+        words, x0, rng_b = ref_codec.encode(x)
+        ref = np.asarray(ref_codec.decode(words, x0, rng_b, seed=5))
+        got = np.asarray(fused_codec.decode(words, x0, rng_b, seed=5))
+        np.testing.assert_array_equal(got, ref)
+
     def test_decode_deterministic_across_mesh_sizes(self):
         """Decoded bits must not depend on how many devices decode them --
         the key derivation is per *global* block index."""
