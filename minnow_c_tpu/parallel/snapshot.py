@@ -434,6 +434,11 @@ def decompress_snapshot(fp: BinaryIO, batched: bool = True,
     return out
 
 
+# Test hook: force the Pallas rows decode (interpret mode) on the CPU
+# backend to check bit parity without a chip.
+_FORCE_ROWS_DECODE = False
+
+
 @functools.partial(jax.jit, static_argnames=("depth", "nb", "periodic"))
 def _batched_float_decode(words, x0, rng_b, key, depth: int, nb: int,
                           periodic: bool, box):
@@ -441,6 +446,25 @@ def _batched_float_decode(words, x0, rng_b, key, depth: int, nb: int,
     key and counters 0..nb (exactly what per-segment decode does), so the
     dither vector is computed once and broadcast."""
     from ..ops import rng as _rng
+
+    on_tpu = jax.default_backend() == "tpu"
+    if (on_tpu or _FORCE_ROWS_DECODE) and depth >= 1 and nb % 32 == 0:
+        # One Pallas grid over all (block, dim) streams (same kernel as
+        # the sharded codec's decode); identical bits -- the shared key
+        # just repeats per row, counters restart at 0 per stream exactly
+        # as the broadcast dither vector does.
+        from ..ops import decode_pallas
+
+        B, D = words.shape[0], words.shape[1]
+        keys = jnp.broadcast_to(
+            jnp.asarray(key, jnp.uint32).reshape(1, 2), (B * D, 2))
+        out = decode_pallas.decode_pallas_rows(
+            words.reshape(B * D, -1), keys, depth, nb,
+            x0.reshape(B * D).astype(jnp.float32),
+            jnp.repeat(rng_b.astype(jnp.float32), D),
+            box=(box if periodic else 0.0), periodic=periodic,
+            interpret=not on_tpu)
+        return out.reshape(B, D, nb)
 
     u = _rng.uniform_dither((key[0], key[1]), (nb,))
     dx = rng_b.astype(jnp.float32) / jnp.float32(1 << depth)

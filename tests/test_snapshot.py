@@ -191,6 +191,27 @@ class TestBatchedDecode:
         for k in ("pos", "vel", "ids"):
             np.testing.assert_array_equal(a[k], b[k])
 
+    def test_batched_rows_kernel_bit_identical(self):
+        """The Pallas rows decode (TPU production path inside
+        _batched_float_decode) must produce the same bits as the XLA
+        batched path and the per-segment fallback."""
+        pos, vel, ids = make_snapshot(n=16384, seed=13)
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot(buf, pos, vel, ids, SPEC, num_blocks=4,
+                                   seed=9)
+        buf.seek(0)
+        ref = snapshot.decompress_snapshot(buf, batched=False)
+        snapshot._FORCE_ROWS_DECODE = True
+        snapshot._batched_float_decode.clear_cache()
+        try:
+            buf.seek(0)
+            got = snapshot.decompress_snapshot(buf, batched=True)
+        finally:
+            snapshot._FORCE_ROWS_DECODE = False
+            snapshot._batched_float_decode.clear_cache()
+        for k in ("pos", "vel", "ids"):
+            np.testing.assert_array_equal(got[k], ref[k])
+
     def test_batched_falls_back_on_symlog(self):
         n = 2048
         rng = np.random.default_rng(3)
