@@ -35,7 +35,7 @@ N = (25_000_000 // decode_pallas.TILE) * decode_pallas.TILE
 WIDTH_BOX = 64.0
 
 
-CHAIN = 8  # decodes per dispatch: amortizes remote-dispatch latency
+CHAIN = 128  # decodes per dispatch: amortizes remote-dispatch latency
 # (~1-100 ms per call through the tunnel, variable by session) without
 # weakening the anti-replay salt chain -- each loop step's key derives
 # from the previous step's decoded output, a true data dependency.

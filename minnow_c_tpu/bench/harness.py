@@ -97,7 +97,15 @@ def run(fn: Callable[[object], object], bytes_per_iter: int,
             window.append(out)
             if len(window) > 4:
                 window.pop(0)
-        jax.block_until_ready(window)
+        # Completion barrier: fetch the data-dependent salt to the host.
+        # block_until_ready alone is NOT sufficient on this runtime -- it
+        # has been observed to return before execution completes (a bare
+        # 8192^3 bf16 matmul "finished" in 0.5 ms, an impossible 2200
+        # TFLOP/s on a ~200 TFLOP/s chip).  A 4-byte D2H read of a value
+        # that depends on every chained iteration cannot lie; its ~30 ms
+        # latency is amortized by the >=0.5 s trial window.
+        import numpy as _np
+        _np.asarray(salt)
         return time.perf_counter() - t0
 
     start_total = time.perf_counter()

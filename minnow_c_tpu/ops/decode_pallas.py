@@ -7,10 +7,29 @@ periodic rewrap -- entirely in VMEM, with no HBM intermediates between
 stages.  Wire layout and output bits are identical to
 ``fastpath.fast_uniform_decode`` (cross-checked in tests).
 
-Layout choice: the packed words view is (tiles, blocks, width) -- one row
-of ``width`` words per 32-element block -- so the unpack is pure static
-column shifts with no in-kernel reshapes; the output tile is
-(blocks, 32), whose row-major order is exactly element order.
+Layout (v5e-measured): the kernel computes x[l, m] for element
+e = m*128 + l, i.e. *lanes hold every-128th element*.  Then:
+
+- the packed words ride in as (4*width, M) [M = tile/128]: row c holds
+  word ``4*width*m + c`` of the tile, so the unpack for output row l is a
+  static row pair (J, J2) plus a row-constant funnel shift -- all
+  full-lane ops.  The (M, 4w) -> (4w, M) rearrangement happens in XLA
+  before the kernel (contiguous reshape + swapaxes; measured ~free when
+  fused into the surrounding program).
+- Threefry runs on a compact (32, M) counter grid (4 elements share a
+  counter: ctr(e) = e>>2 = 32m + (l>>2)), and the 16-bit grain of row l
+  is a static sublane select -- no per-element cipher redundancy.
+- the output block is x.T = (M, 128): its minor dim is a full 128 lanes,
+  so the store DMA runs dense.
+
+This layout is worth ~21x over the earlier (blocks, 32)-shaped kernel,
+whose 32-lane output blocks made every store DMA 4x-padded and whose
+(512, width) words block wasted ~12x on lane padding; on a v5e the
+measured end-to-end rate moved from ~9 GB/s to ~190 GB/s of decoded f32
+(chain-slope timing with device-to-host readback; see BENCH_NOTES.md).
+
+Reference semantics: util.c:368-417 (undo bin index + dither),
+quant.c:codes (periodic rewrap); dither spec doc/wire_format.md.
 """
 
 from __future__ import annotations
@@ -26,10 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .bitpack import pl_cdiv
 from .rng import _TF_PARITY, _TF_ROT, _TF_ROUNDS
 
-TILE = 1 << 14  # elements per grid step (16Ki): the (BLOCKS, 32) tiles pad
-# lanes to 128, and the unrolled Threefry keeps ~30 tiles live, so bigger
-# tiles blow the 16 MB VMEM budget.
-BLOCKS = TILE // 32  # 32-element blocks per tile
+TILE = 1 << 19  # max elements per grid step; VMEM-bounded (~12 MB live)
+_TILE_CASCADE = (1 << 19, 1 << 16, 1 << 14)  # big tiles, then mop-up sizes
 
 
 def _threefry13_tile(k0, k1, ctr):
@@ -53,43 +70,41 @@ def _threefry13_tile(k0, k1, ctr):
     return x0, x1
 
 
-def _decode_kernel(words_ref, key_ref, scal_ref, out_ref, *, width: int,
-                   periodic: bool):
-    """words (1, BLOCKS, width) -> out (1, BLOCKS, 32)."""
-    tile = pl.program_id(0)
-    k0 = key_ref[0]
-    k1 = key_ref[1]
-    x0 = scal_ref[0]
-    dx_bin = scal_ref[1]  # (x1-x0) / 2^width, precomputed f32
-    box = scal_ref[2]
+def _decode_body(W, k0, k1, x0, dx_bin, box, tile0, *, width: int,
+                 periodic: bool):
+    """Shared kernel math: W (4*width, M) words -> x (M, 128) f32.
 
-    words = words_ref[0]
-    mask = jnp.uint32((1 << width) - 1)
-    cols = []
-    for k in range(32):
-        start = k * width
-        j = start // 32
-        off = start % 32
-        v = words[:, j] >> jnp.uint32(off)
-        if off + width > 32:
-            v = v | (words[:, j + 1] << jnp.uint32(32 - off))
-        cols.append(v & mask)
-    bins = jnp.stack(cols, axis=1)  # (BLOCKS, 32), row-major element order
+    ``tile0`` is the global element index of this tile's first element,
+    divided by 4 (a u32 scalar; the Threefry counter base).
+    """
+    M = W.shape[1]
+    mask = jnp.uint32((1 << width) - 1) if width < 32 else \
+        jnp.uint32(0xFFFFFFFF)
 
-    # Dither: global element index i -> counter i >> 2, u16 lane i & 3.
-    # NB: keep all scalar arithmetic in u32 -- under jax_enable_x64 a
-    # python-int multiply promotes to i64, which Mosaic cannot legalize.
-    elem0 = tile.astype(jnp.uint32) * jnp.uint32(TILE)
-    idx = jax.lax.broadcasted_iota(jnp.uint32, (BLOCKS, 32), 0) * \
-        jnp.uint32(32) + \
-        jax.lax.broadcasted_iota(jnp.uint32, (BLOCKS, 32), 1) + \
-        elem0
-    ctr = idx >> jnp.uint32(2)
-    lane = idx & jnp.uint32(3)
-    a, b = _threefry13_tile(k0, k1, ctr)
-    word = jnp.where(lane < 2, a, b)
-    shift = jnp.where((lane & 1) == 0, jnp.uint32(0), jnp.uint32(16))
-    h = (word >> shift) & jnp.uint32(0xFFFF)
+    # ctr(e) = e>>2 = base + 32m + (l>>2): compact (32, M) cipher grid.
+    ctr = tile0 + \
+        jax.lax.broadcasted_iota(jnp.uint32, (32, M), 1) * jnp.uint32(32) + \
+        jax.lax.broadcasted_iota(jnp.uint32, (32, M), 0)
+    a, b = _threefry13_tile(k0, k1, ctr)  # (32, M)
+
+    # Unpack: element e = m*128 + l starts at bit e*width; its word is
+    # 4*width*m + (l*width)//32 -- i.e. row (l*width)//32 of W, plus the
+    # next row when the field straddles a word boundary.
+    js = [(l * width) // 32 for l in range(128)]
+    J = jnp.stack([W[j] for j in js])                           # (128, M)
+    J2 = jnp.stack([W[min(j + 1, 4 * width - 1)] for j in js])  # (128, M)
+    liota = jax.lax.broadcasted_iota(jnp.uint32, (128, 1), 0)
+    offc = (liota * jnp.uint32(width)) & jnp.uint32(31)
+    sh2c = (jnp.uint32(32) - offc) & jnp.uint32(31)
+    smask = jnp.where(offc > jnp.uint32(32 - width),
+                      jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+    bins = ((J >> offc) | ((J2 << sh2c) & smask)) & mask        # (128, M)
+
+    # Grain of row l: 16-bit half (l&1) of cipher word (l&3)<2 ? a : b,
+    # at counter row l>>2 -- static sublane selects.
+    S = jnp.stack([(a if (l & 3) < 2 else b)[l >> 2] for l in range(128)])
+    shc = (liota & jnp.uint32(1)) * jnp.uint32(16)
+    h = (S >> shc) & jnp.uint32(0xFFFF)
     # Mosaic lacks a u32->f32 cast; values fit in i32, go via int.
     u = h.astype(jnp.int32).astype(jnp.float32) * jnp.float32(
         1.0 / (1 << 16))
@@ -98,7 +113,49 @@ def _decode_kernel(words_ref, key_ref, scal_ref, out_ref, *, width: int,
     if periodic:
         x = jnp.where(x >= box, x - box, x)
         x = jnp.where(x < 0, x + box, x)
-    out_ref[0] = x
+    return x.T                                                  # (M, 128)
+
+
+def _decode_kernel(words_ref, key_ref, scal_ref, out_ref, *, width: int,
+                   periodic: bool, tile_elems: int, elem0: int):
+    """words (1, 4*width, M) -> out (1, M, 128); ``elem0`` offsets the
+    dither counters when this pallas_call covers a later slice of the
+    stream (tile cascade)."""
+    tile = pl.program_id(0)
+    tile0 = jnp.uint32(elem0 // 4) + \
+        tile.astype(jnp.uint32) * jnp.uint32(tile_elems // 4)
+    out_ref[0] = _decode_body(
+        words_ref[0], key_ref[0], key_ref[1], scal_ref[0], scal_ref[1],
+        scal_ref[2], tile0, width=width, periodic=periodic)
+
+
+def _decode_tiles(words, key, scal, width: int, n: int, tile: int,
+                  elem0: int, periodic: bool, interpret: bool):
+    """Run whole ``tile``-sized tiles of one stream; n % tile == 0."""
+    M = tile // 128
+    n_tiles = n // tile
+    wpt = tile * width // 32
+    w3 = jnp.swapaxes(words[: n_tiles * wpt].reshape(n_tiles, M, 4 * width),
+                      1, 2)
+    kernel = functools.partial(_decode_kernel, width=width,
+                               periodic=periodic, tile_elems=tile,
+                               elem0=elem0)
+    space = pl.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 4 * width, M), lambda i: (i, i * 0, i * 0),
+                         memory_space=space),
+            pl.BlockSpec((2,), lambda i: (i * 0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3,), lambda i: (i * 0,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, M, 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=space),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, M, 128), jnp.float32),
+        interpret=interpret,
+    )(w3, key, scal)
+    return out.reshape(-1)
 
 
 @functools.partial(jax.jit,
@@ -108,101 +165,47 @@ def decode_pallas(words, key, width: int, n: int, x0, dx, box=0.0,
     """Pallas fused decode; semantics identical to
     ``fastpath.fast_uniform_decode`` for width >= 1.
 
-    Whole tiles of ``TILE`` elements run through the kernel; a ragged tail
-    is handled by the XLA fast path and concatenated.
+    The stream is consumed by a cascade of tile sizes (big tiles for the
+    bulk, smaller ones for the remainder); a final ragged tail below the
+    smallest tile is handled by the XLA fast path and concatenated.
     """
     if width == 0 or n == 0:
         raise ValueError("decode_pallas requires width >= 1, n >= 1")
-    n_tiles = n // TILE
-    tail = n - n_tiles * TILE
-    words_per_tile = TILE * width // 32
+    key = jnp.asarray(key, dtype=jnp.uint32)
+    dx_bin = jnp.float32(dx) / np.float32(np.exp2(width, dtype=np.float64))
+    scal = jnp.stack([jnp.float32(x0), dx_bin, jnp.float32(box)])
 
     outs = []
-    if n_tiles:
-        wmain = words[: n_tiles * words_per_tile].reshape(
-            n_tiles, BLOCKS, width)
-        dx_bin = (jnp.float32(dx) / jnp.float32(1 << width))
-        scal = jnp.stack([jnp.float32(x0), dx_bin, jnp.float32(box)])
-        kernel = functools.partial(_decode_kernel, width=width,
-                                   periodic=periodic)
-        main = pl.pallas_call(
-            kernel,
-            grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec((1, BLOCKS, width), lambda i: (i, i * 0, i * 0),
-                             memory_space=pl.ANY
-                             if interpret else pltpu.VMEM),
-                pl.BlockSpec((2,), lambda i: (i * 0,),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((3,), lambda i: (i * 0,),
-                             memory_space=pltpu.SMEM),
-            ],
-            out_specs=pl.BlockSpec((1, BLOCKS, 32),
-                                   lambda i: (i, i * 0, i * 0),
-                                   memory_space=pl.ANY
-                                   if interpret else pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_tiles, BLOCKS, 32),
-                                           jnp.float32),
-            interpret=interpret,
-        )(wmain, jnp.asarray(key, dtype=jnp.uint32), scal)
-        outs.append(main.reshape(-1))
-
-    if tail:
+    done = 0
+    for tile in _TILE_CASCADE:
+        chunk = ((n - done) // tile) * tile
+        if not chunk:
+            continue
+        w0 = done * width // 32
+        outs.append(_decode_tiles(
+            words[w0: w0 + chunk * width // 32], key, scal, width, chunk,
+            tile, done, periodic, interpret))
+        done += chunk
+    if done < n:
         from . import fastpath
-        tail_words = words[n_tiles * words_per_tile:]
         t = fastpath.fast_uniform_decode(
-            tail_words, key, width, tail, x0, dx,
-            periodic_width=(box if periodic else None),
-            ctr0=n_tiles * TILE)
+            words[done * width // 32:], key, width, n - done, x0, dx,
+            periodic_width=(box if periodic else None), ctr0=done)
         outs.append(t)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
 def _decode_rows_kernel(words_ref, key_ref, scal_ref, out_ref, *,
-                        width: int, periodic: bool):
-    """One (row, tile) grid step: words (1, 1, BLOCKS, width) ->
-    out (1, 1, BLOCKS, 32).  Same math as ``_decode_kernel`` with
-    per-row key/scalars; each row is an independent stream whose dither
-    counter starts at 0."""
+                        width: int, periodic: bool, tile_elems: int):
+    """One (row, tile) grid step: words (1, 1, 4*width, M) ->
+    out (1, 1, M, 128).  Each row is an independent stream whose dither
+    counter restarts at 0."""
     tile = pl.program_id(1)
-    k0 = key_ref[0, 0]
-    k1 = key_ref[0, 1]
-    x0 = scal_ref[0, 0]
-    dx_bin = scal_ref[0, 1]
-    box = scal_ref[0, 2]
-
-    words = words_ref[0, 0]
-    mask = jnp.uint32((1 << width) - 1)
-    cols = []
-    for k in range(32):
-        start = k * width
-        j = start // 32
-        off = start % 32
-        v = words[:, j] >> jnp.uint32(off)
-        if off + width > 32:
-            v = v | (words[:, j + 1] << jnp.uint32(32 - off))
-        cols.append(v & mask)
-    bins = jnp.stack(cols, axis=1)  # (BLOCKS, 32)
-
-    elem0 = tile.astype(jnp.uint32) * jnp.uint32(TILE)
-    idx = jax.lax.broadcasted_iota(jnp.uint32, (BLOCKS, 32), 0) * \
-        jnp.uint32(32) + \
-        jax.lax.broadcasted_iota(jnp.uint32, (BLOCKS, 32), 1) + \
-        elem0
-    ctr = idx >> jnp.uint32(2)
-    lane = idx & jnp.uint32(3)
-    a, b = _threefry13_tile(k0, k1, ctr)
-    word = jnp.where(lane < 2, a, b)
-    shift = jnp.where((lane & 1) == 0, jnp.uint32(0), jnp.uint32(16))
-    h = (word >> shift) & jnp.uint32(0xFFFF)
-    u = h.astype(jnp.int32).astype(jnp.float32) * jnp.float32(
-        1.0 / (1 << 16))
-
-    x = x0 + dx_bin * (bins.astype(jnp.int32).astype(jnp.float32) + u)
-    if periodic:
-        x = jnp.where(x >= box, x - box, x)
-        x = jnp.where(x < 0, x + box, x)
-    out_ref[0, 0] = x
+    tile0 = tile.astype(jnp.uint32) * jnp.uint32(tile_elems // 4)
+    out_ref[0, 0] = _decode_body(
+        words_ref[0, 0], key_ref[0, 0], key_ref[0, 1], scal_ref[0, 0],
+        scal_ref[0, 1], scal_ref[0, 2], tile0, width=width,
+        periodic=periodic)
 
 
 @functools.partial(jax.jit,
@@ -217,43 +220,51 @@ def decode_pallas_rows(words, keys, width: int, n: int, x0, dx, box=0.0,
     ``n``: elements per stream.  Bit-identical per row to
     ``decode_pallas(words[r], keys[r], ...)``.
 
-    This is the sharded-codec decode hot path: vmapping the XLA unpack
-    over (blocks, 3) leaves ~30x throughput on the table; here every
-    (row, tile) pair is one VMEM-resident kernel step, and per-row
-    scalars ride SMEM."""
+    This is the sharded-codec decode hot path: every (row, tile) pair is
+    one VMEM-resident kernel step with dense-lane stores, and per-row
+    scalars ride SMEM.  The tile size adapts to ``n`` (padding the last
+    tile's words with zeros; the padded elements decode to garbage that
+    the final slice discards).
+    """
     if width == 0 or n == 0 or n % 32:
         raise ValueError("decode_pallas_rows requires width>=1, 32 | n")
     rows = words.shape[0]
-    words_per_tile = TILE * width // 32
-    n_tiles = pl_cdiv(n, TILE)
+    tile = TILE
+    while tile > 1 << 14 and tile // 2 >= n:
+        tile //= 2
+    M = tile // 128
+    words_per_tile = tile * width // 32
+    n_tiles = pl_cdiv(n, tile)
     pad_words = n_tiles * words_per_tile - words.shape[1]
     if pad_words:
         words = jnp.pad(words, ((0, 0), (0, pad_words)))
-    w4 = words.reshape(rows, n_tiles, BLOCKS, width)
-    dx_bin = dx.astype(jnp.float32) / jnp.float32(1 << width)
+    w4 = jnp.swapaxes(
+        words.reshape(rows, n_tiles, M, 4 * width), 2, 3)
+    dx_bin = dx.astype(jnp.float32) / np.float32(
+        np.exp2(width, dtype=np.float64))
     scal = jnp.stack(
         [x0.astype(jnp.float32), dx_bin,
          jnp.full((rows,), box, jnp.float32)], axis=1)  # (R, 3)
     kernel = functools.partial(_decode_rows_kernel, width=width,
-                               periodic=periodic)
+                               periodic=periodic, tile_elems=tile)
+    space = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
         kernel,
         grid=(rows, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, BLOCKS, width),
+            pl.BlockSpec((1, 1, 4 * width, M),
                          lambda r, i: (r, i, r * 0, r * 0),
-                         memory_space=pl.ANY if interpret else pltpu.VMEM),
+                         memory_space=space),
             pl.BlockSpec((1, 2), lambda r, i: (r, r * 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3), lambda r, i: (r, r * 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, BLOCKS, 32),
+        out_specs=pl.BlockSpec((1, 1, M, 128),
                                lambda r, i: (r, i, r * 0, r * 0),
-                               memory_space=pl.ANY
-                               if interpret else pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, n_tiles, BLOCKS, 32),
+                               memory_space=space),
+        out_shape=jax.ShapeDtypeStruct((rows, n_tiles, M, 128),
                                        jnp.float32),
         interpret=interpret,
     )(w4, keys.astype(jnp.uint32), scal)
-    return out.reshape(rows, n_tiles * TILE)[:, :n]
+    return out.reshape(rows, n_tiles * tile)[:, :n]

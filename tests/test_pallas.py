@@ -10,10 +10,13 @@ from minnow_c_tpu.ops import decode_pallas, fastpath, native
 from minnow_c_tpu.ops import rng as _rng
 
 
+SMALL = decode_pallas._TILE_CASCADE[-1]  # smallest kernel tile
+
+
 @pytest.mark.parametrize("n_extra", [0, 4096])
 @pytest.mark.parametrize("width", [1, 11, 16, 24])
 def test_pallas_matches_xla(width, n_extra):
-    n = decode_pallas.TILE + n_extra
+    n = SMALL + n_extra
     rng = np.random.default_rng(width)
     bins = rng.integers(0, 1 << width, n, dtype=np.uint64).astype(np.uint32)
     words = jnp.asarray(native.uniform_pack_host(bins, width))
@@ -30,7 +33,7 @@ def test_pallas_matches_xla(width, n_extra):
 def test_pallas_rows_matches_per_row(width):
     """decode_pallas_rows row r == decode_pallas(words[r]) bit-for-bit,
     including a 32-aligned but non-TILE-multiple element count."""
-    n = decode_pallas.TILE + 64
+    n = SMALL + 64
     R = 4
     rng = np.random.default_rng(width)
     bins = rng.integers(0, 1 << width, (R, n),
@@ -59,7 +62,7 @@ def test_pallas_rows_rejects_unaligned():
 
 
 def test_pallas_no_periodic():
-    n = decode_pallas.TILE
+    n = SMALL
     rng = np.random.default_rng(0)
     bins = rng.integers(0, 1 << 9, n, dtype=np.uint64).astype(np.uint32)
     words = jnp.asarray(native.uniform_pack_host(bins, 9))
@@ -68,6 +71,25 @@ def test_pallas_no_periodic():
         words, key, 9, n, -2.0, 4.0))
     got = np.asarray(decode_pallas.decode_pallas(
         words, key, 9, n, -2.0, 4.0, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_tile_cascade(monkeypatch):
+    """A stream spanning several cascade tile sizes decodes identically
+    to the XLA path (counter bases must line up across pallas_calls)."""
+    monkeypatch.setattr(decode_pallas, "_TILE_CASCADE",
+                        (1 << 15, 1 << 14))
+    width = 13
+    n = (1 << 15) + (1 << 14) + 900     # 1 big tile, 1 small, XLA tail
+    rng = np.random.default_rng(7)
+    bins = rng.integers(0, 1 << width, n, dtype=np.uint64).astype(np.uint32)
+    words = jnp.asarray(native.uniform_pack_host(bins, width))
+    key = _rng.field_key_arr(2, 0, 1)
+    ref = np.asarray(fastpath.fast_uniform_decode(
+        words, key, width, n, 0.25, 16.0, periodic_width=16.0))
+    got = np.asarray(decode_pallas.decode_pallas(
+        words, key, width, n, 0.25, 16.0, 16.0, periodic=True,
+        interpret=True))
     np.testing.assert_array_equal(got, ref)
 
 
@@ -89,7 +111,7 @@ class TestEncodePallas:
     def test_encode_decode_closure(self):
         """Pallas encode -> Pallas decode round trip within one bin."""
         from minnow_c_tpu.ops import encode_pallas
-        n, W, width = decode_pallas.TILE, 64.0, 12
+        n, W, width = SMALL, 64.0, 12
         rng = np.random.default_rng(5)
         x = jnp.asarray(rng.uniform(0, W, n).astype(np.float32))
         words, x0, rv = encode_pallas.encode_pallas(
