@@ -120,6 +120,12 @@ def uniform_pack_rows(x, width: int):
         return jnp.zeros((rows, out_words), dtype=jnp.uint32)
     if width == 32:
         return x
+    if jax.default_backend() == "tpu" and n >= (1 << 14):
+        # Lane-dense Pallas pack, wire-identical (~7x the einsum fold on
+        # v5e); this function is never vmapped, so the pallas_call is
+        # safe here.  See ops/encode_pallas.py.
+        from . import encode_pallas
+        return encode_pallas.pack_pallas_rows(x, width)
     vals = x.reshape(rows * (n // 32), 32) & jnp.uint32((1 << width) - 1)
     words = _pack_fold_32(vals, width)
     return words.reshape(rows, out_words)

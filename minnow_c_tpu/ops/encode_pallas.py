@@ -1,20 +1,25 @@
-"""Pallas TPU kernel: fused fast-uniform encode (bin + pack).
+"""Pallas TPU kernels: fast-uniform encode side (bin clamp + pack).
 
-STATUS: EXPERIMENTAL -- not used by the production encode path.
+PRODUCTION since round 2.  The earlier experimental kernel computed the
+bin *division* in-kernel and was wire-wrong (Mosaic lowers f32 division
+to an approximate reciprocal, ~0.2% of bins one-off vs the IEEE-exact
+XLA path).  The split that is both exact and fast: XLA computes the
+wire-defining float math -- ``delta = (x - x0) / range`` and
+``scaled = delta * 2^width`` (an exact power-of-two scaling, so clamp
+tests on ``scaled`` are bit-equivalent to clamp tests on ``delta``) --
+and the Pallas kernel does only trunc/clamp (int ops) and the bitstream
+pack.
 
-Measured on v5e: the Mosaic compiler lowers f32 division to an approximate
-reciprocal, so ~0.2% of bin indices land one-to-several bins off versus
-the IEEE-exact XLA path (wire-defining semantics require exactness); the
-in-kernel *pack* stage is bit-correct.  The kernel is also slightly slower
-than the XLA fast path (~7 ms vs ~5.5 ms per 100 MB), since encode is
-lighter on VPU work than decode (no Threefry).  Production encode stays on
-``fastpath.fast_uniform_encode``; this module is kept as the working
-reference for Pallas packing and passes bit-exact tests in interpreter
-mode.
-
-Same layout trick as decode_pallas: elements are viewed as (blocks, 32)
-and packed words as (blocks, width), so the pack is 32 static
-shift-and-OR folds per block row with no scatter and no reshape.
+Layout mirrors ops/decode_pallas.py: the kernel reads a dense
+(M, 128) tile of values (element e = m*128 + l), transposes once to
+(128, M) so lanes hold every-128th element, ORs static shifted row
+pairs into the (4*width, M) word matrix (element l's bits land in word
+rows (l*width)//32 and +1 -- all static), and transposes back to
+(M, 4*width) so the store DMA runs lane-dense.  Measured on v5e
+(chain-slope timing with D2H readback, see BENCH_NOTES.md): pack
+~200 GB/s, full fused encode ~110 GB/s, vs 27.7 / 23.7 GB/s for the
+XLA einsum-select fold it replaces on-chip.  Wire bits unchanged
+(util.c:311-355 semantics; parity + digest tests enforce).
 """
 
 from __future__ import annotations
@@ -23,99 +28,177 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import kernels
+from . import bitpack, kernels
 
-TILE = 1 << 14
-BLOCKS = TILE // 32
+TILE = 1 << 19  # max elements per grid step
+_TILE_CASCADE = (1 << 19, 1 << 16, 1 << 14)
 
 
-def _encode_kernel(x_ref, scal_ref, out_ref, *, width: int):
-    """x (1, BLOCKS, 32) f32 -> words (1, BLOCKS, width) u32."""
-    x = x_ref[0]
-    x0 = scal_ref[0]
-    dx = scal_ref[1]
-    # num_bins/top are static given width; keep SMEM scalars out of dtype
-    # conversions (they recurse in this jax version's TPU lowering).
-    num_bins = jnp.float32(float(1 << width))
-    top = jnp.int32((1 << width) - 1)
+def _scaled_to_bins(scaled, width: int, int_dtype=jnp.int32):
+    """C cast semantics on the pre-scaled plane: trunc toward zero, clamp
+    FP-error escapes (util.c:159-166).  ``scaled`` must be
+    ``delta * 2^width`` with the division done in IEEE f32 (XLA); the
+    power-of-two scaling is exact, so ``scaled < 0`` iff ``delta < 0``
+    and ``scaled >= 2^width`` iff ``delta >= 1``."""
+    nb = jnp.float32(np.float32(np.exp2(width, dtype=np.float64)))
+    si = scaled.astype(int_dtype)
+    si = jnp.where(scaled < 0, int_dtype(0),
+                   jnp.where(scaled >= nb, int_dtype((1 << width) - 1), si))
+    return si.astype(jnp.uint32)
 
-    # True division, not reciprocal-multiply: bin indices must be
-    # bit-identical to kernels.uniform_bin_index (C semantics).
-    delta = (x - x0) / dx
-    scaled = delta * num_bins
-    # C cast semantics: trunc toward zero; clamp the FP-error escapes
-    # (util.c:159-166).  Mosaic lacks f32->u32; go via i32 (values < 2^24).
-    bins = scaled.astype(jnp.int32)
-    bins = jnp.where(delta < 0.0, jnp.int32(0), bins)
-    bins = jnp.where(delta >= 1.0, top, bins)
-    b = bins.astype(jnp.uint32)
 
-    mask = jnp.uint32((1 << width) - 1)
-    cols = []
-    for j in range(width):  # output word j of each block
-        lo_bit = 32 * j
-        hi_bit = 32 * (j + 1)
-        k_first = lo_bit // width
-        k_last = (hi_bit - 1) // width
-        acc = None
-        for k in range(k_first, k_last + 1):
-            start = k * width - lo_bit
-            v = b[:, k] & mask
-            part = (v << jnp.uint32(start)) if start >= 0 else \
-                (v >> jnp.uint32(-start))
-            acc = part if acc is None else (acc | part)
-        cols.append(acc)
-    out_ref[0] = jnp.stack(cols, axis=1)
+def _pack_body(B, *, width: int, from_f32: bool):
+    """Shared kernel math: B (128, M) values -> (M, 4*width) words."""
+    if from_f32:
+        bins = _scaled_to_bins(B, width)
+    else:
+        bins = B & jnp.uint32((1 << width) - 1)
+    rows = [None] * (4 * width)
+    for l in range(128):
+        c = (l * width) // 32
+        sh = (l * width) % 32
+        lo = bins[l] << jnp.uint32(sh) if sh else bins[l]
+        rows[c] = lo if rows[c] is None else (rows[c] | lo)
+        if sh + width > 32:
+            hi = bins[l] >> jnp.uint32(32 - sh)
+            rows[c + 1] = hi if rows[c + 1] is None else (rows[c + 1] | hi)
+    return jnp.stack(rows).T                     # (M, 4*width)
+
+
+def _pack_kernel(in_ref, out_ref, *, width: int, from_f32: bool):
+    out_ref[0] = _pack_body(in_ref[0].T, width=width, from_f32=from_f32)
+
+
+def _pack_tiles(vals, width: int, tile: int, from_f32: bool,
+                interpret: bool):
+    """Pack whole ``tile``-sized tiles; len(vals) % tile == 0."""
+    M = tile // 128
+    n_tiles = vals.shape[0] // tile
+    v3 = vals.reshape(n_tiles, M, 128)
+    kernel = functools.partial(_pack_kernel, width=width, from_f32=from_f32)
+    space = pl.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((1, M, 128), lambda i: (i, i * 0, i * 0),
+                               memory_space=space)],
+        out_specs=pl.BlockSpec((1, M, 4 * width),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=space),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, M, 4 * width), jnp.uint32),
+        interpret=interpret,
+    )(v3)
+    return out.reshape(-1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "n", "from_f32", "interpret"))
+def pack_pallas(vals, width: int, n: int, from_f32: bool = False,
+                interpret: bool = False):
+    """Bitstream pack of ``vals[:n]`` at ``width`` bits; wire-identical
+    to ``bitpack.uniform_pack``.  ``from_f32=True`` treats ``vals`` as
+    the pre-scaled f32 plane (see ``_scaled_to_bins``).
+
+    Consumes the stream with a tile cascade; the ragged tail below the
+    smallest tile goes through the XLA fold (tile sizes are multiples of
+    32, so every cascade boundary is word-aligned).
+    """
+    if width == 0 or n == 0:
+        return jnp.zeros((bitpack.packed_words(n, width),), jnp.uint32)
+    if width == 32 and not from_f32:
+        return vals[:n]
+    outs = []
+    done = 0
+    for tile in _TILE_CASCADE:
+        chunk = ((n - done) // tile) * tile
+        if not chunk:
+            continue
+        outs.append(_pack_tiles(vals[done: done + chunk], width, tile,
+                                from_f32, interpret))
+        done += chunk
+    if done < n:
+        tail = vals[done:n]
+        if from_f32:
+            tail = _scaled_to_bins(tail, width)
+        outs.append(bitpack.uniform_pack(tail, width))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+
+def _pack_rows_kernel(in_ref, out_ref, *, width: int, from_f32: bool):
+    out_ref[0, 0] = _pack_body(in_ref[0, 0].T, width=width,
+                               from_f32=from_f32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "from_f32", "interpret"))
+def pack_pallas_rows(vals, width: int, from_f32: bool = False,
+                     interpret: bool = False):
+    """Pack each row of ``vals`` (R, n) independently; wire-identical per
+    row to ``bitpack.uniform_pack_rows`` (requires n % 32 == 0; result is
+    the dense (R, (n//32)*width) word matrix).
+
+    Rows are padded to a whole number of tiles; padded elements pack into
+    words past the real stream (element counts divisible by 32 put every
+    row's last real bit on a word boundary), which the final slice drops.
+    """
+    rows, n = vals.shape
+    if n % 32 != 0:
+        raise ValueError("pack_pallas_rows requires n % 32 == 0")
+    out_words = (n // 32) * width
+    if width == 0 or n == 0:
+        return jnp.zeros((rows, out_words), dtype=jnp.uint32)
+    if width == 32 and not from_f32:
+        return vals
+    tile = TILE
+    while tile > 1 << 14 and tile // 2 >= n:
+        tile //= 2
+    M = tile // 128
+    n_tiles = -(-n // tile)
+    pad = n_tiles * tile - n
+    if pad:
+        vals = jnp.pad(vals, ((0, 0), (0, pad)))
+    v4 = vals.reshape(rows, n_tiles, M, 128)
+    kernel = functools.partial(_pack_rows_kernel, width=width,
+                               from_f32=from_f32)
+    space = pl.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows, n_tiles),
+        in_specs=[pl.BlockSpec((1, 1, M, 128),
+                               lambda r, i: (r, i, r * 0, r * 0),
+                               memory_space=space)],
+        out_specs=pl.BlockSpec((1, 1, M, 4 * width),
+                               lambda r, i: (r, i, r * 0, r * 0),
+                               memory_space=space),
+        out_shape=jax.ShapeDtypeStruct((rows, n_tiles, M, 4 * width),
+                                       jnp.uint32),
+        interpret=interpret,
+    )(v4)
+    return out.reshape(rows, n_tiles * tile * width // 32)[:, :out_words]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "periodic_width", "interpret"))
 def encode_pallas(x, width: int, periodic_width=None,
                   interpret: bool = False):
-    """floats -> (packed words, x0, range).  Pallas bin+pack for whole
-    tiles; XLA handles the stats prepass and any ragged tail."""
+    """Fused fast-uniform encode: unwrap -> minmax -> scale (XLA, the
+    wire-defining IEEE math) -> trunc/clamp/pack (Pallas).  Returns
+    (packed words, x0, range); bit-identical to
+    ``fastpath.fast_uniform_encode`` (parity-tested)."""
     n = x.shape[0]
     if periodic_width is not None:
         x = kernels.undo_periodic(x, periodic_width)
     x0 = jnp.min(x)
     x1 = jnp.max(x)
     rng_v = x1 - x0
-    x = jax.lax.optimization_barrier(x)
-
-    n_tiles = n // TILE
-    tail = n - n_tiles * TILE
-    words_per_tile = TILE * width // 32
-    outs = []
-    if n_tiles:
-        xm = x[: n_tiles * TILE].reshape(n_tiles, BLOCKS, 32)
-        scal = jnp.stack([jnp.float32(x0), rng_v.astype(jnp.float32)])
-        kernel = functools.partial(_encode_kernel, width=width)
-        words = pl.pallas_call(
-            kernel,
-            grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec((1, BLOCKS, 32), lambda i: (i, i * 0, i * 0),
-                             memory_space=pl.ANY
-                             if interpret else pltpu.VMEM),
-                pl.BlockSpec((2,), lambda i: (i * 0,),
-                             memory_space=pltpu.SMEM),
-            ],
-            out_specs=pl.BlockSpec((1, BLOCKS, width),
-                                   lambda i: (i, i * 0, i * 0),
-                                   memory_space=pl.ANY
-                                   if interpret else pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_tiles, BLOCKS, width),
-                                           jnp.uint32),
-            interpret=interpret,
-        )(xm, scal)
-        outs.append(words.reshape(-1))
-    if tail:
-        from . import bitpack
-        bins_t = kernels.uniform_bin_index(x[n_tiles * TILE:], width, x0,
-                                           rng_v)
-        outs.append(bitpack.uniform_pack(bins_t, width))
-    words = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    delta = (x - x0) / rng_v
+    scaled = delta * jnp.float32(np.float32(np.exp2(width,
+                                                    dtype=np.float64)))
+    scaled = jax.lax.optimization_barrier(scaled)
+    words = pack_pallas(scaled, width, n, from_f32=True,
+                        interpret=interpret)
     return words, x0, rng_v

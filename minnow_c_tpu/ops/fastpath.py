@@ -51,7 +51,17 @@ def fast_uniform_decode(words, key, level: int, n: int, x0, dx,
 def fast_uniform_encode(x, level: int, periodic_width=None):
     """floats -> (packed words, x0, range): optionally unwrap the periodic
     box, min/max, bin at ``level`` bits, pack.  Returns device arrays;
-    the (x0, range) pair is the plane's quantization header."""
+    the (x0, range) pair is the plane's quantization header.
+
+    On TPU the whole pipeline routes through the fused Pallas encode
+    (XLA keeps the wire-defining float division; Pallas does trunc/clamp
+    and the lane-dense pack) -- bit-identical output, ~4.7x faster
+    (see ops/encode_pallas.py)."""
+    if jax.default_backend() == "tpu" and x.shape[0] >= (1 << 14) \
+            and 1 <= level <= 24:
+        from . import encode_pallas
+        return encode_pallas.encode_pallas(x, level,
+                                           periodic_width=periodic_width)
     if periodic_width is not None:
         x = kernels.undo_periodic(x, periodic_width)
     x0 = jnp.min(x)

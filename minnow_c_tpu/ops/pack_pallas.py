@@ -26,6 +26,19 @@ latency-bound and under-report ~8x, which is where round 1's stale
 
 The einsum-select XLA fold remains the best *exact* formulation on this
 toolchain, and meets the >=20 GB/s encode target.
+
+SUPERSEDED (round 2, later): the variants above all share the
+(blocks, 32)/(blocks, width) layout, whose minor dims lane-pad 4x-12x
+and whose store DMAs dominate.  The lane-dense layout of
+``ops/encode_pallas.pack_pallas`` (elements as (M, 128), words as
+(M, 4*width), one in-kernel transpose, static shift/OR row folds -- no
+MXU involved, so no precision question at all) measures ~200 GB/s pack
+/ ~110 GB/s fused encode with chain-slope+readback timing, and is the
+production pack on TPU.  This module stays as the record of why the
+32-way fold cannot be trusted on this toolchain (the miscompile class
+is layout-independent in the *encode* direction via jnp.stack of
+shifted columns; encode_pallas folds with scalar row ORs instead,
+which compile correctly and are parity-tested).
 """
 
 from __future__ import annotations

@@ -6,7 +6,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from minnow_c_tpu.ops import decode_pallas, fastpath, native
+from minnow_c_tpu.ops import bitpack, decode_pallas, fastpath, native
 from minnow_c_tpu.ops import rng as _rng
 
 
@@ -98,7 +98,7 @@ class TestEncodePallas:
     @pytest.mark.parametrize("n_extra", [0, 4096])
     def test_encode_matches_xla(self, width, n_extra):
         from minnow_c_tpu.ops import encode_pallas
-        n = encode_pallas.TILE + n_extra
+        n = SMALL + n_extra
         rng = np.random.default_rng(width + n_extra)
         x = jnp.asarray(rng.uniform(0, 64.0, n).astype(np.float32))
         wp, x0p, rp = encode_pallas.encode_pallas(
@@ -107,6 +107,46 @@ class TestEncodePallas:
             x, width, periodic_width=64.0)
         assert float(x0p) == float(x0x) and float(rp) == float(rx)
         np.testing.assert_array_equal(np.asarray(wp), np.asarray(wx))
+
+    @pytest.mark.parametrize("width", [1, 14, 24])
+    def test_pack_matches_einsum(self, width):
+        from minnow_c_tpu.ops import encode_pallas
+        n = SMALL + 900                 # kernel tile + XLA tail
+        rng = np.random.default_rng(width)
+        bins = jnp.asarray(rng.integers(
+            0, 1 << width, n, dtype=np.uint64).astype(np.uint32))
+        ref = np.asarray(bitpack.uniform_pack(bins, width))
+        got = np.asarray(encode_pallas.pack_pallas(
+            bins, width, n, interpret=True))
+        np.testing.assert_array_equal(got, ref)
+
+    @pytest.mark.parametrize("width", [1, 14, 24])
+    def test_pack_rows_matches_per_row(self, width):
+        from minnow_c_tpu.ops import encode_pallas
+        n = SMALL + 64
+        R = 3
+        rng = np.random.default_rng(width)
+        bins = jnp.asarray(rng.integers(
+            0, 1 << width, (R, n), dtype=np.uint64).astype(np.uint32))
+        got = np.asarray(encode_pallas.pack_pallas_rows(
+            bins, width, interpret=True))
+        for r in range(R):
+            ref = np.asarray(bitpack.uniform_pack(bins[r], width))
+            np.testing.assert_array_equal(got[r], ref)
+
+    def test_pack_cascade(self, monkeypatch):
+        from minnow_c_tpu.ops import encode_pallas
+        monkeypatch.setattr(encode_pallas, "_TILE_CASCADE",
+                            (1 << 15, 1 << 14))
+        width = 13
+        n = (1 << 15) + (1 << 14) + 900
+        rng = np.random.default_rng(3)
+        bins = jnp.asarray(rng.integers(
+            0, 1 << width, n, dtype=np.uint64).astype(np.uint32))
+        ref = np.asarray(bitpack.uniform_pack(bins, width))
+        got = np.asarray(encode_pallas.pack_pallas(
+            bins, width, n, interpret=True))
+        np.testing.assert_array_equal(got, ref)
 
     def test_encode_decode_closure(self):
         """Pallas encode -> Pallas decode round trip within one bin."""
