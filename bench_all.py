@@ -115,21 +115,48 @@ def config2():
         rng.uniform(0, W, n).astype(np.float32)))
     depth = 14
 
-    def enc(salt):
-        return fastpath.fast_uniform_encode(
-            x + salt.astype(jnp.float32) * jnp.float32(1e-12), depth,
-            periodic_width=W)[0]
+    CHAIN = 32  # in-jit chained iterations: single dispatches are
+    # enqueue-bound on this runtime (~4 ms/dispatch caps any kernel at
+    # ~25 GB/s); the salt chain keeps every iteration a real dependent
+    # computation (see bench.py).
 
-    res = harness.run(enc, bytes_per_iter=n * 4)
+    @jax.jit
+    def enc(salt):
+        def body(i, carry):
+            s, _ = carry
+            w, _, _ = fastpath.fast_uniform_encode(
+                x + s.astype(jnp.float32) * jnp.float32(1e-12), depth,
+                periodic_width=W)
+            return (w[0] ^ i.astype(jnp.uint32), w)
+        z, _, _ = fastpath.fast_uniform_encode(x, depth, periodic_width=W)
+        s, w = jax.lax.fori_loop(0, CHAIN, body,
+                                 (salt, jnp.zeros_like(z)))
+        return s, w
+
+    res = harness.run(enc, bytes_per_iter=n * 4 * CHAIN)
 
     bins = jax.block_until_ready(jax.jit(
         lambda xx: kernels.uniform_bin_index(
             xx, depth, jnp.min(xx), jnp.max(xx) - jnp.min(xx)))(x))
 
-    def pack_only(salt):
-        return bitpack.uniform_pack(bins ^ (salt & jnp.uint32(1)), depth)
+    from minnow_c_tpu.ops import encode_pallas
 
-    res_p = harness.run(pack_only, bytes_per_iter=n * 4)
+    @jax.jit
+    def pack_only(salt):
+        def body(i, carry):
+            s, _ = carry
+            b = bins ^ s
+            if jax.default_backend() == "tpu":
+                w = encode_pallas.pack_pallas(b, depth, n)
+            else:
+                w = bitpack.uniform_pack(b, depth)
+            return (w[0] ^ i.astype(jnp.uint32), w)
+        z = bitpack.uniform_pack(bins, depth)
+        s, w = jax.lax.fori_loop(0, CHAIN, body,
+                                 (salt, jnp.zeros_like(z)))
+        return s, w
+
+    res_p = harness.run(pack_only, bytes_per_iter=n * 4 * CHAIN)
     results["config2_encode_kernel"] = {
         "GBps": round(res.gb_per_second, 2),
         "pack_only_GBps": round(res_p.gb_per_second, 2),
@@ -153,9 +180,12 @@ def config3():
         pos=mnw.PositionAccuracy(delta=1e-3, width=W),
         vel=mnw.VelocityAccuracy(delta=1.0),
         ids=mnw.IDAccuracy(width=1024))
-    # warm (compiles)
+    # warm (compiles) -- both directions: decode compiles its own pallas
+    # programs per (width, shape), which must not land in the timed run
     buf = io.BytesIO()
     snapshot.compress_snapshot(buf, pos, vel, ids, spec, num_blocks=8)
+    buf.seek(0)
+    snapshot.decompress_snapshot(buf)
     t0 = time.perf_counter()
     buf = io.BytesIO()
     stats = snapshot.compress_snapshot(buf, pos, vel, ids, spec,
@@ -472,6 +502,21 @@ def main():
     preamble = [
         "# BENCH NOTES (full config matrix)", "",
         "Generated by bench_all.py; headline metric lives in bench.py.", "",
+        "## Timing integrity", "",
+        "This environment's remote runtime can return from",
+        "`jax.block_until_ready` before the computation has actually",
+        "executed (observed: an 8192^3 bf16 matmul \"completing\" in",
+        "0.5 ms -- an impossible 2200 TFLOP/s on a ~200 TFLOP/s v5e).",
+        "Every timing therefore ends with a device-to-host readback of a",
+        "value that data-depends on all timed work (`bench/harness.py`",
+        "fetches the chained salt; ad-hoc timings use chain-slope: K",
+        "chained iterations inside one jit, per-iteration cost from the",
+        "K=2 vs K=32 slope).  Numbers recorded before this barrier",
+        "existed were inflated -- round 1's 194 GB/s decode headline was",
+        "such an artifact (the same kernel honestly measured 9.2 GB/s),",
+        "which is what exposed the lane-padding bottleneck that the",
+        "round-2 lane-dense kernels fix: decode now measures ~190 GB/s",
+        "on-chip / 134 GB/s dispatch-amortized, encode ~99 GB/s, real.", "",
         "## On the BASELINE target \"decode bit-exact vs minnow_c\"", "",
         "This target is unmeetable as literally stated: the reference's",
         "decode dither RNG is seeded from `clock()` at call time",

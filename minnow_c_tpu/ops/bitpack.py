@@ -98,8 +98,8 @@ def uniform_pack(x, width: int):
     return words.reshape(-1)[:n_words]
 
 
-@functools.partial(jax.jit, static_argnames=("width",))
-def uniform_pack_rows(x, width: int):
+@functools.partial(jax.jit, static_argnames=("width", "prefer_pallas"))
+def uniform_pack_rows(x, width: int, prefer_pallas=None):
     """Pack each row of u32 array ``x`` of shape (rows, n) independently;
     requires ``n % 32 == 0``.  Row r's stream is bit-identical to
     ``uniform_pack(x[r], width)`` and occupies exactly (n//32)*width words
@@ -120,7 +120,9 @@ def uniform_pack_rows(x, width: int):
         return jnp.zeros((rows, out_words), dtype=jnp.uint32)
     if width == 32:
         return x
-    if jax.default_backend() == "tpu" and n >= (1 << 14):
+    if prefer_pallas is None:
+        prefer_pallas = jax.default_backend() == "tpu"
+    if prefer_pallas and n >= (1 << 14):
         # Lane-dense Pallas pack, wire-identical (~7x the einsum fold on
         # v5e); this function is never vmapped, so the pallas_call is
         # safe here.  See ops/encode_pallas.py.

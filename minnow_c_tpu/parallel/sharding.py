@@ -90,6 +90,15 @@ class ShardedPositionCodec:
     interpret: bool = False
 
     @property
+    def _on_tpu(self) -> bool:
+        # Gate Pallas paths on the MESH's device platform, not
+        # jax.default_backend(): in this environment the TPU plugin can
+        # be the default backend while the codec runs on a forced-CPU
+        # virtual mesh (dryrun_multichip), where a non-interpret
+        # pallas_call fails to lower.
+        return self.mesh.devices.flat[0].platform == "tpu"
+
+    @property
     def _spec_blocks(self):
         return P(self.axis)
 
@@ -125,23 +134,29 @@ class ShardedPositionCodec:
             b_l, _, n_b = bins.shape
             if n_b % 32 == 0:
                 words = bitpack.uniform_pack_rows(
-                    bins.reshape(b_l * 3, n_b), depth
+                    bins.reshape(b_l * 3, n_b), depth,
+                    prefer_pallas=self._on_tpu,
                 ).reshape(b_l, 3, -1)
             else:
                 words = jax.vmap(jax.vmap(
                     lambda b: bitpack.uniform_pack(b, depth)))(bins)
             return words, x0, rng_b
 
+        # check_vma=False: the TPU pack (pack_pallas_rows) is a
+        # pallas_call whose out_shape carries no varying-mesh-axes
+        # annotation; the body is collective-free, so the check buys
+        # nothing here (same reasoning as _decode below).
         return jax.jit(jax.shard_map(
             encode_local, mesh=self.mesh,
-            in_specs=P(axis), out_specs=(P(axis), P(axis), P(axis))))
+            in_specs=P(axis), out_specs=(P(axis), P(axis), P(axis)),
+            check_vma=False))
 
     @functools.cached_property
     def _decode(self):
         width, depth, axis = self.width, self.depth, self.axis
         fused = self.fused_rows
         if fused is None:
-            fused = jax.default_backend() == "tpu"
+            fused = self._on_tpu
         interpret = self.interpret
 
         def decode_local(words, x0, rng_b, seed_arr, block0):
