@@ -251,8 +251,9 @@ def config4_100m():
     words_d, hdrs = enc0[0], enc0[1:]
     del enc0, out0
 
-    CHAIN = 4  # dispatches are ~1-100 ms through the tunnel; chaining
+    CHAIN = 16  # dispatches are ~1-100 ms through the tunnel; chaining
     # amortizes the RPC while the salt dependency serializes real work
+    # (CHAIN=4 left ~7 ms/iter of dispatch in the number)
 
     m = jnp.uint32(0x3FFFFF)  # f32 mantissa-only perturbation mask
 

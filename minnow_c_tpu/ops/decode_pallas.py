@@ -78,8 +78,6 @@ def _decode_body(W, k0, k1, x0, dx_bin, box, tile0, *, width: int,
     divided by 4 (a u32 scalar; the Threefry counter base).
     """
     M = W.shape[1]
-    mask = jnp.uint32((1 << width) - 1) if width < 32 else \
-        jnp.uint32(0xFFFFFFFF)
 
     # ctr(e) = e>>2 = base + 32m + (l>>2): compact (32, M) cipher grid.
     ctr = tile0 + \
@@ -87,22 +85,12 @@ def _decode_body(W, k0, k1, x0, dx_bin, box, tile0, *, width: int,
         jax.lax.broadcasted_iota(jnp.uint32, (32, M), 0)
     a, b = _threefry13_tile(k0, k1, ctr)  # (32, M)
 
-    # Unpack: element e = m*128 + l starts at bit e*width; its word is
-    # 4*width*m + (l*width)//32 -- i.e. row (l*width)//32 of W, plus the
-    # next row when the field straddles a word boundary.
-    js = [(l * width) // 32 for l in range(128)]
-    J = jnp.stack([W[j] for j in js])                           # (128, M)
-    J2 = jnp.stack([W[min(j + 1, 4 * width - 1)] for j in js])  # (128, M)
-    liota = jax.lax.broadcasted_iota(jnp.uint32, (128, 1), 0)
-    offc = (liota * jnp.uint32(width)) & jnp.uint32(31)
-    sh2c = (jnp.uint32(32) - offc) & jnp.uint32(31)
-    smask = jnp.where(offc > jnp.uint32(32 - width),
-                      jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
-    bins = ((J >> offc) | ((J2 << sh2c) & smask)) & mask        # (128, M)
+    bins = _unpack_128(W, width)                                # (128, M)
 
     # Grain of row l: 16-bit half (l&1) of cipher word (l&3)<2 ? a : b,
     # at counter row l>>2 -- static sublane selects.
     S = jnp.stack([(a if (l & 3) < 2 else b)[l >> 2] for l in range(128)])
+    liota = jax.lax.broadcasted_iota(jnp.uint32, (128, 1), 0)
     shc = (liota & jnp.uint32(1)) * jnp.uint32(16)
     h = (S >> shc) & jnp.uint32(0xFFFF)
     # Mosaic lacks a u32->f32 cast; values fit in i32, go via int.
@@ -195,16 +183,88 @@ def decode_pallas(words, key, width: int, n: int, x0, dx, box=0.0,
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
+def _unpack_128(W, width: int):
+    """Shared unpack: W (4*width, M) words -> bins (128, M) u32.
+
+    Element e = m*128 + l starts at bit e*width; its word is
+    4*width*m + (l*width)//32 -- i.e. row (l*width)//32 of W, plus the
+    next row when the field straddles a word boundary.  Static row pairs
+    + row-constant funnel shifts: all full-lane ops."""
+    mask = jnp.uint32((1 << width) - 1) if width < 32 else \
+        jnp.uint32(0xFFFFFFFF)
+    js = [(l * width) // 32 for l in range(128)]
+    J = jnp.stack([W[j] for j in js])
+    J2 = jnp.stack([W[min(j + 1, 4 * width - 1)] for j in js])
+    liota = jax.lax.broadcasted_iota(jnp.uint32, (128, 1), 0)
+    offc = (liota * jnp.uint32(width)) & jnp.uint32(31)
+    sh2c = (jnp.uint32(32) - offc) & jnp.uint32(31)
+    smask = jnp.where(offc > jnp.uint32(32 - width),
+                      jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+    return ((J >> offc) | ((J2 << sh2c) & smask)) & mask
+
+
+def _unpack_rows_kernel(words_ref, out_ref, *, width: int):
+    out_ref[0, 0] = _unpack_128(words_ref[0, 0], width).T
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "n", "interpret"))
+def unpack_pallas_rows(words, width: int, n: int, interpret: bool = False):
+    """Batched unpack of R independent streams: (R, n_words) packed u32
+    -> (R, n) bin values; per row bit-identical to
+    ``bitpack.uniform_unpack(words[r], width, n)`` (requires 32 | n).
+    The lane-dense layout of ``decode_pallas_rows`` without the dither /
+    float stages -- the IDs-decode hot path."""
+    if width == 0 or n == 0 or n % 32:
+        raise ValueError("unpack_pallas_rows requires width>=1, 32 | n")
+    rows = words.shape[0]
+    tile = TILE
+    while tile > 1 << 14 and tile // 2 >= n:
+        tile //= 2
+    M = tile // 128
+    words_per_tile = tile * width // 32
+    n_tiles = pl_cdiv(n, tile)
+    pad_words = n_tiles * words_per_tile - words.shape[1]
+    if pad_words:
+        words = jnp.pad(words, ((0, 0), (0, pad_words)))
+    w4 = jnp.swapaxes(
+        words.reshape(rows, n_tiles, M, 4 * width), 2, 3)
+    kernel = functools.partial(_unpack_rows_kernel, width=width)
+    space = pl.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, 4 * width, M),
+                         lambda r, i: (r, i, r * 0, r * 0),
+                         memory_space=space),
+        ],
+        out_specs=pl.BlockSpec((1, 1, M, 128),
+                               lambda r, i: (r, i, r * 0, r * 0),
+                               memory_space=space),
+        out_shape=jax.ShapeDtypeStruct((rows, n_tiles, M, 128),
+                                       jnp.uint32),
+        interpret=interpret,
+    )(w4)
+    return out.reshape(rows, n_tiles * tile)[:, :n]
+
+
 def _decode_rows_kernel(words_ref, key_ref, scal_ref, out_ref, *,
                         width: int, periodic: bool, tile_elems: int):
     """One (row, tile) grid step: words (1, 1, 4*width, M) ->
     out (1, 1, M, 128).  Each row is an independent stream whose dither
-    counter restarts at 0."""
+    counter restarts at 0.
+
+    The per-row key/scalar tables ride whole in SMEM and are indexed by
+    the row program id: Mosaic's block-shape rule (last two dims
+    divisible by (8, 128) or equal to the array's) rejects a (1, 2)
+    SMEM window, and SMEM scalars support dynamic indexing anyway."""
+    r = pl.program_id(0)
     tile = pl.program_id(1)
     tile0 = tile.astype(jnp.uint32) * jnp.uint32(tile_elems // 4)
     out_ref[0, 0] = _decode_body(
-        words_ref[0, 0], key_ref[0, 0], key_ref[0, 1], scal_ref[0, 0],
-        scal_ref[0, 1], scal_ref[0, 2], tile0, width=width,
+        words_ref[0, 0], key_ref[r, 0], key_ref[r, 1], scal_ref[r, 0],
+        scal_ref[r, 1], scal_ref[r, 2], tile0, width=width,
         periodic=periodic)
 
 
@@ -255,9 +315,9 @@ def decode_pallas_rows(words, keys, width: int, n: int, x0, dx, box=0.0,
             pl.BlockSpec((1, 1, 4 * width, M),
                          lambda r, i: (r, i, r * 0, r * 0),
                          memory_space=space),
-            pl.BlockSpec((1, 2), lambda r, i: (r, r * 0),
+            pl.BlockSpec((rows, 2), lambda r, i: (r * 0, r * 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3), lambda r, i: (r, r * 0),
+            pl.BlockSpec((rows, 3), lambda r, i: (r * 0, r * 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, M, 128),

@@ -611,9 +611,16 @@ def _decompress_snapshot_batched(segments) -> Optional[dict]:
                     rows.append(np.frombuffer(payload.tobytes(),
                                               dtype="<u4"))
                 words_d = jnp.asarray(np.stack(rows))
-                bins = jax.vmap(
-                    lambda r: bitpack.uniform_unpack(r, int(wbits), nb)
-                )(words_d)
+                on_tpu = jax.default_backend() == "tpu"
+                if (on_tpu or _FORCE_ROWS_DECODE) and wbits >= 1 \
+                        and nb % 32 == 0:
+                    from ..ops import decode_pallas
+                    bins = decode_pallas.unpack_pallas_rows(
+                        words_d, int(wbits), nb, interpret=not on_tpu)
+                else:
+                    bins = jax.vmap(
+                        lambda r: bitpack.uniform_unpack(r, int(wbits), nb)
+                    )(words_d)
                 x0d = jnp.asarray(np.array([m[1][d] for m in metas],
                                            dtype=np.uint64))
                 dims.append(bins.astype(jnp.uint64) + x0d[:, None])

@@ -54,6 +54,25 @@ def test_pallas_rows_matches_per_row(width):
         np.testing.assert_array_equal(got[r], ref)
 
 
+@pytest.mark.parametrize("width", [1, 10, 24])
+def test_unpack_rows_matches_per_row(width):
+    """unpack_pallas_rows row r == bitpack.uniform_unpack(words[r])."""
+    from minnow_c_tpu.ops import bitpack
+    n = SMALL + 96
+    R = 3
+    rng = np.random.default_rng(width)
+    bins = rng.integers(0, 1 << width, (R, n),
+                        dtype=np.uint64).astype(np.uint32)
+    words = np.stack([native.uniform_pack_host(b, width) for b in bins])
+    got = np.asarray(decode_pallas.unpack_pallas_rows(
+        jnp.asarray(words), width, n, interpret=True))
+    np.testing.assert_array_equal(got, bins)
+    for r in range(R):
+        ref = np.asarray(bitpack.uniform_unpack(
+            jnp.asarray(words[r]), width, n))
+        np.testing.assert_array_equal(got[r], ref)
+
+
 def test_pallas_rows_rejects_unaligned():
     with pytest.raises(ValueError):
         decode_pallas.decode_pallas_rows(
