@@ -262,3 +262,193 @@ def adaptive_depth_for(codec: ShardedPositionCodec, x, delta: float) -> int:
     """Tightest shared depth across blocks (one host sync)."""
     g = codec.global_range(x)
     return engine.delta_to_depth(delta, 0.0, g)
+
+
+# ---------------------------------------------------------------------------
+# Full-snapshot SPMD codec: positions + velocities + IDs in one program
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ShardedSnapshotCodec:
+    """Block-sharded codec for a full standard snapshot (Posn + Velc +
+    Ptid) over a device mesh -- the SPMD analog of the reference's
+    canonical client segment (funcs.c:212-266: position delta=1e-3,
+    velocity delta=1, ID grid width; multi-node parallelism being the
+    client's duty per doc/separation_of_duties.md:7-12).
+
+    ``encode``: (pos (B, 3, n_b) f32, vel (B, 3, n_b) f32,
+    ids (B, n_b) u64) -> packed word streams + per-block headers, all
+    block-sharded over the mesh axis.  ``decode`` inverts it: positions
+    and velocities within their deltas (dithered), IDs bit-exact.  Both
+    directions are single jitted SPMD programs with no host sync.
+
+    Dither streams: block ``bi`` dim ``d`` of positions uses
+    ``field_key(seed, bi, d)`` -- bit-identical to
+    ``ShardedPositionCodec`` at the same seed (tested) -- and
+    velocities use ``field_key(seed, B_total + bi, d)``, so no two
+    (field, block, dim) streams collide.
+    """
+
+    mesh: Mesh
+    box: float          # periodic box width (positions)
+    pos_depth: int
+    vel_depth: int
+    id_grid: int        # Lagrangian ID grid width (IDAccuracy.width)
+    axis: str = "dp"
+    fused_rows: Optional[bool] = None  # None = auto (TPU mesh only)
+    interpret: bool = False
+
+    @property
+    def _on_tpu(self) -> bool:
+        return self.mesh.devices.flat[0].platform == "tpu"
+
+    @property
+    def id_width(self) -> int:
+        """Static bin width for ID grid coordinates: after the u64
+        periodic unwrap + min-subtract the coords lie in [0, grid)."""
+        return max(1, int(np.ceil(np.log2(self.id_grid))))
+
+    def _in_shardings(self):
+        return NamedSharding(self.mesh, P(self.axis))
+
+    def _pack_rows(self, bins, width):
+        """(B_local, 3, n_b) u32 -> (B_local, 3, words), row-folded."""
+        b_l, _, n_b = bins.shape
+        bins = jax.lax.optimization_barrier(bins)  # see _encode above
+        if n_b % 32 == 0:
+            return bitpack.uniform_pack_rows(
+                bins.reshape(b_l * 3, n_b), width,
+                prefer_pallas=self._on_tpu).reshape(b_l, 3, -1)
+        return jax.vmap(jax.vmap(
+            lambda b: bitpack.uniform_pack(b, width)))(bins)
+
+    @functools.cached_property
+    def _encode(self):
+        box, axis = self.box, self.axis
+        pos_depth, vel_depth = self.pos_depth, self.vel_depth
+        grid, id_width = self.id_grid, self.id_width
+
+        def encode_local(pos, vel, ids):
+            def pos_block(xb):
+                xu = jax.vmap(lambda d: kernels.undo_periodic(d, box))(xb)
+                x0 = jnp.min(xu, axis=1)
+                rng_b = jnp.max(jnp.max(xu, axis=1) - x0)
+                bins = jax.vmap(lambda xd, o: kernels.uniform_bin_index(
+                    xd, pos_depth, o, rng_b))(xu, x0)
+                return bins, x0, rng_b
+
+            def vel_block(vb):  # position() minus the periodic unwrap
+                x0 = jnp.min(vb, axis=1)
+                rng_b = jnp.max(jnp.max(vb, axis=1) - x0)
+                bins = jax.vmap(lambda xd, o: kernels.uniform_bin_index(
+                    xd, vel_depth, o, rng_b))(vb, x0)
+                return bins, x0, rng_b
+
+            def id_block(ib):  # id(), quant.c:291-327 -- lossless
+                w = jnp.uint64(grid)
+                dims = jnp.stack([ib % w, (ib // w) % w, ib // (w * w)])
+                dims = jax.vmap(
+                    lambda d: kernels.u64_undo_periodic(d, grid))(dims)
+                x0 = jnp.min(dims, axis=1)
+                return (dims - x0[:, None]).astype(jnp.uint32), x0
+
+            pbins, px0, prng = jax.vmap(pos_block)(pos)
+            vbins, vx0, vrng = jax.vmap(vel_block)(vel)
+            ibins, ix0 = jax.vmap(id_block)(ids)
+            return (self._pack_rows(pbins, pos_depth), px0, prng,
+                    self._pack_rows(vbins, vel_depth), vx0, vrng,
+                    self._pack_rows(ibins, id_width), ix0)
+
+        return jax.jit(jax.shard_map(
+            encode_local, mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=tuple([P(axis)] * 8), check_vma=False))
+
+    def _decode_float_rows(self, words, x0, rng_b, keys, depth, n_b,
+                           periodic, fused):
+        """(B_local, 3, W) words -> (B_local, 3, n_b) f32, dithered."""
+        b_l = words.shape[0]
+        n_words = words.shape[2]
+        if fused and depth >= 1 and n_b and n_b % 32 == 0:
+            from ..ops import decode_pallas
+            out = decode_pallas.decode_pallas_rows(
+                words.reshape(b_l * 3, n_words),
+                keys.reshape(b_l * 3, 2), depth, n_b,
+                x0.reshape(b_l * 3), jnp.repeat(rng_b, 3),
+                box=self.box, periodic=periodic,
+                interpret=self.interpret)
+            return out.reshape(b_l, 3, n_b)
+
+        def one_block(wb, x0b, rb, kb):
+            def one_dim(wd, o, key):
+                bins = bitpack.uniform_unpack(wd, depth, n_b)
+                bins = jax.lax.optimization_barrier(bins)
+                dx = rb / jnp.float32(1 << depth)
+                u = _rng.uniform24(key, bins.shape)
+                x = o + dx * (bins.astype(jnp.float32) + u)
+                x = jax.lax.optimization_barrier(x)
+                return kernels.periodic(x, self.box) if periodic else x
+
+            return jnp.stack([one_dim(wb[d], x0b[d], kb[d])
+                              for d in range(3)])
+
+        return jax.vmap(one_block)(words, x0, rng_b, keys)
+
+    @functools.cached_property
+    def _decode(self):
+        axis = self.axis
+        pos_depth, vel_depth = self.pos_depth, self.vel_depth
+        grid, id_width = self.id_grid, self.id_width
+        fused = self.fused_rows
+        if fused is None:
+            fused = self._on_tpu
+
+        def decode_local(pw, px0, prng, vw, vx0, vrng, iw, ix0, seed_arr):
+            b_l = pw.shape[0]
+            n_b = (pw.shape[2] * 32) // pos_depth if pos_depth else 0
+            b_total = b_l * jax.lax.psum(1, axis)
+            bi = jax.lax.axis_index(axis) * b_l + jnp.arange(b_l)
+            pkeys = jax.vmap(lambda b: jnp.stack(
+                [_rng.field_key_jax(seed_arr[0], b, d)
+                 for d in range(3)]))(bi)
+            vkeys = jax.vmap(lambda b: jnp.stack(
+                [_rng.field_key_jax(seed_arr[0], b_total + b, d)
+                 for d in range(3)]))(bi)
+
+            pos = self._decode_float_rows(pw, px0, prng, pkeys, pos_depth,
+                                          n_b, True, fused)
+            vel = self._decode_float_rows(vw, vx0, vrng, vkeys, vel_depth,
+                                          n_b, False, fused)
+
+            # IDs: unpack + recompose (undoID, quant.c:553-587), exact.
+            if fused and n_b % 32 == 0:
+                from ..ops import decode_pallas
+                ibins = decode_pallas.unpack_pallas_rows(
+                    iw.reshape(b_l * 3, -1), id_width, n_b,
+                    interpret=self.interpret).reshape(b_l, 3, n_b)
+            else:
+                ibins = jax.vmap(jax.vmap(
+                    lambda wd: bitpack.uniform_unpack(wd, id_width, n_b)
+                ))(iw)
+            w = jnp.uint64(grid)
+            dims = ibins.astype(jnp.uint64) + ix0[:, :, None]
+            dims = jnp.where(dims >= w, dims - w, dims)
+            ids = dims[:, 0] + w * dims[:, 1] + w * w * dims[:, 2]
+            return pos, vel, ids
+
+        return jax.jit(jax.shard_map(
+            decode_local, mesh=self.mesh,
+            in_specs=tuple([P(axis)] * 8) + (P(),),
+            out_specs=(P(axis), P(axis), P(axis)), check_vma=False))
+
+    def encode(self, pos, vel, ids):
+        sh = self._in_shardings()
+        return self._encode(jax.device_put(pos, sh),
+                            jax.device_put(vel, sh),
+                            jax.device_put(ids, sh))
+
+    def decode(self, enc, seed: int = 0):
+        """``enc`` is the 8-tuple from :meth:`encode`; returns
+        (pos, vel, ids) block-sharded device arrays."""
+        seed_arr = jnp.asarray([seed], dtype=jnp.uint32)
+        return self._decode(*enc, seed_arr)

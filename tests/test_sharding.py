@@ -110,3 +110,81 @@ class TestBlockSplit:
     def test_indivisible_asserts(self):
         with pytest.raises(AssertionError):
             block_split(np.zeros((3, 10)), 3)
+
+
+class TestShardedSnapshotCodec:
+    def _make(self, B=16, nb=512, seed=0, grid=1024):
+        rng = np.random.default_rng(seed)
+        pos = rng.uniform(0, W, (B, 3, nb)).astype(np.float32)
+        vel = rng.normal(0, 200, (B, 3, nb)).astype(np.float32)
+        ids = rng.permutation(grid * grid * 4)[: B * nb].astype(
+            np.uint64).reshape(B, nb)
+        return pos, vel, ids
+
+    def _codec(self, mesh, **kw):
+        from minnow_c_tpu.parallel.sharding import ShardedSnapshotCodec
+        from minnow_c_tpu.quant.engine import delta_to_depth
+        return ShardedSnapshotCodec(
+            mesh=mesh, box=W, pos_depth=spmd_depth_for(1e-3, W),
+            vel_depth=delta_to_depth(1.0, -2000.0, 2000.0),
+            id_grid=1024, **kw)
+
+    def test_full_snapshot_roundtrip(self):
+        mesh = make_mesh(8)
+        codec = self._codec(mesh)
+        pos, vel, ids = self._make()
+        enc = codec.encode(pos, vel, ids)
+        dpos, dvel, dids = codec.decode(enc, seed=5)
+        perr = np.abs(np.asarray(dpos) - pos)
+        perr = np.minimum(perr, W - perr)
+        assert perr.max() <= 1e-3
+        assert np.abs(np.asarray(dvel) - vel).max() <= 1.0
+        np.testing.assert_array_equal(np.asarray(dids), ids)
+
+    def test_pos_stream_matches_position_codec(self):
+        """Snapshot-codec position bits == ShardedPositionCodec bits at
+        the same seed (shared per-(block, dim) dither streams)."""
+        mesh = make_mesh(4)
+        codec = self._codec(mesh)
+        pos, vel, ids = self._make(B=8, nb=256, seed=3)
+        enc = codec.encode(pos, vel, ids)
+        dpos, _, _ = codec.decode(enc, seed=9)
+
+        pcodec = ShardedPositionCodec(mesh=mesh, width=W,
+                                      depth=spmd_depth_for(1e-3, W))
+        words, x0, rng_b = pcodec.encode(pos)
+        np.testing.assert_array_equal(np.asarray(enc[0]), np.asarray(words))
+        ref = pcodec.decode(words, x0, rng_b, seed=9)
+        np.testing.assert_array_equal(np.asarray(dpos), np.asarray(ref))
+
+    def test_vel_streams_distinct_from_pos(self):
+        """Velocity dither keys must not collide with position keys: feed
+        identical data to both fields and require different dither."""
+        mesh = make_mesh(2)
+        codec = self._codec(mesh)
+        pos, _, ids = self._make(B=4, nb=256, seed=4)
+        posv = np.clip(pos, 1.0, W - 1.0)  # same array for both fields
+        enc = codec.encode(posv, posv, ids)
+        dpos, dvel, _ = codec.decode(enc, seed=2)
+        assert not np.array_equal(np.asarray(dpos), np.asarray(dvel))
+
+    def test_fused_rows_bit_identical(self):
+        mesh = make_mesh(8)
+        ref = self._codec(mesh, fused_rows=False)
+        fus = self._codec(mesh, fused_rows=True, interpret=True)
+        pos, vel, ids = self._make(B=8, nb=512, seed=6)
+        enc = ref.encode(pos, vel, ids)
+        a = ref.decode(enc, seed=7)
+        b = fus.decode(enc, seed=7)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_decode_deterministic_across_mesh_sizes(self):
+        pos, vel, ids = self._make(B=8, nb=256, seed=8)
+        outs = []
+        for n_dev in (1, 4):
+            codec = self._codec(make_mesh(n_dev))
+            enc = codec.encode(pos, vel, ids)
+            outs.append([np.asarray(a) for a in codec.decode(enc, seed=1)])
+        for x, y in zip(*outs):
+            np.testing.assert_array_equal(x, y)
