@@ -120,20 +120,23 @@ def config2():
     # ~25 GB/s); the salt chain keeps every iteration a real dependent
     # computation (see bench.py).
 
+    # x/bins ride as jit ARGUMENTS (closures serialize into the remote
+    # compile request; see config4_100m).
     @jax.jit
-    def enc(salt):
+    def enc(xin, salt):
         def body(i, carry):
             s, _ = carry
             w, _, _ = fastpath.fast_uniform_encode(
-                x + s.astype(jnp.float32) * jnp.float32(1e-12), depth,
+                xin + s.astype(jnp.float32) * jnp.float32(1e-12), depth,
                 periodic_width=W)
             return (w[0] ^ i.astype(jnp.uint32), w)
-        z, _, _ = fastpath.fast_uniform_encode(x, depth, periodic_width=W)
+        z, _, _ = fastpath.fast_uniform_encode(xin, depth,
+                                               periodic_width=W)
         s, w = jax.lax.fori_loop(0, CHAIN, body,
                                  (salt, jnp.zeros_like(z)))
         return s, w
 
-    res = harness.run(enc, bytes_per_iter=n * 4 * CHAIN)
+    res = harness.run(lambda s: enc(x, s), bytes_per_iter=n * 4 * CHAIN)
 
     bins = jax.block_until_ready(jax.jit(
         lambda xx: kernels.uniform_bin_index(
@@ -142,21 +145,22 @@ def config2():
     from minnow_c_tpu.ops import encode_pallas
 
     @jax.jit
-    def pack_only(salt):
+    def pack_only(bins_in, salt):
         def body(i, carry):
             s, _ = carry
-            b = bins ^ s
+            b = bins_in ^ s
             if jax.default_backend() == "tpu":
                 w = encode_pallas.pack_pallas(b, depth, n)
             else:
                 w = bitpack.uniform_pack(b, depth)
             return (w[0] ^ i.astype(jnp.uint32), w)
-        z = bitpack.uniform_pack(bins, depth)
+        z = bitpack.uniform_pack(bins_in, depth)
         s, w = jax.lax.fori_loop(0, CHAIN, body,
                                  (salt, jnp.zeros_like(z)))
         return s, w
 
-    res_p = harness.run(pack_only, bytes_per_iter=n * 4 * CHAIN)
+    res_p = harness.run(lambda s: pack_only(bins, s),
+                        bytes_per_iter=n * 4 * CHAIN)
     results["config2_encode_kernel"] = {
         "GBps": round(res.gb_per_second, 2),
         "pack_only_GBps": round(res_p.gb_per_second, 2),

@@ -203,6 +203,24 @@ def _unpack_128(W, width: int):
     return ((J >> offc) | ((J2 << sh2c) & smask)) & mask
 
 
+def _rows_tiling(words, width: int, n: int):
+    """Shared (R, n_words) -> (R, n_tiles, 4*width, M) tile layout for the
+    rows kernels: adaptive tile size, zero-pad to whole tiles, and the XLA
+    pre-transpose into the static-row-pair unpack layout."""
+    rows = words.shape[0]
+    tile = TILE
+    while tile > 1 << 14 and tile // 2 >= n:
+        tile //= 2
+    M = tile // 128
+    words_per_tile = tile * width // 32
+    n_tiles = pl_cdiv(n, tile)
+    pad_words = n_tiles * words_per_tile - words.shape[1]
+    if pad_words:
+        words = jnp.pad(words, ((0, 0), (0, pad_words)))
+    w4 = jnp.swapaxes(words.reshape(rows, n_tiles, M, 4 * width), 2, 3)
+    return w4, rows, n_tiles, M, tile
+
+
 def _unpack_rows_kernel(words_ref, out_ref, *, width: int):
     out_ref[0, 0] = _unpack_128(words_ref[0, 0], width).T
 
@@ -217,18 +235,7 @@ def unpack_pallas_rows(words, width: int, n: int, interpret: bool = False):
     float stages -- the IDs-decode hot path."""
     if width == 0 or n == 0 or n % 32:
         raise ValueError("unpack_pallas_rows requires width>=1, 32 | n")
-    rows = words.shape[0]
-    tile = TILE
-    while tile > 1 << 14 and tile // 2 >= n:
-        tile //= 2
-    M = tile // 128
-    words_per_tile = tile * width // 32
-    n_tiles = pl_cdiv(n, tile)
-    pad_words = n_tiles * words_per_tile - words.shape[1]
-    if pad_words:
-        words = jnp.pad(words, ((0, 0), (0, pad_words)))
-    w4 = jnp.swapaxes(
-        words.reshape(rows, n_tiles, M, 4 * width), 2, 3)
+    w4, rows, n_tiles, M, tile = _rows_tiling(words, width, n)
     kernel = functools.partial(_unpack_rows_kernel, width=width)
     space = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
@@ -288,18 +295,7 @@ def decode_pallas_rows(words, keys, width: int, n: int, x0, dx, box=0.0,
     """
     if width == 0 or n == 0 or n % 32:
         raise ValueError("decode_pallas_rows requires width>=1, 32 | n")
-    rows = words.shape[0]
-    tile = TILE
-    while tile > 1 << 14 and tile // 2 >= n:
-        tile //= 2
-    M = tile // 128
-    words_per_tile = tile * width // 32
-    n_tiles = pl_cdiv(n, tile)
-    pad_words = n_tiles * words_per_tile - words.shape[1]
-    if pad_words:
-        words = jnp.pad(words, ((0, 0), (0, pad_words)))
-    w4 = jnp.swapaxes(
-        words.reshape(rows, n_tiles, M, 4 * width), 2, 3)
+    w4, rows, n_tiles, M, tile = _rows_tiling(words, width, n)
     dx_bin = dx.astype(jnp.float32) / np.float32(
         np.exp2(width, dtype=np.float64))
     scal = jnp.stack(

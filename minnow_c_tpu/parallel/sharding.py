@@ -66,9 +66,112 @@ def block_split(x: np.ndarray, num_blocks: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # SPMD position pipeline (the flagship path)
 # ---------------------------------------------------------------------------
+# Shared SPMD building blocks (one implementation serves both codecs below,
+# making the "snapshot-codec position bits == position-codec bits" invariant
+# structural rather than test-enforced)
+# ---------------------------------------------------------------------------
+
+
+def _float_block_encode(xb, depth: int, box):
+    """Quantize one (3, n_b) float block: unwrap (if ``box``), min/max,
+    shared range across dims, bin (position(), quant.c:161-224; velocity
+    is the same minus the periodic unwrap, quant.c:226-289)."""
+    if box is not None:
+        xb = jax.vmap(lambda d: kernels.undo_periodic(d, box))(xb)
+    x0 = jnp.min(xb, axis=1)
+    x1 = jnp.max(xb, axis=1)
+    rng_b = jnp.max(x1 - x0)
+    bins = jax.vmap(
+        lambda xd, o: kernels.uniform_bin_index(xd, depth, o, rng_b))(
+            xb, x0)
+    return bins, x0, rng_b
+
+
+def _pack_rows_folded(bins, width: int, prefer_pallas):
+    """Pack all 3 dims of every local block: (B_local, 3, n_b) ->
+    (B_local, 3, words); requires 32 | n_b (enforced at the codec's
+    public encode).  The (B_local, 3) batch dims are folded into the pack
+    matmul's row dimension -- vmapping the pack instead makes it a
+    batched matmul, and XLA's TPU layout assignment then picks a
+    batch-dims-minor T(4,128) layout with ~21x pad expansion (OOM at
+    50M+ particles)."""
+    # Barrier: the bin->pack fusion compiles ~1000x slow on this backend
+    # (see parallel/snapshot.py).
+    bins = jax.lax.optimization_barrier(bins)
+    b_l, _, n_b = bins.shape
+    return bitpack.uniform_pack_rows(
+        bins.reshape(b_l * 3, n_b), width,
+        prefer_pallas=prefer_pallas).reshape(b_l, 3, -1)
+
+
+def _block_keys(seed_arr, block_idx):
+    """Dither keys for blocks x 3 dims: (B_local,) -> (B_local, 3, 2)."""
+    return jax.vmap(lambda bi: jnp.stack(
+        [_rng.field_key_jax(seed_arr[0], bi, d) for d in range(3)]))(
+            block_idx)
+
+
+def _float_rows_decode(words, x0, rng_b, keys, depth: int, n_b: int,
+                       box, periodic: bool, fused: bool, interpret: bool):
+    """Dithered decode of (B_local, 3, n_words) packed streams back to
+    (B_local, 3, n_b) floats; per-(block, dim) keys in ``keys``
+    (B_local, 3, 2).  Fused path = one Pallas grid over all streams,
+    bit-identical to the XLA path (enforced by test_sharding)."""
+    b_l, _, n_words = words.shape
+    if fused and depth >= 1 and n_b and n_b % 32 == 0:
+        from ..ops import decode_pallas
+        out = decode_pallas.decode_pallas_rows(
+            words.reshape(b_l * 3, n_words), keys.reshape(b_l * 3, 2),
+            depth, n_b, x0.reshape(b_l * 3), jnp.repeat(rng_b, 3),
+            box=(box if box is not None else 0.0), periodic=periodic,
+            interpret=interpret)
+        return out.reshape(b_l, 3, n_b)
+
+    def one_block(wb, x0b, rb, kb):
+        def one_dim(wd, o, key):
+            bins = bitpack.uniform_unpack(wd, depth, n_b)
+            # Barrier: fusing the unpack into the float consumers
+            # compiles ~70x slow on this backend (see ops/fastpath.py).
+            bins = jax.lax.optimization_barrier(bins)
+            dx = rb / jnp.float32(1 << depth)
+            u = _rng.uniform24(key, bins.shape)
+            x = o + dx * (bins.astype(jnp.float32) + u)
+            x = jax.lax.optimization_barrier(x)
+            return kernels.periodic(x, box) if periodic else x
+
+        return jnp.stack([one_dim(wb[d], x0b[d], kb[d])
+                          for d in range(3)])
+
+    return jax.vmap(one_block)(words, x0, rng_b, keys)
+
+
+class _MeshCodecBase:
+    """Mesh-platform gating + input sharding shared by the SPMD codecs."""
+
+    @property
+    def _on_tpu(self) -> bool:
+        # Gate Pallas paths on the MESH's device platform, not
+        # jax.default_backend(): in this environment the TPU plugin can
+        # be the default backend while the codec runs on a forced-CPU
+        # virtual mesh (dryrun_multichip), where a non-interpret
+        # pallas_call fails to lower.
+        return self.mesh.devices.flat[0].platform == "tpu"
+
+    def _in_shardings(self):
+        return NamedSharding(self.mesh, P(self.axis))
+
+    @staticmethod
+    def _check_aligned(n_b: int):
+        if n_b % 32:
+            raise ValueError(
+                f"block size {n_b} is not a multiple of 32; pad blocks "
+                "to 32 particles (segment padding is the client's duty, "
+                "header_format.tex table 1) -- misaligned packs would "
+                "decode to a wrong-length block")
+
 
 @dataclass(frozen=True)
-class ShardedPositionCodec:
+class ShardedPositionCodec(_MeshCodecBase):
     """Block-sharded position codec over a device mesh.
 
     ``encode`` maps (B, 3, n_b) f32 positions to packed u32 words plus
@@ -90,56 +193,17 @@ class ShardedPositionCodec:
     interpret: bool = False
 
     @property
-    def _on_tpu(self) -> bool:
-        # Gate Pallas paths on the MESH's device platform, not
-        # jax.default_backend(): in this environment the TPU plugin can
-        # be the default backend while the codec runs on a forced-CPU
-        # virtual mesh (dryrun_multichip), where a non-interpret
-        # pallas_call fails to lower.
-        return self.mesh.devices.flat[0].platform == "tpu"
-
-    @property
     def _spec_blocks(self):
         return P(self.axis)
-
-    def _in_shardings(self):
-        return NamedSharding(self.mesh, P(self.axis))
 
     @functools.cached_property
     def _encode(self):
         width, depth, axis = self.width, self.depth, self.axis
 
         def encode_local(x):  # x: (B_local, 3, n_b)
-            def one_block(xb):  # (3, n_b)
-                xu = jax.vmap(
-                    lambda d: kernels.undo_periodic(d, width))(xb)
-                x0 = jnp.min(xu, axis=1)
-                x1 = jnp.max(xu, axis=1)
-                rng_b = jnp.max(x1 - x0)
-                bins = jax.vmap(
-                    lambda xd, o: kernels.uniform_bin_index(
-                        xd, depth, o, rng_b))(xu, x0)
-                return bins, x0, rng_b
-
-            bins, x0, rng_b = jax.vmap(one_block)(x)
-            # Barrier: the bin->pack fusion compiles ~1000x slow on this
-            # backend (see parallel/snapshot.py).
-            bins = jax.lax.optimization_barrier(bins)
-            # Pack all 3 dims of every local block: (B_local, 3, n_b) ->
-            # (B_local, 3, words).  The (B_local, 3) batch dims are folded
-            # into the pack matmul's row dimension -- vmapping the pack
-            # instead makes it a batched matmul, and XLA's TPU layout
-            # assignment then picks a batch-dims-minor T(4,128) layout
-            # with ~21x pad expansion (OOM at 50M+ particles).
-            b_l, _, n_b = bins.shape
-            if n_b % 32 == 0:
-                words = bitpack.uniform_pack_rows(
-                    bins.reshape(b_l * 3, n_b), depth,
-                    prefer_pallas=self._on_tpu,
-                ).reshape(b_l, 3, -1)
-            else:
-                words = jax.vmap(jax.vmap(
-                    lambda b: bitpack.uniform_pack(b, depth)))(bins)
+            bins, x0, rng_b = jax.vmap(
+                lambda xb: _float_block_encode(xb, depth, width))(x)
+            words = _pack_rows_folded(bins, depth, self._on_tpu)
             return words, x0, rng_b
 
         # check_vma=False: the TPU pack (pack_pallas_rows) is a
@@ -165,42 +229,9 @@ class ShardedPositionCodec:
             n_b = (n_words * 32) // depth if depth else 0
             b_l = words.shape[0]
             idx = jax.lax.axis_index(axis) * b_l + jnp.arange(b_l)
-
-            if fused and depth >= 1 and n_b and n_b % 32 == 0:
-                # One Pallas grid over all (block, dim) streams: each row
-                # is VMEM-resident unpack+dither+undo+rewrap with per-row
-                # key/offset in SMEM.  ~30x over the vmapped XLA unpack,
-                # bit-identical (enforced by test_sharding).
-                from ..ops import decode_pallas
-
-                keys = jax.vmap(lambda bi: jnp.stack(
-                    [_rng.field_key_jax(seed_arr[0], bi, d)
-                     for d in range(3)]))(idx)  # (B_local, 3, 2)
-                out = decode_pallas.decode_pallas_rows(
-                    words.reshape(b_l * 3, n_words),
-                    keys.reshape(b_l * 3, 2), depth, n_b,
-                    x0.reshape(b_l * 3), jnp.repeat(rng_b, 3),
-                    box=width, periodic=True, interpret=interpret)
-                return out.reshape(b_l, 3, n_b)
-
-            def one_block(wb, x0b, rb, bi):
-                def one_dim(wd, o, d):
-                    bins = bitpack.uniform_unpack(wd, depth, n_b)
-                    # Barrier: fusing the unpack into the float consumers
-                    # compiles ~70x slow on this backend (see
-                    # ops/fastpath.py).
-                    bins = jax.lax.optimization_barrier(bins)
-                    key = _rng.field_key_jax(seed_arr[0], bi, d)
-                    dx = rb / jnp.float32(1 << depth)
-                    u = _rng.uniform24(key, bins.shape)
-                    x = o + dx * (bins.astype(jnp.float32) + u)
-                    x = jax.lax.optimization_barrier(x)
-                    return kernels.periodic(x, width)
-
-                return jnp.stack([one_dim(wb[d], x0b[d], d)
-                                  for d in range(3)])
-
-            return jax.vmap(one_block)(words, x0, rng_b, idx)
+            keys = _block_keys(seed_arr, idx)  # (B_local, 3, 2)
+            return _float_rows_decode(words, x0, rng_b, keys, depth, n_b,
+                                      width, True, fused, interpret)
 
         # check_vma=False: pallas_call out_shapes carry no varying-mesh-
         # axes annotation; the body is collective-free (axis_index only),
@@ -211,8 +242,10 @@ class ShardedPositionCodec:
             out_specs=P(axis), check_vma=False))
 
     def encode(self, x):
-        """x: (B, 3, n_b) f32, B divisible by mesh size.  Returns (words
-        (B, 3, W), x0 (B, 3), range (B,)) device arrays, block-sharded."""
+        """x: (B, 3, n_b) f32, B divisible by mesh size, 32 | n_b.
+        Returns (words (B, 3, W), x0 (B, 3), range (B,)) device arrays,
+        block-sharded."""
+        self._check_aligned(x.shape[2])
         sh = self._in_shardings()
         x = jax.device_put(x, sh)
         return self._encode(x)
@@ -269,7 +302,7 @@ def adaptive_depth_for(codec: ShardedPositionCodec, x, delta: float) -> int:
 # ---------------------------------------------------------------------------
 
 @dataclass(frozen=True)
-class ShardedSnapshotCodec:
+class ShardedSnapshotCodec(_MeshCodecBase):
     """Block-sharded codec for a full standard snapshot (Posn + Velc +
     Ptid) over a device mesh -- the SPMD analog of the reference's
     canonical client segment (funcs.c:212-266: position delta=1e-3,
@@ -298,29 +331,23 @@ class ShardedSnapshotCodec:
     fused_rows: Optional[bool] = None  # None = auto (TPU mesh only)
     interpret: bool = False
 
-    @property
-    def _on_tpu(self) -> bool:
-        return self.mesh.devices.flat[0].platform == "tpu"
+    def __post_init__(self):
+        if not (1 <= self.pos_depth <= 24) or not (1 <= self.vel_depth
+                                                   <= 24):
+            raise ValueError(
+                f"float depths must be in [1, 24] (f32 mantissa cap, "
+                f"quant.c:684-693); got pos={self.pos_depth} "
+                f"vel={self.vel_depth}")
+        if not (2 <= self.id_grid <= (1 << 21)):
+            raise ValueError(
+                f"id_grid must be in [2, 2^21] (grid^3 <= 2^64 and u32 "
+                f"coordinate bins); got {self.id_grid}")
 
     @property
     def id_width(self) -> int:
         """Static bin width for ID grid coordinates: after the u64
         periodic unwrap + min-subtract the coords lie in [0, grid)."""
         return max(1, int(np.ceil(np.log2(self.id_grid))))
-
-    def _in_shardings(self):
-        return NamedSharding(self.mesh, P(self.axis))
-
-    def _pack_rows(self, bins, width):
-        """(B_local, 3, n_b) u32 -> (B_local, 3, words), row-folded."""
-        b_l, _, n_b = bins.shape
-        bins = jax.lax.optimization_barrier(bins)  # see _encode above
-        if n_b % 32 == 0:
-            return bitpack.uniform_pack_rows(
-                bins.reshape(b_l * 3, n_b), width,
-                prefer_pallas=self._on_tpu).reshape(b_l, 3, -1)
-        return jax.vmap(jax.vmap(
-            lambda b: bitpack.uniform_pack(b, width)))(bins)
 
     @functools.cached_property
     def _encode(self):
@@ -329,21 +356,6 @@ class ShardedSnapshotCodec:
         grid, id_width = self.id_grid, self.id_width
 
         def encode_local(pos, vel, ids):
-            def pos_block(xb):
-                xu = jax.vmap(lambda d: kernels.undo_periodic(d, box))(xb)
-                x0 = jnp.min(xu, axis=1)
-                rng_b = jnp.max(jnp.max(xu, axis=1) - x0)
-                bins = jax.vmap(lambda xd, o: kernels.uniform_bin_index(
-                    xd, pos_depth, o, rng_b))(xu, x0)
-                return bins, x0, rng_b
-
-            def vel_block(vb):  # position() minus the periodic unwrap
-                x0 = jnp.min(vb, axis=1)
-                rng_b = jnp.max(jnp.max(vb, axis=1) - x0)
-                bins = jax.vmap(lambda xd, o: kernels.uniform_bin_index(
-                    xd, vel_depth, o, rng_b))(vb, x0)
-                return bins, x0, rng_b
-
             def id_block(ib):  # id(), quant.c:291-327 -- lossless
                 w = jnp.uint64(grid)
                 dims = jnp.stack([ib % w, (ib // w) % w, ib // (w * w)])
@@ -352,47 +364,20 @@ class ShardedSnapshotCodec:
                 x0 = jnp.min(dims, axis=1)
                 return (dims - x0[:, None]).astype(jnp.uint32), x0
 
-            pbins, px0, prng = jax.vmap(pos_block)(pos)
-            vbins, vx0, vrng = jax.vmap(vel_block)(vel)
+            pbins, px0, prng = jax.vmap(
+                lambda xb: _float_block_encode(xb, pos_depth, box))(pos)
+            vbins, vx0, vrng = jax.vmap(
+                lambda vb: _float_block_encode(vb, vel_depth, None))(vel)
             ibins, ix0 = jax.vmap(id_block)(ids)
-            return (self._pack_rows(pbins, pos_depth), px0, prng,
-                    self._pack_rows(vbins, vel_depth), vx0, vrng,
-                    self._pack_rows(ibins, id_width), ix0)
+            on_tpu = self._on_tpu
+            return (_pack_rows_folded(pbins, pos_depth, on_tpu), px0, prng,
+                    _pack_rows_folded(vbins, vel_depth, on_tpu), vx0, vrng,
+                    _pack_rows_folded(ibins, id_width, on_tpu), ix0)
 
         return jax.jit(jax.shard_map(
             encode_local, mesh=self.mesh,
             in_specs=(P(axis), P(axis), P(axis)),
             out_specs=tuple([P(axis)] * 8), check_vma=False))
-
-    def _decode_float_rows(self, words, x0, rng_b, keys, depth, n_b,
-                           periodic, fused):
-        """(B_local, 3, W) words -> (B_local, 3, n_b) f32, dithered."""
-        b_l = words.shape[0]
-        n_words = words.shape[2]
-        if fused and depth >= 1 and n_b and n_b % 32 == 0:
-            from ..ops import decode_pallas
-            out = decode_pallas.decode_pallas_rows(
-                words.reshape(b_l * 3, n_words),
-                keys.reshape(b_l * 3, 2), depth, n_b,
-                x0.reshape(b_l * 3), jnp.repeat(rng_b, 3),
-                box=self.box, periodic=periodic,
-                interpret=self.interpret)
-            return out.reshape(b_l, 3, n_b)
-
-        def one_block(wb, x0b, rb, kb):
-            def one_dim(wd, o, key):
-                bins = bitpack.uniform_unpack(wd, depth, n_b)
-                bins = jax.lax.optimization_barrier(bins)
-                dx = rb / jnp.float32(1 << depth)
-                u = _rng.uniform24(key, bins.shape)
-                x = o + dx * (bins.astype(jnp.float32) + u)
-                x = jax.lax.optimization_barrier(x)
-                return kernels.periodic(x, self.box) if periodic else x
-
-            return jnp.stack([one_dim(wb[d], x0b[d], kb[d])
-                              for d in range(3)])
-
-        return jax.vmap(one_block)(words, x0, rng_b, keys)
 
     @functools.cached_property
     def _decode(self):
@@ -408,20 +393,16 @@ class ShardedSnapshotCodec:
             n_b = (pw.shape[2] * 32) // pos_depth if pos_depth else 0
             b_total = b_l * jax.lax.psum(1, axis)
             bi = jax.lax.axis_index(axis) * b_l + jnp.arange(b_l)
-            pkeys = jax.vmap(lambda b: jnp.stack(
-                [_rng.field_key_jax(seed_arr[0], b, d)
-                 for d in range(3)]))(bi)
-            vkeys = jax.vmap(lambda b: jnp.stack(
-                [_rng.field_key_jax(seed_arr[0], b_total + b, d)
-                 for d in range(3)]))(bi)
+            pkeys = _block_keys(seed_arr, bi)
+            vkeys = _block_keys(seed_arr, b_total + bi)
 
-            pos = self._decode_float_rows(pw, px0, prng, pkeys, pos_depth,
-                                          n_b, True, fused)
-            vel = self._decode_float_rows(vw, vx0, vrng, vkeys, vel_depth,
-                                          n_b, False, fused)
+            pos = _float_rows_decode(pw, px0, prng, pkeys, pos_depth, n_b,
+                                     self.box, True, fused, self.interpret)
+            vel = _float_rows_decode(vw, vx0, vrng, vkeys, vel_depth, n_b,
+                                     None, False, fused, self.interpret)
 
             # IDs: unpack + recompose (undoID, quant.c:553-587), exact.
-            if fused and n_b % 32 == 0:
+            if fused and n_b and n_b % 32 == 0:
                 from ..ops import decode_pallas
                 ibins = decode_pallas.unpack_pallas_rows(
                     iw.reshape(b_l * 3, -1), id_width, n_b,
@@ -442,6 +423,7 @@ class ShardedSnapshotCodec:
             out_specs=(P(axis), P(axis), P(axis)), check_vma=False))
 
     def encode(self, pos, vel, ids):
+        self._check_aligned(pos.shape[2])
         sh = self._in_shardings()
         return self._encode(jax.device_put(pos, sh),
                             jax.device_put(vel, sh),

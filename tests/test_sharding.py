@@ -188,3 +188,25 @@ class TestShardedSnapshotCodec:
             outs.append([np.asarray(a) for a in codec.decode(enc, seed=1)])
         for x, y in zip(*outs):
             np.testing.assert_array_equal(x, y)
+
+    def test_misaligned_block_size_rejected(self):
+        """Non-32-aligned blocks would decode to a wrong-length block
+        (n_b is re-derived from padded word counts); encode must refuse
+        them loudly."""
+        codec = self._codec(make_mesh(2))
+        pos, vel, ids = self._make(B=4, nb=256, seed=1)
+        with pytest.raises(ValueError, match="multiple of 32"):
+            codec.encode(pos[:, :, :100], vel[:, :, :100], ids[:, :100])
+        pcodec = ShardedPositionCodec(mesh=make_mesh(2), width=W,
+                                      depth=spmd_depth_for(1e-3, W))
+        with pytest.raises(ValueError, match="multiple of 32"):
+            pcodec.encode(pos[:, :, :100])
+
+    def test_degenerate_depths_rejected(self):
+        from minnow_c_tpu.parallel.sharding import ShardedSnapshotCodec
+        with pytest.raises(ValueError, match="depths"):
+            ShardedSnapshotCodec(mesh=make_mesh(2), box=W, pos_depth=0,
+                                 vel_depth=10, id_grid=1024)
+        with pytest.raises(ValueError, match="id_grid"):
+            ShardedSnapshotCodec(mesh=make_mesh(2), box=W, pos_depth=16,
+                                 vel_depth=10, id_grid=1)
