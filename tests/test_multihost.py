@@ -50,6 +50,31 @@ err = np.abs(mine - ref); err = np.minimum(err, W - err)
 assert err.max() <= 1e-3, err.max()
 # cross-process collective: global range agrees on both processes
 g = codec.global_range(xg)
+
+# Full-snapshot codec over the same two-process mesh: the vel dither
+# key offset uses psum over the mesh axis (a real cross-process
+# collective at trace time) and IDs must be lossless end to end.
+from minnow_c_tpu.parallel.sharding import ShardedSnapshotCodec
+from minnow_c_tpu.quant.engine import delta_to_depth
+gv = rng.normal(0, 200, (8, 3, 256)).astype(np.float32)
+gi = rng.permutation(1024 * 1024 * 2)[: 8 * 256].astype(
+    np.uint64).reshape(8, 256)
+snap = ShardedSnapshotCodec(
+    mesh=mesh, box=W, pos_depth=spmd_depth_for(1e-3, W),
+    vel_depth=delta_to_depth(1.0, -1000.0, 1000.0), id_grid=1024)
+vg = multihost.global_block_array(gv[proc_id * 4:(proc_id + 1) * 4], mesh)
+ig = multihost.global_block_array(gi[proc_id * 4:(proc_id + 1) * 4], mesh)
+enc = snap.encode(xg, vg, ig)
+dpos, dvel, dids = snap.decode(enc, seed=5)
+mpos = multihost.local_block_slice(dpos, mesh)
+perr = np.abs(mpos - ref); perr = np.minimum(perr, W - perr)
+assert perr.max() <= 1e-3, perr.max()
+mvel = multihost.local_block_slice(dvel, mesh)
+assert np.abs(mvel - gv[proc_id * 4:(proc_id + 1) * 4]).max() <= 1.0
+mids = multihost.local_block_slice(dids, mesh)
+assert np.array_equal(mids, gi[proc_id * 4:(proc_id + 1) * 4])
+# position bits must equal the position-only codec's (shared streams)
+assert np.array_equal(mpos, mine)
 with open(os.path.join(tmp, f"ok{proc_id}"), "w") as f:
     f.write(f"{g:.6f}")
 print("WORKER_OK", proc_id, flush=True)
