@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Kernel microbench suite: the reference's compress_util_bench.c
+workloads, one for one, on the TPU.
+
+Reference workloads (all 100 MB of f32/u32 input, single host thread):
+  minMaxBench            test/compress_util_bench.c:13-29   (enabled)
+  periodic/undoPeriodic  compress_util_bench.c:31-76        (disabled block)
+  binIndex/undoBinIndex  compress_util_bench.c:78-150       (disabled block)
+  pack/unpack 8-bit aligned + 9-bit straddling
+                         compress_util_bench.c:152-232      (disabled block)
+  (mock) fast compress / undo fast compress (level 11)
+                         compress_util_bench.c:234-298      (enabled)
+
+Same adaptive harness policy as the reference (0.5 s trials, 30 s cap,
+bench.h:6-7) plus this runtime's anti-elision measures (salted dependency
+chains + D2H readback; see bench/harness.py).  Throughput is GB/s of the
+100 MB input per workload, per chip.
+
+Writes bench_kernels.json and prints one JSON object.
+"""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/minnow_jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from minnow_c_tpu.bench import harness  # noqa: E402
+from minnow_c_tpu.ops import bitpack, fastpath, kernels, native  # noqa: E402
+from minnow_c_tpu.ops import rng as _rng  # noqa: E402
+
+W = 64.0
+N = 25_165_824  # ~100 MB f32, 512K-tile aligned
+LEVEL = 11      # compress_util_bench.c:247
+CHAIN = 32      # in-jit chained iterations (amortize remote dispatch)
+
+results = {}
+
+
+def bench(name, make_chain, bytes_per_iter=N * 4):
+    fn = make_chain()
+    res = harness.run(fn, bytes_per_iter=bytes_per_iter * CHAIN)
+    results[name] = round(res.gb_per_second, 2)
+    print(f"{name:24s} {res.gb_per_second:8.2f} GB/s", flush=True)
+
+
+def chained(body, out_template):
+    """Wrap a salt-dependent body into a CHAIN-long in-jit loop."""
+    @jax.jit
+    def fn(salt):
+        def step(i, carry):
+            s, _ = carry
+            out, s2 = body(s)
+            return (s2 ^ i.astype(jnp.uint32), out)
+
+        return jax.lax.fori_loop(0, CHAIN, step, (salt, out_template))[1]
+    return fn
+
+
+def f32_salt(s):
+    return s.astype(jnp.float32) * jnp.float32(1e-12)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    x = jax.device_put(jnp.asarray(
+        rng.uniform(0, W, N).astype(np.float32)))
+    bins_np = rng.integers(0, 1 << LEVEL, N, dtype=np.uint64).astype(
+        np.uint32)
+    bins = jax.device_put(jnp.asarray(bins_np))
+    key = _rng.field_key_arr(7, 0, 0)
+    packed8 = jax.device_put(jnp.asarray(
+        native.uniform_pack_host(bins_np & 0xFF, 8)))
+    packed9 = jax.device_put(jnp.asarray(
+        native.uniform_pack_host(bins_np & 0x1FF, 9)))
+    packed11 = jax.device_put(jnp.asarray(
+        native.uniform_pack_host(bins_np, LEVEL)))
+
+    u32_first = lambda a: a.ravel()[0].astype(jnp.uint32)  # noqa: E731
+    f32_first = lambda a: jax.lax.bitcast_convert_type(  # noqa: E731
+        a.ravel()[0], jnp.uint32)
+
+    # minMaxBench (compress_util_bench.c:13-29)
+    def mk_minmax():
+        def body(s):
+            lo, hi = kernels.minmax(x + f32_salt(s))
+            out = jnp.stack([lo, hi])
+            return out, f32_first(out)
+        return chained(body, jnp.zeros((2,), jnp.float32))
+    bench("minmax", mk_minmax)
+
+    # periodic / undoPeriodic (compress_util_bench.c:31-76)
+    def mk_periodic():
+        def body(s):
+            out = kernels.periodic(x + f32_salt(s), W)
+            return out, f32_first(out)
+        return chained(body, jnp.zeros((N,), jnp.float32))
+    bench("periodic", mk_periodic)
+
+    def mk_undo_periodic():
+        def body(s):
+            out = kernels.undo_periodic(x + f32_salt(s), W)
+            return out, f32_first(out)
+        return chained(body, jnp.zeros((N,), jnp.float32))
+    bench("undo_periodic", mk_undo_periodic)
+
+    # binIndex / undoBinIndex (compress_util_bench.c:78-150)
+    def mk_bin_index():
+        def body(s):
+            out = kernels.uniform_bin_index(x + f32_salt(s), LEVEL, 0.0, W)
+            return out, u32_first(out)
+        return chained(body, jnp.zeros((N,), jnp.uint32))
+    bench("bin_index", mk_bin_index)
+
+    def mk_undo_bin_index():
+        def body(s):
+            out = kernels.undo_uniform_bin_index(
+                bins ^ (s & jnp.uint32(0x3FF)), LEVEL, 0.0, W, key ^ s)
+            return out, f32_first(out)
+        return chained(body, jnp.zeros((N,), jnp.float32))
+    bench("undo_bin_index", mk_undo_bin_index)
+
+    # pack/unpack: 8-bit aligned + 9-bit word-straddling
+    # (compress_util_bench.c:152-232)
+    for width, packed in ((8, packed8), (9, packed9)):
+        def mk_pack(width=width):
+            def body(s):
+                out = bitpack.uniform_pack(
+                    (bins ^ (s & jnp.uint32(0xFF))) &
+                    jnp.uint32((1 << width) - 1), width)
+                return out, u32_first(out)
+            return chained(body, jnp.zeros(
+                (bitpack.packed_words(N, width),), jnp.uint32))
+        bench(f"pack_{width}bit", mk_pack)
+
+        def mk_unpack(width=width, packed=packed):
+            def body(s):
+                out = bitpack.uniform_unpack(packed ^ s, width, N)
+                return out, u32_first(out)
+            return chained(body, jnp.zeros((N,), jnp.uint32))
+        bench(f"unpack_{width}bit", mk_unpack)
+
+    # (mock) fast compress / undo (compress_util_bench.c:234-298)
+    def mk_fast_compress():
+        def body(s):
+            w, x0, dx = fastpath.fast_uniform_encode(
+                x + f32_salt(s), LEVEL, periodic_width=W)
+            return w, u32_first(w)
+        return chained(body, jnp.zeros(
+            (bitpack.packed_words(N, LEVEL),), jnp.uint32))
+    bench("fast_compress", mk_fast_compress)
+
+    def mk_undo_fast_compress():
+        def body(s):
+            out = fastpath.fast_uniform_decode(
+                packed11 ^ s, key ^ s, LEVEL, N, 0.0, W, periodic_width=W)
+            return out, f32_first(out)
+        return chained(body, jnp.zeros((N,), jnp.float32))
+    bench("undo_fast_compress", mk_undo_fast_compress)
+
+    # The production fused decode (the headline path; bench.py) --
+    # Pallas, so TPU only.
+    if jax.default_backend() != "tpu":
+        with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_kernels.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        print(json.dumps(results))
+        return
+
+    from minnow_c_tpu.ops import decode_pallas
+
+    def mk_fused_decode():
+        def body(s):
+            out = decode_pallas.decode_pallas(
+                packed11, key ^ s, LEVEL, N, 0.0, W, W, periodic=True)
+            return out, f32_first(out)
+        return chained(body, jnp.zeros((N,), jnp.float32))
+    bench("fused_decode_pallas", mk_fused_decode)
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_kernels.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
