@@ -47,6 +47,20 @@ from .rng import _TF_PARITY, _TF_ROT, _TF_ROUNDS
 
 TILE = 1 << 19  # max elements per grid step; VMEM-bounded (~12 MB live)
 _TILE_CASCADE = (1 << 19, 1 << 16, 1 << 14)  # big tiles, then mop-up sizes
+ROW_CHUNK = 1024  # max streams per rows-kernel call: the per-row key and
+# scalar tables ride whole in SMEM (rows x 5 u32 words), so cap the rows
+# per pallas_call to bound scalar-memory use; many-block snapshots (a 1B
+# file has >=100 blocks/field) split into chunks whose outputs are
+# concatenated.
+
+
+def rows_kernel_eligible(width: int, n: int) -> bool:
+    """Shared gate for dispatching to the rows kernels
+    (decode_pallas_rows / unpack_pallas_rows): they require a positive
+    width and 32-aligned element count (no partial tail word per row).
+    Every dispatch site must use this -- hand-copied gates have drifted
+    before."""
+    return width >= 1 and n >= 1 and n % 32 == 0
 
 
 def _threefry13_tile(k0, k1, ctr):
@@ -159,6 +173,11 @@ def decode_pallas(words, key, width: int, n: int, x0, dx, box=0.0,
     """
     if width == 0 or n == 0:
         raise ValueError("decode_pallas requires width >= 1, n >= 1")
+    if width > 24:
+        raise ValueError(
+            f"float decode width {width} > 24: float depths cap at the "
+            "f32 mantissa (quant.c:684-693), and the kernel's "
+            "int32-routed bin->f32 cast is only exact to 24 bits")
     key = jnp.asarray(key, dtype=jnp.uint32)
     dx_bin = jnp.float32(dx) / np.float32(np.exp2(width, dtype=np.float64))
     scal = jnp.stack([jnp.float32(x0), dx_bin, jnp.float32(box)])
@@ -233,8 +252,13 @@ def unpack_pallas_rows(words, width: int, n: int, interpret: bool = False):
     ``bitpack.uniform_unpack(words[r], width, n)`` (requires 32 | n).
     The lane-dense layout of ``decode_pallas_rows`` without the dither /
     float stages -- the IDs-decode hot path."""
-    if width == 0 or n == 0 or n % 32:
+    if not rows_kernel_eligible(width, n):
         raise ValueError("unpack_pallas_rows requires width>=1, 32 | n")
+    if words.shape[0] > ROW_CHUNK:
+        return jnp.concatenate(
+            [unpack_pallas_rows(words[i:i + ROW_CHUNK], width, n,
+                                interpret=interpret)
+             for i in range(0, words.shape[0], ROW_CHUNK)])
     w4, rows, n_tiles, M, tile = _rows_tiling(words, width, n)
     kernel = functools.partial(_unpack_rows_kernel, width=width)
     space = pl.ANY if interpret else pltpu.VMEM
@@ -293,8 +317,20 @@ def decode_pallas_rows(words, keys, width: int, n: int, x0, dx, box=0.0,
     tile's words with zeros; the padded elements decode to garbage that
     the final slice discards).
     """
-    if width == 0 or n == 0 or n % 32:
+    if not rows_kernel_eligible(width, n):
         raise ValueError("decode_pallas_rows requires width>=1, 32 | n")
+    if width > 24:
+        raise ValueError(
+            f"float decode width {width} > 24 (f32 mantissa cap; see "
+            "decode_pallas)")
+    if words.shape[0] > ROW_CHUNK:
+        return jnp.concatenate(
+            [decode_pallas_rows(words[i:i + ROW_CHUNK],
+                                keys[i:i + ROW_CHUNK], width, n,
+                                x0[i:i + ROW_CHUNK], dx[i:i + ROW_CHUNK],
+                                box=box, periodic=periodic,
+                                interpret=interpret)
+             for i in range(0, words.shape[0], ROW_CHUNK)])
     w4, rows, n_tiles, M, tile = _rows_tiling(words, width, n)
     dx_bin = dx.astype(jnp.float32) / np.float32(
         np.exp2(width, dtype=np.float64))

@@ -118,8 +118,8 @@ def _float_rows_decode(words, x0, rng_b, keys, depth: int, n_b: int,
     (B_local, 3, 2).  Fused path = one Pallas grid over all streams,
     bit-identical to the XLA path (enforced by test_sharding)."""
     b_l, _, n_words = words.shape
-    if fused and depth >= 1 and n_b and n_b % 32 == 0:
-        from ..ops import decode_pallas
+    from ..ops import decode_pallas
+    if fused and decode_pallas.rows_kernel_eligible(depth, n_b):
         out = decode_pallas.decode_pallas_rows(
             words.reshape(b_l * 3, n_words), keys.reshape(b_l * 3, 2),
             depth, n_b, x0.reshape(b_l * 3), jnp.repeat(rng_b, 3),
@@ -402,8 +402,8 @@ class ShardedSnapshotCodec(_MeshCodecBase):
                                      None, False, fused, self.interpret)
 
             # IDs: unpack + recompose (undoID, quant.c:553-587), exact.
-            if fused and n_b and n_b % 32 == 0:
-                from ..ops import decode_pallas
+            from ..ops import decode_pallas
+            if fused and decode_pallas.rows_kernel_eligible(id_width, n_b):
                 ibins = decode_pallas.unpack_pallas_rows(
                     iw.reshape(b_l * 3, -1), id_width, n_b,
                     interpret=self.interpret).reshape(b_l, 3, n_b)

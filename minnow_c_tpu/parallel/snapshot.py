@@ -447,8 +447,10 @@ def _batched_float_decode(words, x0, rng_b, key, depth: int, nb: int,
     dither vector is computed once and broadcast."""
     from ..ops import rng as _rng
 
+    from ..ops import decode_pallas as _dp
     on_tpu = jax.default_backend() == "tpu"
-    if (on_tpu or _FORCE_ROWS_DECODE) and depth >= 1 and nb % 32 == 0:
+    if (on_tpu or _FORCE_ROWS_DECODE) and _dp.rows_kernel_eligible(depth,
+                                                                   nb):
         # One Pallas grid over all (block, dim) streams (same kernel as
         # the sharded codec's decode); identical bits -- the shared key
         # just repeats per row, counters restart at 0 per stream exactly
@@ -598,6 +600,8 @@ def _decompress_snapshot_batched(segments) -> Optional[dict]:
             width = metas[0][0]
             if any(m[0] != width for m in metas):
                 return None
+            from ..ops import decode_pallas
+            on_tpu = jax.default_backend() == "tpu"
             dims = []
             for d in range(3):
                 rows = []
@@ -611,10 +615,8 @@ def _decompress_snapshot_batched(segments) -> Optional[dict]:
                     rows.append(np.frombuffer(payload.tobytes(),
                                               dtype="<u4"))
                 words_d = jnp.asarray(np.stack(rows))
-                on_tpu = jax.default_backend() == "tpu"
-                if (on_tpu or _FORCE_ROWS_DECODE) and wbits >= 1 \
-                        and nb % 32 == 0:
-                    from ..ops import decode_pallas
+                if (on_tpu or _FORCE_ROWS_DECODE) and \
+                        decode_pallas.rows_kernel_eligible(int(wbits), nb):
                     bins = decode_pallas.unpack_pallas_rows(
                         words_d, int(wbits), nb, interpret=not on_tpu)
                 else:

@@ -54,7 +54,7 @@ def test_pallas_rows_matches_per_row(width):
         np.testing.assert_array_equal(got[r], ref)
 
 
-@pytest.mark.parametrize("width", [1, 10, 24])
+@pytest.mark.parametrize("width", [1, 10, 24, 32])
 def test_unpack_rows_matches_per_row(width):
     """unpack_pallas_rows row r == bitpack.uniform_unpack(words[r])."""
     from minnow_c_tpu.ops import bitpack
@@ -183,3 +183,58 @@ class TestEncodePallas:
         err = np.minimum(err, W - err)
         bin_w = float(rv) / (1 << width)
         assert err.max() <= bin_w * 1.01
+
+
+def test_unpack_rows_chunked_matches_unchunked(monkeypatch):
+    """Row counts above ROW_CHUNK split into multiple pallas calls whose
+    concatenated output must equal the single-call result (SMEM tables
+    are bounded per call)."""
+    from minnow_c_tpu.ops import bitpack
+    n, R, width = 128, 9, 7
+    rng = np.random.default_rng(0)
+    bins = rng.integers(0, 1 << width, (R, n),
+                        dtype=np.uint64).astype(np.uint32)
+    words = np.stack([native.uniform_pack_host(b, width) for b in bins])
+    ref = np.asarray(decode_pallas.unpack_pallas_rows(
+        jnp.asarray(words), width, n, interpret=True))
+    monkeypatch.setattr(decode_pallas, "ROW_CHUNK", 4)
+    got = np.asarray(decode_pallas.unpack_pallas_rows(
+        jnp.asarray(words), width, n, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(got, bins)
+
+
+def test_decode_rows_chunked_matches_unchunked(monkeypatch):
+    n, R, width = 160, 6, 11
+    rng = np.random.default_rng(1)
+    bins = rng.integers(0, 1 << width, (R, n),
+                        dtype=np.uint64).astype(np.uint32)
+    words = np.stack([native.uniform_pack_host(b, width) for b in bins])
+    keys = rng.integers(0, 1 << 32, (R, 2), dtype=np.uint64).astype(
+        np.uint32)
+    x0 = jnp.asarray(rng.uniform(0, 1, R).astype(np.float32))
+    dx = jnp.asarray(rng.uniform(1, 2, R).astype(np.float32))
+    args = (jnp.asarray(words), jnp.asarray(keys), width, n, x0, dx)
+    ref = np.asarray(decode_pallas.decode_pallas_rows(
+        *args, box=64.0, periodic=True, interpret=True))
+    monkeypatch.setattr(decode_pallas, "ROW_CHUNK", 2)
+    got = np.asarray(decode_pallas.decode_pallas_rows(
+        *args, box=64.0, periodic=True, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_decode_rows_rejects_width_over_24():
+    """Float depths cap at 24 bits (f32 mantissa); the kernels' int32-
+    routed bin->float cast is only exact to 24 bits, so wider float
+    decodes must be refused (IDs unpack, which has no float stage, does
+    accept up to 32 -- see test_unpack_rows_matches_per_row[32])."""
+    words = jnp.zeros((2, 32), jnp.uint32)
+    keys = jnp.zeros((2, 2), jnp.uint32)
+    z = jnp.zeros((2,), jnp.float32)
+    with pytest.raises(ValueError, match="24"):
+        decode_pallas.decode_pallas_rows(words, keys, 32, 32, z, z,
+                                         interpret=True)
+    with pytest.raises(ValueError, match="24"):
+        decode_pallas.decode_pallas(jnp.zeros((32,), jnp.uint32),
+                                    jnp.zeros((2,), jnp.uint32), 25, 32,
+                                    0.0, 1.0, interpret=True)
