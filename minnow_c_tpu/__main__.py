@@ -32,6 +32,10 @@ def main(argv=None):
     i = sub.add_parser("info", help="list segments of a .min file")
     i.add_argument("input")
 
+    v = sub.add_parser("verify", help="integrity-check every segment, "
+                                      "field, and block checksum")
+    v.add_argument("input")
+
     q = sub.add_parser("query", help="count segments intersecting a box "
                                      "(skip-ahead spatial query)")
     q.add_argument("input")
@@ -75,6 +79,34 @@ def main(argv=None):
                      f"{tuple(round(w, 3) for w in hd.width)}")
                 print(f"segment {k}: {hd.segment_bytes} bytes, "
                       f"library v{semver.to_string(hd.version)}, {geom}")
+    elif args.cmd == "verify":
+        from .drivers.gadget2 import _read_record
+        from .segment import io as seg_io, format as seg_fmt
+        bad = total_seg = total_blocks = bad_blocks = 0
+        with open(args.input, "rb") as f:
+            _read_record(f)  # skip the raw client header
+            for k, (hd, seg_bytes) in enumerate(seg_io.iter_segments(f)):
+                total_seg += 1
+                try:
+                    parsed = seg_fmt.deserialize(seg_bytes)
+                except Exception as e:
+                    print(f"segment {k}: UNPARSEABLE ({e})")
+                    bad += 1
+                    continue
+                for fld in parsed.fields:
+                    total_blocks += len(fld.blocks)
+                    nbad = sum(b is None for b in fld.blocks)
+                    bad_blocks += nbad
+                    if nbad:
+                        code = fld.field_code.to_bytes(
+                            4, "little").decode("ascii", "replace")
+                        print(f"segment {k} field {code!r}: {nbad} of "
+                              f"{len(fld.blocks)} blocks corrupt")
+                        bad += 1
+        status = "OK" if bad == 0 else "CORRUPT"
+        print(f"{args.input}: {status} -- {total_seg} segments, "
+              f"{total_blocks} blocks, {bad_blocks} corrupt")
+        return 0 if bad == 0 else 1
     elif args.cmd == "query":
         from .drivers.gadget2 import _read_record
         from .segment import io as seg_io

@@ -86,6 +86,22 @@ class TestGadget2:
             cwd=os.path.dirname(os.path.dirname(__file__)))
         assert r4.returncode == 0, r4.stderr
         assert "of 2 segments intersect" in r4.stdout
+        r5 = subprocess.run(
+            [sys.executable, "-m", "minnow_c_tpu", "verify", str(comp)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(__file__)))
+        assert r5.returncode == 0, r5.stderr
+        assert " OK " in r5.stdout
+        blob = bytearray(comp.read_bytes())
+        blob[-100] ^= 0xFF  # damage one payload block
+        bad = tmp_path / "bad.min"
+        bad.write_bytes(bytes(blob))
+        r6 = subprocess.run(
+            [sys.executable, "-m", "minnow_c_tpu", "verify", str(bad)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(__file__)))
+        assert r6.returncode == 1
+        assert "CORRUPT" in r6.stdout and "blocks corrupt" in r6.stdout
         _, p2, _, i2 = gadget2.read_snapshot(_io.BytesIO(back.read_bytes()))
         err = np.abs(p2 - pos)
         err = np.minimum(err, 64.0 - err)
