@@ -27,7 +27,9 @@ TPU-native design -- no sequential bit cursor, no scatter:
 
 All functions are jit-safe with static ``width``.  Pallas-tiled variants
 (identical semantics, VMEM-resident intermediates) live in
-``pack_pallas.py`` (encode) and ``decode_pallas.py`` (fused decode).
+``encode_pallas.py`` (production pack; ``pack_pallas.py`` is the
+superseded experiment kept as a Mosaic-miscompile reproducer) and
+``decode_pallas.py`` (fused decode).
 """
 
 from __future__ import annotations
@@ -42,8 +44,7 @@ import numpy as np
 def packed_words(n: int, width: int) -> int:
     """Number of u32 words needed to pack n elements at ``width`` bits
     (util.c:316-317)."""
-    packed_bits = n * width
-    return packed_bits // 32 + (0 if packed_bits % 32 == 0 else 1)
+    return pl_cdiv(n * width, 32)
 
 
 # Block structure: 32 elements at `width` bits occupy exactly `width` u32
@@ -186,9 +187,11 @@ def uniform_unpack_gather(x, width: int, n: int):
         return x[:n]
     hi = jnp.concatenate([x[1:], jnp.zeros((1,), dtype=jnp.uint32)])
     w64 = x.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
-    start = jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(width)
-    word = (start >> jnp.uint32(5)).astype(jnp.int32)
-    off = (start & jnp.uint32(31)).astype(jnp.uint64)
+    # 64-bit global bit offsets: u32 wraps past 2^32 bits (~134M
+    # elements at width 32), silently gathering from the stream start.
+    start = jnp.arange(n, dtype=jnp.uint64) * jnp.uint64(width)
+    word = (start >> jnp.uint64(5)).astype(jnp.int64)
+    off = (start & jnp.uint64(31)).astype(jnp.uint64)
     window = w64[word]  # gather
     mask = jnp.uint64((1 << width) - 1)
     return ((window >> off) & mask).astype(jnp.uint32)

@@ -48,6 +48,9 @@ def _scaled_to_bins(scaled, width: int, int_dtype=jnp.int32):
     si = scaled.astype(int_dtype)
     si = jnp.where(scaled < 0, int_dtype(0),
                    jnp.where(scaled >= nb, int_dtype((1 << width) - 1), si))
+    # NaN (constant plane: 0/0 upstream) -> bin 0 deterministically;
+    # NaN->int is unspecified on Mosaic (see kernels.uniform_bin_index).
+    si = jnp.where(jnp.isnan(scaled), int_dtype(0), si)
     return si.astype(jnp.uint32)
 
 
@@ -107,6 +110,10 @@ def pack_pallas(vals, width: int, n: int, from_f32: bool = False,
     smallest tile goes through the XLA fold (tile sizes are multiples of
     32, so every cascade boundary is word-aligned).
     """
+    if from_f32 and width > 24:
+        raise ValueError(
+            f"float pack width {width} > 24 (f32 mantissa cap; the "
+            "clamp constant is only exact to 24 bits)")
     if width == 0 or n == 0:
         return jnp.zeros((bitpack.packed_words(n, width),), jnp.uint32)
     if width == 32 and not from_f32:
@@ -148,6 +155,9 @@ def pack_pallas_rows(vals, width: int, from_f32: bool = False,
     rows, n = vals.shape
     if n % 32 != 0:
         raise ValueError("pack_pallas_rows requires n % 32 == 0")
+    if from_f32 and width > 24:
+        raise ValueError(
+            f"float pack width {width} > 24 (f32 mantissa cap)")
     out_words = (n // 32) * width
     if width == 0 or n == 0:
         return jnp.zeros((rows, out_words), dtype=jnp.uint32)
@@ -190,6 +200,11 @@ def encode_pallas(x, width: int, periodic_width=None,
     (packed words, x0, range); bit-identical to
     ``fastpath.fast_uniform_encode`` (parity-tested)."""
     n = x.shape[0]
+    if not (1 <= width <= 24):
+        raise ValueError(
+            f"float encode width {width} not in [1, 24]: float depths cap "
+            "at the f32 mantissa (quant.c:684-693); the trunc/clamp "
+            "constants here are only exact to 24 bits")
     if periodic_width is not None:
         x = kernels.undo_periodic(x, periodic_width)
     x0 = jnp.min(x)

@@ -115,7 +115,11 @@ def uniform_bin_index(x, level, x0, dx):
     top = (num_bins - 1).astype(jnp.uint32)
     out = jnp.where(delta < 0, jnp.uint32(0),
                     jnp.where(delta >= 1, top, scaled))
-    return out
+    # Constant plane (dx == 0): delta = 0/0 = NaN, and NaN->int is
+    # hardware-defined (0 on XLA:CPU, unspecified on Mosaic).  Pin it to
+    # bin 0 so the wire is deterministic everywhere (the reference C is
+    # UB here, util.c:159-166; doc/parity_matrix.md divergences).
+    return jnp.where(jnp.isnan(delta), jnp.uint32(0), out)
 
 
 def bin_index(x, level, x0, dx):
@@ -127,8 +131,10 @@ def bin_index(x, level, x0, dx):
     delta = (x - x0) / dx
     scaled = (delta * num_bins).astype(jnp.uint32)
     top = (num_bins - 1).astype(jnp.uint32)
-    return jnp.where(delta < 0, jnp.uint32(0),
-                     jnp.where(delta >= 1, top, scaled))
+    out = jnp.where(delta < 0, jnp.uint32(0),
+                    jnp.where(delta >= 1, top, scaled))
+    # NaN (constant plane) -> bin 0; see uniform_bin_index.
+    return jnp.where(jnp.isnan(delta), jnp.uint32(0), out)
 
 
 def undo_uniform_bin_index(idx, level, x0, dx, key):

@@ -244,3 +244,35 @@ class TestDelta:
         enc = kernels.u8_delta_encode(jnp.asarray(x))
         back = np.asarray(kernels.u8_undo_delta_encode(enc))
         np.testing.assert_array_equal(back, x)
+
+
+def test_constant_plane_bins_to_zero():
+    """dx == 0 (constant plane) makes delta = 0/0 = NaN; the bin index
+    must be pinned to 0 deterministically -- NaN->int conversion is
+    hardware-defined (0 on XLA:CPU, unspecified on Mosaic), and the
+    reference C is UB here (util.c:159-166, documented divergence)."""
+    import jax.numpy as jnp
+    from minnow_c_tpu.ops import kernels
+    x = jnp.full((64,), 3.25, jnp.float32)
+    out = np.asarray(kernels.uniform_bin_index(x, 11, 3.25, 0.0))
+    np.testing.assert_array_equal(out, np.zeros(64, np.uint32))
+    depths = jnp.full((64,), 7, jnp.uint32)
+    out = np.asarray(kernels.bin_index(x, depths, 3.25, 0.0))
+    np.testing.assert_array_equal(out, np.zeros(64, np.uint32))
+
+
+def test_constant_plane_encode_roundtrip():
+    """A constant field plane must encode to deterministic bytes and
+    decode back exactly (dx = 0 => every decoded value is x0)."""
+    import jax.numpy as jnp
+    from minnow_c_tpu.ops import fastpath, rng as _rng
+    x = jnp.full((4096,), 17.5, jnp.float32)
+    w1, x0, rng_v = fastpath.fast_uniform_encode(x, 11)
+    w2, _, _ = fastpath.fast_uniform_encode(x, 11)
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_array_equal(np.asarray(w1),
+                                  np.zeros_like(np.asarray(w1)))
+    key = _rng.field_key_arr(3, 0, 0)
+    out = fastpath.fast_uniform_decode(w1, key, 11, 4096, x0, rng_v)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.full(4096, 17.5, np.float32))
