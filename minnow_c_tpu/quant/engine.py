@@ -84,7 +84,10 @@ def deltas_to_depths(deltas: np.ndarray, x0: float, x1: float) -> np.ndarray:
     the count of failing levels."""
     deltas = np.asarray(deltas, dtype=np.float32)
     rng = np.float32(x1) - np.float32(x0)
-    scales = np.float32(2.0) ** np.arange(MAX_DEPTH + 1, dtype=np.float32)
+    # C-exact (float)(1 << depth) scales (quant.c:713); float powf is
+    # not guaranteed correctly rounded for 2^k on every platform.
+    scales = (np.int64(1) << np.arange(MAX_DEPTH + 1)).astype(
+        np.float32)
     ok = deltas[:, None] * scales[None, :] > rng  # (n, 25)
     depths = np.argmax(ok, axis=1).astype(np.uint8)
     if not np.all(ok[np.arange(len(deltas)), depths]):
@@ -102,9 +105,9 @@ def depth_to_delta(depth: int, x0: float, x1: float) -> float:
 
 
 def depths_to_deltas(depths: np.ndarray, x0: float, x1: float) -> np.ndarray:
-    d = np.asarray(depths)
+    d = np.asarray(depths).astype(np.int64)
     return ((np.float32(x1) - np.float32(x0)) /
-            (np.float32(2.0) ** d.astype(np.float32))).astype(np.float32)
+            (np.int64(1) << d).astype(np.float32)).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -227,7 +230,9 @@ def undo_float_var(bins, x0, x1, depths, key):
 
 def quantize(field: Field, seed: int = 0) -> QField:
     from ..utils import native_order
-    field.data = native_order(field.data)
+    data = native_order(field.data)
+    if data is not field.data:  # never mutate the caller's Field
+        field = Field(hd=field.hd, data=data, acc=field.acc)
     code = field.hd.field_code
     if code == FieldCode.POSN:
         return _quantize_position(field, seed)
@@ -257,38 +262,31 @@ def dequantize(qf: QField, field_index: int = 0) -> Field:
     raise ValueError(f"unrecognized field code {code:#x}")
 
 
-def _quantize_position(field: Field, seed: int) -> QField:
-    acc: PositionAccuracy = field.acc
-    x = jnp.asarray(field.data, dtype=jnp.float32).reshape(3, -1)
-    xu, x0, x1 = pos_prepare(x, float(acc.width))
+def _dims_quantize(xm, x0, x1, delta, deltas):
+    """Shared 3-dim float quantize core (position/velocity both follow
+    quant.c:161-289: per-dim x0, shared max_diff range, one depth or
+    per-element depths).  Returns (bins, depth, depths, x0_h, x1_h)."""
     x0_h = np.asarray(x0)
     x1_h = np.asarray(x1)
     max_diff = float(np.float32(np.max(x1_h - x0_h)))
-
-    if acc.deltas is None:
-        depth = delta_to_depth(acc.delta, x0_h[0], x0_h[0] + max_diff)
-        bins = dims_bins_uniform(xu, x0, jnp.float32(max_diff), depth)
-        depths = None
-        _dbg(lambda: int(jnp.max(bins)) < (1 << depth),
-             "position bin index exceeds 2^depth")
-    else:
-        depths = deltas_to_depths(acc.deltas, x0_h[0], x0_h[0] + max_diff)
-        bins = dims_bins_var(xu, x0, jnp.float32(max_diff),
-                             jnp.asarray(depths))
-        depth = 0
-
-    quant = PositionQuantization(
-        x0=tuple(float(v) for v in x0_h), x1=tuple(float(v) for v in x1_h),
-        width=float(acc.width), depth=depth, depths=depths, seed=seed)
-    return QField(hd=field.hd, data=bins, quant=quant)
+    if deltas is None:
+        depth = delta_to_depth(delta, x0_h[0], x0_h[0] + max_diff)
+        bins = dims_bins_uniform(xm, x0, jnp.float32(max_diff), depth)
+        return bins, depth, None, x0_h, x1_h
+    depths = deltas_to_depths(deltas, x0_h[0], x0_h[0] + max_diff)
+    bins = dims_bins_var(xm, x0, jnp.float32(max_diff),
+                         jnp.asarray(depths))
+    return bins, 0, depths, x0_h, x1_h
 
 
-def _dequantize_position(qf: QField, field_index: int) -> Field:
-    q: PositionQuantization = qf.quant
+def _dims_dequantize(q, data, field_index, post):
+    """Shared 3-dim dequantize loop: per-dim dithered undo + ``post``
+    (periodic rewrap for positions, unmap for velocities).  Returns
+    (stacked dims, max_diff, x0 array)."""
     x0 = np.asarray(q.x0, dtype=np.float32)
     x1 = np.asarray(q.x1, dtype=np.float32)
     max_diff = float(np.float32(np.max(x1 - x0)))
-    bins = jnp.asarray(qf.data).reshape(3, -1)
+    bins = jnp.asarray(data).reshape(3, -1)
     dims = []
     for i in range(3):
         key = _rng.field_key_arr(q.seed, field_index, i)
@@ -299,8 +297,30 @@ def _dequantize_position(qf: QField, field_index: int) -> Field:
             xd = undo_float_var(bins[i], float(x0[i]),
                                 float(x0[i]) + max_diff,
                                 jnp.asarray(q.depths), key)
-        dims.append(kernels.periodic(xd, q.width))
-    data = jnp.stack(dims)
+        dims.append(post(xd))
+    return jnp.stack(dims), max_diff, x0
+
+
+def _quantize_position(field: Field, seed: int) -> QField:
+    acc: PositionAccuracy = field.acc
+    x = jnp.asarray(field.data, dtype=jnp.float32).reshape(3, -1)
+    xu, x0, x1 = pos_prepare(x, float(acc.width))
+    bins, depth, depths, x0_h, x1_h = _dims_quantize(
+        xu, x0, x1, acc.delta, acc.deltas)
+    if depths is None:
+        _dbg(lambda: int(jnp.max(bins)) < (1 << depth),
+             "position bin index exceeds 2^depth")
+
+    quant = PositionQuantization(
+        x0=tuple(float(v) for v in x0_h), x1=tuple(float(v) for v in x1_h),
+        width=float(acc.width), depth=depth, depths=depths, seed=seed)
+    return QField(hd=field.hd, data=bins, quant=quant)
+
+
+def _dequantize_position(qf: QField, field_index: int) -> Field:
+    q: PositionQuantization = qf.quant
+    data, max_diff, x0 = _dims_dequantize(
+        q, qf.data, field_index, lambda xd: kernels.periodic(xd, q.width))
 
     if q.depths is None:
         acc = PositionAccuracy(
@@ -315,50 +335,29 @@ def _dequantize_position(qf: QField, field_index: int) -> Field:
 
 def _quantize_velocity(field: Field, seed: int) -> QField:
     acc: VelocityAccuracy = field.acc
+    # The reference treats ANY nonzero SymLog10Scaled as symlog10
+    # (quant.c:248); velocities are signed, so plain log10 (flag 1)
+    # would NaN on them.
+    sym = 2 if acc.sym_log10_scaled else 0
     x = jnp.asarray(field.data, dtype=jnp.float32).reshape(3, -1)
-    xm, x0, x1 = vel_prepare(x, int(acc.sym_log10_scaled),
-                             float(acc.sym_log10_threshold))
-    x0_h = np.asarray(x0)
-    x1_h = np.asarray(x1)
-    max_diff = float(np.float32(np.max(x1_h - x0_h)))
-
-    if acc.deltas is None:
-        depth = delta_to_depth(acc.delta, x0_h[0], x0_h[0] + max_diff)
-        bins = dims_bins_uniform(xm, x0, jnp.float32(max_diff), depth)
-        depths = None
-    else:
-        depths = deltas_to_depths(acc.deltas, x0_h[0], x0_h[0] + max_diff)
-        bins = dims_bins_var(xm, x0, jnp.float32(max_diff),
-                             jnp.asarray(depths))
-        depth = 0
+    xm, x0, x1 = vel_prepare(x, sym, float(acc.sym_log10_threshold))
+    bins, depth, depths, x0_h, x1_h = _dims_quantize(
+        xm, x0, x1, acc.delta, acc.deltas)
 
     quant = VelocityQuantization(
         x0=tuple(float(v) for v in x0_h), x1=tuple(float(v) for v in x1_h),
         depth=depth, depths=depths,
-        sym_log10_scaled=int(acc.sym_log10_scaled),
+        sym_log10_scaled=sym,
         sym_log10_threshold=float(acc.sym_log10_threshold), seed=seed)
     return QField(hd=field.hd, data=bins, quant=quant)
 
 
 def _dequantize_velocity(qf: QField, field_index: int) -> Field:
     q: VelocityQuantization = qf.quant
-    x0 = np.asarray(q.x0, dtype=np.float32)
-    x1 = np.asarray(q.x1, dtype=np.float32)
-    max_diff = float(np.float32(np.max(x1 - x0)))
-    bins = jnp.asarray(qf.data).reshape(3, -1)
-    dims = []
-    for i in range(3):
-        key = _rng.field_key_arr(q.seed, field_index, i)
-        if q.depths is None:
-            yd = undo_float_uniform(bins[i], float(x0[i]),
-                                    float(x0[i]) + max_diff, q.depth, key)
-        else:
-            yd = undo_float_var(bins[i], float(x0[i]),
-                                float(x0[i]) + max_diff,
-                                jnp.asarray(q.depths), key)
-        dims.append(unmap_float(yd, q.sym_log10_scaled,
-                                q.sym_log10_threshold))
-    data = jnp.stack(dims)
+    data, max_diff, x0 = _dims_dequantize(
+        q, qf.data, field_index,
+        lambda yd: unmap_float(yd, q.sym_log10_scaled,
+                               q.sym_log10_threshold))
 
     if q.depths is None:
         acc = VelocityAccuracy(

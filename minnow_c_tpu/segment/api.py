@@ -83,13 +83,16 @@ def decompress(cs: CSeg) -> QSeg:
     A field whose checksum fails is skipped (valid=False), not fatal."""
     out = []
     for cf in cs.fields:
+        # Checksum FIRST: split_blocks raises on malformed block preludes,
+        # and a corrupt field must degrade to valid=False, not crash the
+        # segment (funcs.c:49-56 skip-not-fatal contract).
+        if cf.checksum != checksum(cf.data):
+            out.append(QField(hd=cf.hd, data=None, quant=None, valid=False))
+            continue
         blocks = getattr(cf, "blocks", None)
         if blocks is None:
             from ..algos.blocks import split_blocks
             blocks = split_blocks(cf.data)
-        if cf.checksum != checksum(cf.data):
-            out.append(QField(hd=cf.hd, data=None, quant=None, valid=False))
-            continue
         codec = registry.get(cf.hd.algo_code, cf.hd.algo_version)
         out.append(codec.decompress(cf.hd, list(blocks)))
     return QSeg(fields=out)

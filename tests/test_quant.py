@@ -205,3 +205,39 @@ class TestDeterminism:
         a = np.asarray(engine.dequantize(engine.quantize(f, seed=1)).data)
         b = np.asarray(engine.dequantize(engine.quantize(f, seed=2)).data)
         assert not np.array_equal(a, b)
+
+
+def test_symlog_flag_any_truthy(make_field=None):
+    """The reference treats ANY nonzero SymLog10Scaled as symlog10
+    (quant.c:248); a boolean True must not select plain log10, which
+    NaNs on signed velocities."""
+    import minnow_c_tpu as mnw
+    from minnow_c_tpu.quant import quantize, dequantize
+    n = 4096
+    rng = np.random.default_rng(3)
+    vel = rng.normal(0, 300, (3, n)).astype(np.float32)  # signed!
+    for flag in (True, 1, 2):
+        f = mnw.Field(
+            hd=mnw.FieldHeader(mnw.FieldCode.VELC, mnw.AlgoCode.TRIM, 0, n),
+            data=vel, acc=mnw.VelocityAccuracy(
+                delta=0.01, sym_log10_scaled=flag, sym_log10_threshold=1.0))
+        qf = quantize(f, seed=1)
+        assert qf.quant.sym_log10_scaled == 2
+        out = np.asarray(dequantize(qf, 0).data)
+        assert np.isfinite(out).all()
+
+
+def test_quantize_does_not_mutate_caller_field():
+    """Byteswapped input must be normalized into a copy, not written back
+    into the caller's Field."""
+    import minnow_c_tpu as mnw
+    from minnow_c_tpu.quant import quantize
+    n = 1024
+    rng = np.random.default_rng(4)
+    pos = rng.uniform(0, 64.0, (3, n)).astype(">f4")  # big-endian view
+    f = mnw.Field(hd=mnw.FieldHeader(mnw.FieldCode.POSN, mnw.AlgoCode.TRIM,
+                                     0, n),
+                  data=pos, acc=mnw.PositionAccuracy(delta=1e-3, width=64.0))
+    quantize(f, seed=1)
+    assert f.data is pos
+    assert f.data.dtype.str == ">f4"

@@ -378,3 +378,20 @@ class TestFusedDecode:
         for fa, fb in zip(a.fields, b.fields):
             np.testing.assert_array_equal(np.asarray(fa.data),
                                           np.asarray(fb.data))
+
+
+def test_corrupt_block_prelude_degrades_not_crashes():
+    """Damage inside a block prelude makes split_blocks unparseable; the
+    checksum must be verified FIRST so the field degrades to
+    valid=False instead of raising (funcs.c:40-60)."""
+    from minnow_c_tpu.segment import api
+    seg, _, _, _ = make_seg(n=4096)
+    qs = api.quantize(seg, seed=2)
+    cs = api.compress(qs)
+    blob = bytearray(cs.fields[0].data)
+    blob[4] ^= 0xFF  # inside the first block prelude (length fields)
+    cs.fields[0].data = bytes(blob)
+    cs.fields[0].blocks = None  # force re-split from the blob
+    out = api.decompress(cs)
+    assert out.fields[0].valid is False
+    assert out.fields[1].valid is not False  # others unaffected
