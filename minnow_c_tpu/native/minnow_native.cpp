@@ -84,7 +84,10 @@ static inline uint64_t read64(const uint8_t *p) {
 // failure.  accel >= 1 trades ratio for speed like LZ4_compress_fast.
 int32_t mnw_lz4_compress(const uint8_t *src, int32_t src_len, uint8_t *dst,
                          int32_t dst_cap, int32_t accel) {
-  if (src_len < 0 || dst_cap < mnw_lz4_compress_bound(src_len)) return 0;
+  // Oversize inputs make compress_bound return 0, which would pass the
+  // dst_cap guard for ANY capacity -- reject them explicitly.
+  if (src_len < 0 || src_len > 0x7E000000) return 0;
+  if (dst_cap < mnw_lz4_compress_bound(src_len)) return 0;
   if (accel < 1) accel = 1;
 
   uint8_t *op = dst;
@@ -198,8 +201,12 @@ int32_t mnw_lz4_decompress(const uint8_t *src, int32_t src_len, uint8_t *dst,
 
   while (ip < iend) {
     uint32_t token = *ip++;
-    // Literals.
-    int lit_len = (int)(token >> 4);
+    // Literals.  Lengths accumulate in int64: crafted runs of 0xff
+    // extension bytes overflow int32 (UB) and would bypass the bounds
+    // checks below (a ~8 MB malicious block reached memcpy with a
+    // negative length).  Compare against remaining space, never via
+    // pointer arithmetic that could overflow.
+    int64_t lit_len = (int64_t)(token >> 4);
     if (lit_len == 15) {
       uint8_t b;
       do {
@@ -208,7 +215,8 @@ int32_t mnw_lz4_decompress(const uint8_t *src, int32_t src_len, uint8_t *dst,
         lit_len += b;
       } while (b == 255);
     }
-    if (ip + lit_len > iend || op + lit_len > oend) return -1;
+    if (lit_len > (int64_t)(iend - ip) || lit_len > (int64_t)(oend - op))
+      return -1;
     std::memcpy(op, ip, (size_t)lit_len);
     ip += lit_len;
     op += lit_len;
@@ -218,7 +226,7 @@ int32_t mnw_lz4_decompress(const uint8_t *src, int32_t src_len, uint8_t *dst,
     int offset = (int)ip[0] | ((int)ip[1] << 8);
     ip += 2;
     if (offset == 0 || op - dst < offset) return -1;
-    int match_len = (int)(token & 15);
+    int64_t match_len = (int64_t)(token & 15);
     if (match_len == 15) {
       uint8_t b;
       do {
@@ -228,11 +236,11 @@ int32_t mnw_lz4_decompress(const uint8_t *src, int32_t src_len, uint8_t *dst,
       } while (b == 255);
     }
     match_len += kMinMatch;
-    if (op + match_len > oend) return -1;
+    if (match_len > (int64_t)(oend - op)) return -1;
     const uint8_t *match = op - offset;
     if (offset >= 8) {
       // Non-overlapping (or far enough) -- copy in chunks.
-      int n = match_len;
+      int64_t n = match_len;
       while (n >= 8) {
         std::memcpy(op, match, 8);
         op += 8;
@@ -280,12 +288,13 @@ int32_t mnw_lz4_decompress(const uint8_t *src, int32_t src_len, uint8_t *dst,
 void mnw_uniform_pack(const uint32_t *x, int32_t n, int32_t width,
                       uint32_t *out, int32_t out_words) {
   for (int32_t i = 0; i < out_words; i++) out[i] = 0;
-  if (width == 0 || n == 0) return;
+  if (width <= 0 || width > 32 || n == 0) return;
   if (width == 32) {
-    std::memcpy(out, x, (size_t)n * 4);
+    int32_t avail = n < out_words ? n : out_words;
+    std::memcpy(out, x, (size_t)(avail < 0 ? 0 : avail) * 4);
     return;
   }
-  uint32_t mask = (width == 32) ? 0xffffffffu : ((1u << width) - 1u);
+  uint32_t mask = (1u << width) - 1u;
   for (int32_t i = 0; i < n; i++) {
     uint64_t start = (uint64_t)width * (uint64_t)i;
     uint64_t v = (uint64_t)(x[i] & mask) << (start & 31);
@@ -298,19 +307,23 @@ void mnw_uniform_pack(const uint32_t *x, int32_t n, int32_t width,
 
 void mnw_uniform_unpack(const uint32_t *x, int32_t n_words, int32_t width,
                         uint32_t *out, int32_t n) {
-  if (width == 0) {
+  if (width <= 0 || width > 32) {
     for (int32_t i = 0; i < n; i++) out[i] = 0;
     return;
   }
   if (width == 32) {
-    std::memcpy(out, x, (size_t)n * 4);
+    // Honor n_words: a header advertising more elements than the blob
+    // holds must not read past the input.
+    int32_t avail = n < n_words ? n : n_words;
+    std::memcpy(out, x, (size_t)(avail < 0 ? 0 : avail) * 4);
+    for (int32_t i = avail; i < n; i++) out[i] = 0;
     return;
   }
   uint32_t mask = (1u << width) - 1u;
   for (int32_t i = 0; i < n; i++) {
     uint64_t start = (uint64_t)width * (uint64_t)i;
     int64_t w = (int64_t)(start >> 5);
-    uint64_t window = (uint64_t)x[w];
+    uint64_t window = (w < n_words) ? (uint64_t)x[w] : 0;
     if (w + 1 < n_words) window |= (uint64_t)x[w + 1] << 32;
     out[i] = (uint32_t)((window >> (start & 31)) & mask);
   }

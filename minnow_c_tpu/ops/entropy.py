@@ -27,12 +27,16 @@ from . import native
 
 _MAX_WORKERS = min(32, (os.cpu_count() or 4))
 _pool = None
+_pool_lock = __import__("threading").Lock()
 
 
 def _get_pool():
     global _pool
     if _pool is None:
-        _pool = _futures.ThreadPoolExecutor(max_workers=_MAX_WORKERS)
+        with _pool_lock:  # first-use race would leak a second pool
+            if _pool is None:
+                _pool = _futures.ThreadPoolExecutor(
+                    max_workers=_MAX_WORKERS)
     return _pool
 
 
@@ -44,6 +48,11 @@ def encode(data, accel: int = 1) -> bytes:
     """LZ4-compress one buffer (util_EntropyEncode, util.c:408-421)."""
     arr = _to_u8(data)
     n = arr.size
+    if n > 0x7E000000:  # LZ4 block format limit; beyond it the i32
+        # narrowing would silently truncate the length
+        raise ValueError(
+            f"buffer of {n} bytes exceeds the LZ4 block limit "
+            "(0x7E000000); segment the field (spec table 1)")
     bound = compress_bound(n)
     out = np.empty(bound, dtype=np.uint8)
     written = native.lib().mnw_lz4_compress(arr.ctypes.data, n,

@@ -25,8 +25,24 @@ _lib = None
 
 
 def _build() -> None:
-    subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                   capture_output=True)
+    r = subprocess.run(["make", "-C", _NATIVE_DIR], capture_output=True,
+                       text=True)
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"native build failed (make -C {_NATIVE_DIR}):\n{r.stderr}")
+
+
+def _stale() -> bool:
+    """Rebuild when sources are newer than the library (the .so is
+    untracked and -march=native, so it must always be built locally)."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    so_m = os.path.getmtime(_LIB_PATH)
+    for f in ("minnow_native.cpp", "Makefile"):
+        fp = os.path.join(_NATIVE_DIR, f)
+        if os.path.exists(fp) and os.path.getmtime(fp) > so_m:
+            return True
+    return False
 
 
 def lib() -> ctypes.CDLL:
@@ -37,7 +53,7 @@ def lib() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        if _stale():
             _build()
         l = ctypes.CDLL(_LIB_PATH)
 
@@ -73,17 +89,25 @@ def lib() -> ctypes.CDLL:
 def uniform_pack_host(x: np.ndarray, width: int) -> np.ndarray:
     """Host bitpack oracle (bit-exact vs the TPU kernel)."""
     from . import bitpack
+    if not (0 <= width <= 32):
+        raise ValueError(f"width {width} not in [0, 32]")
     x = np.ascontiguousarray(x, dtype=np.uint32)
-    n_words = bitpack.packed_words(x.shape[0], width)
+    if x.ndim != 1:
+        raise ValueError(f"expected a 1-D array, got shape {x.shape}")
+    n_words = bitpack.packed_words(x.size, width)
     out = np.zeros(n_words, dtype=np.uint32)
-    lib().mnw_uniform_pack(x.ctypes.data, x.shape[0], width, out.ctypes.data,
+    lib().mnw_uniform_pack(x.ctypes.data, x.size, width, out.ctypes.data,
                            n_words)
     return out
 
 
 def uniform_unpack_host(x: np.ndarray, width: int, n: int) -> np.ndarray:
+    if not (0 <= width <= 32):
+        raise ValueError(f"width {width} not in [0, 32]")
     x = np.ascontiguousarray(x, dtype=np.uint32)
+    if x.ndim != 1:
+        raise ValueError(f"expected a 1-D array, got shape {x.shape}")
     out = np.zeros(n, dtype=np.uint32)
-    lib().mnw_uniform_unpack(x.ctypes.data, x.shape[0], width,
+    lib().mnw_uniform_unpack(x.ctypes.data, x.size, width,
                              out.ctypes.data, n)
     return out

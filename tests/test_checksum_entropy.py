@@ -121,3 +121,56 @@ class TestEntropy:
         assert n > 0
         back = entropy.decode(buf.raw[:n], len(data))
         assert back.tobytes() == data
+
+
+class TestMalformedLZ4Security:
+    def test_extension_byte_overflow_rejected(self):
+        """Crafted runs of 0xff length-extension bytes used to overflow
+        the accumulated length past int32 and bypass the bounds checks
+        (heap overflow in the native decoder); they must now fail
+        cleanly."""
+        from minnow_c_tpu.ops import entropy
+        # token 0xf0 (literal len 15 + extensions), ~8.5M of 0xff: the
+        # accumulated literal length exceeds INT32_MAX.
+        evil = b"\xf0" + b"\xff" * 8_421_950 + b"\x00"
+        with pytest.raises(ValueError):
+            entropy.decode(evil, 64)
+        # same structure on the match side: short literal then a match
+        # whose extension bytes overflow.
+        evil2 = (b"\x0f" + b"A" * 0 + b"\x01\x00" +
+                 b"\xff" * 8_421_950 + b"\x00")
+        with pytest.raises(ValueError):
+            entropy.decode(evil2, 64)
+
+    def test_oversize_encode_rejected(self):
+        """Past the LZ4 block limit compress_bound returns 0, which used
+        to pass the capacity guard for any buffer (heap corruption);
+        the size must be rejected up front.  The 2.1 GB zeros buffer is
+        calloc-backed (untouched pages), so this is cheap."""
+        from minnow_c_tpu.ops import entropy
+        with pytest.raises(ValueError, match="LZ4 block limit"):
+            entropy.encode(np.zeros(0x7E000001, dtype=np.uint8))
+
+    def test_unpack_header_overadvertises(self):
+        """A header advertising more elements than the blob holds must
+        read zeros, not out-of-bounds memory."""
+        from minnow_c_tpu.ops import native
+        words = np.asarray([0xFFFFFFFF], dtype=np.uint32)
+        out = native.uniform_unpack_host(words, 8, 100)
+        assert out.shape == (100,)
+        np.testing.assert_array_equal(out[:4], [255, 255, 255, 255])
+        np.testing.assert_array_equal(out[4:], np.zeros(96, np.uint32))
+        out32 = native.uniform_unpack_host(words, 32, 8)
+        np.testing.assert_array_equal(out32[1:], np.zeros(7, np.uint32))
+
+    def test_bad_width_rejected(self):
+        from minnow_c_tpu.ops import native
+        with pytest.raises(ValueError):
+            native.uniform_pack_host(np.zeros(4, np.uint32), 33)
+        with pytest.raises(ValueError):
+            native.uniform_unpack_host(np.zeros(4, np.uint32), 33, 4)
+
+    def test_non_1d_rejected(self):
+        from minnow_c_tpu.ops import native
+        with pytest.raises(ValueError, match="1-D"):
+            native.uniform_pack_host(np.zeros((4, 3), np.uint32), 8)
