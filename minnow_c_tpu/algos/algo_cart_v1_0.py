@@ -14,8 +14,9 @@ LZ4 collapses; for incompressible data the entropy stage falls back to
 raw storage (blocks.encode_block picks the smaller), so the worst case
 costs nothing but encode time.
 
-Plane payload = Trim's packed words, transformed; the prelude's
-``FLAG_TRANSPOSED`` bit records the transform so decode is self-describing.
+Plane payload = Trim's packed words, transformed; the codec's own
+header words record the layout, so decode is self-describing (the block
+prelude carries no transform flag).
 
 This module is FROZEN at v1.0.
 """

@@ -6,7 +6,7 @@ Every block an algorithm emits is self-describing::
         u32 raw_len     payload bytes before entropy coding
         u32 comp_len    payload bytes as stored (== raw_len if not coded)
         u8  width       bit width of packed data (0 for metadata blocks)
-        u8  flags       bit0: LZ4 entropy-coded; bit1: byte-transposed
+        u8  flags       bit0: LZ4 entropy-coded; bits 1-7 reserved (0)
         u16 reserved
         u32 reserved2
     payload (comp_len B), zero-padded to an 8-byte boundary
@@ -33,9 +33,10 @@ from ..ops import entropy
 from ..segment.stream import Reader, Writer
 
 FLAG_LZ4 = 1
-FLAG_TRANSPOSED = 2
+_KNOWN_FLAGS = FLAG_LZ4  # bits 1-7 reserved; no writer ever sets them
 
 PRELUDE_BYTES = 16
+_MAX_BLOCK_PAYLOAD = 0xFFFFFFFF  # prelude lengths are u32
 
 
 def _pad8(n: int) -> int:
@@ -53,6 +54,10 @@ def encode_block(payload, width: int = 0, try_entropy: bool = True,
     from ..utils.debug import debug_assert
     debug_assert(0 <= width <= 64, f"block width {width} out of range")
     raw_len = len(payload)
+    if raw_len > _MAX_BLOCK_PAYLOAD:
+        raise ValueError(
+            f"block payload of {raw_len} bytes exceeds the u32 prelude "
+            "length; split the field into more blocks (spec table 1)")
     flags = 0
     stored = payload
     if try_entropy and raw_len > 0:
@@ -75,6 +80,9 @@ def decode_block(data: bytes) -> Tuple[np.ndarray, int, int]:
     flags = r.u8()
     r.u16()
     r.u32()
+    if flags & ~_KNOWN_FLAGS:
+        raise ValueError(f"unknown block flag bits {flags:#x}; refusing "
+                         "to return misdecoded payload")
     stored = r.raw(comp_len)
     if flags & FLAG_LZ4:
         payload = entropy.decode(stored, raw_len)

@@ -64,12 +64,13 @@ def serialize(fields: List[WireField], particle_num: int) -> bytes:
     for f in fields:
         for b in f.blocks:
             w.raw(b)
-    # Header checksum over BlockNum .. end of BlockHeaders.
+    # Header checksum over BlockNum .. end of BlockHeaders, back-patched
+    # in place (copying the whole segment just to stamp 4 bytes costs ~3x
+    # peak memory on multi-GB snapshot segments).
     hdr_span = 12 + FIELD_HEADER_BYTES * len(fields) + \
         BLOCK_HEADER_BYTES * block_num
-    data = bytearray(w.data)
-    data[0:4] = checksum(bytes(data[4:4 + hdr_span])).to_bytes(4, "little")
-    return bytes(data)
+    w.patch_u32(0, checksum(w.view(4, 4 + hdr_span)))
+    return w.data
 
 
 @dataclass
@@ -87,15 +88,22 @@ def deserialize(data: bytes, verify: bool = True) -> ParsedSegment:
     block_num = r.i32()
     field_num = r.i32()
     particle_num = r.i32()
+    # Sanity-bound the counts BEFORE using them (negative or absurd
+    # values shift every later offset and misparse silently when the
+    # caller opted out of checksum verification).
+    if block_num < 0 or field_num < 0 or particle_num < 0 or \
+            12 + FIELD_HEADER_BYTES * field_num + \
+            BLOCK_HEADER_BYTES * block_num > len(data):
+        raise ValueError(
+            f"implausible segment header counts: blocks={block_num} "
+            f"fields={field_num} particles={particle_num} "
+            f"for {len(data)} bytes")
     hdr_span = 12 + FIELD_HEADER_BYTES * field_num + \
         BLOCK_HEADER_BYTES * block_num
-    header_valid = True
-    if verify:
-        got = checksum(data[4:4 + hdr_span])
-        if got != hdr_checksum:
-            raise ValueError(
-                f"segment header checksum mismatch: {got:#x} != "
-                f"{hdr_checksum:#x}")
+    header_valid = checksum(data[4:4 + hdr_span]) == hdr_checksum
+    if verify and not header_valid:
+        raise ValueError(
+            f"segment header checksum mismatch ({hdr_checksum:#x})")
 
     fields = []
     for _ in range(field_num):

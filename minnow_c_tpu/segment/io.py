@@ -25,7 +25,7 @@ from typing import BinaryIO, Iterator, Optional, Sequence, Tuple
 from .. import semver
 from .stream import Reader, Writer
 
-MAGIC = 0x4D6E7700  # 'Mnw\0'
+MAGIC = 0x00776E4D  # little-endian u32 -> b'Mnw\0' on disk
 LIBRARY_VERSION = semver.pack(1, 0, 0)
 IO_HEADER_BYTES = 48
 
@@ -71,18 +71,9 @@ def write_segments(fp: BinaryIO,
     """Write segments with chained IOHeaders.  ``geometry[i]`` is the
     (origin, width) bounding box the client assigns to segment i (spatial
     indexing is client data, table 1 of the spec)."""
-    offset = fp.tell()
-    for i, seg in enumerate(segments):
-        org, wid = ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)) if geometry is None \
-            else geometry[i]
-        next_off = 0 if i == len(segments) - 1 else \
-            offset + IO_HEADER_BYTES + len(seg)
-        hd = IOHeader(magic=MAGIC, version=LIBRARY_VERSION, origin=org,
-                      width=wid, segment_bytes=len(seg),
-                      next_io_header=next_off)
-        fp.write(hd.pack())
-        fp.write(seg)
-        offset = next_off
+    write_segments_streaming(
+        fp, ((seg, None if geometry is None else geometry[i])
+             for i, seg in enumerate(segments)))
 
 
 def write_segments_streaming(fp: BinaryIO, seg_iter) -> int:
@@ -118,6 +109,17 @@ def write_segments_streaming(fp: BinaryIO, seg_iter) -> int:
     return count
 
 
+def _advance(offset: int, hd: IOHeader) -> int:
+    """Next chain offset; a corrupt NextIOHeader that fails to advance
+    (IOHeaders carry no checksum) must error, not loop forever."""
+    nxt = hd.next_io_header
+    if nxt != 0 and nxt <= offset:
+        raise ValueError(
+            f"corrupt IOHeader chain: NextIOHeader {nxt:#x} does not "
+            f"advance past {offset:#x}")
+    return nxt
+
+
 def iter_segments(fp: BinaryIO) -> Iterator[Tuple[IOHeader, bytes]]:
     """Iterate (header, segment bytes) pairs following the chain."""
     offset = fp.tell()
@@ -128,9 +130,10 @@ def iter_segments(fp: BinaryIO) -> Iterator[Tuple[IOHeader, bytes]]:
             return
         hd = IOHeader.unpack(raw)
         yield hd, fp.read(hd.segment_bytes)
-        if hd.next_io_header == 0:
+        nxt = _advance(offset, hd)
+        if nxt == 0:
             return
-        offset = hd.next_io_header
+        offset = nxt
 
 
 def _interval_hits(o: float, w: float, qo: float, qw: float,
@@ -145,8 +148,8 @@ def _interval_hits(o: float, w: float, qo: float, qw: float,
         if w >= L:
             return [(0.0, L)]  # interval covers the whole box
         a %= L
-        if a + w > L:  # straddles the periodic seam
-            return [(a, L), (0.0, (a + w) % L)]
+        if a + w >= L:  # straddles (or closed-touches) the periodic seam
+            return [(a, L), (0.0, (a + w) - L)]
         return [(a, a + w)]
     return any(p0 <= q1 and q0 <= p1
                for p0, p1 in pieces(o, w)
@@ -189,9 +192,10 @@ def iter_segments_intersecting(fp: BinaryIO, origin, width,
         hd = IOHeader.unpack(raw)
         if box_intersects(hd.origin, hd.width, origin, width, periodic):
             yield hd, fp.read(hd.segment_bytes)
-        if hd.next_io_header == 0:
+        nxt = _advance(offset, hd)
+        if nxt == 0:
             return
-        offset = hd.next_io_header
+        offset = nxt
 
 
 def iter_headers(fp: BinaryIO) -> Iterator[IOHeader]:
@@ -204,6 +208,7 @@ def iter_headers(fp: BinaryIO) -> Iterator[IOHeader]:
             return
         hd = IOHeader.unpack(raw)
         yield hd
-        if hd.next_io_header == 0:
+        nxt = _advance(offset, hd)
+        if nxt == 0:
             return
-        offset = hd.next_io_header
+        offset = nxt

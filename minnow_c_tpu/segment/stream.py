@@ -93,6 +93,11 @@ class Writer:
         """Back-patch a u32 written earlier (used for header checksums)."""
         self._buf[offset:offset + 4] = struct.pack("<I", v & 0xFFFFFFFF)
 
+    def view(self, start: int, stop: int) -> bytes:
+        """Bytes of a written span (copies only the span, unlike
+        ``data`` which copies the whole buffer)."""
+        return bytes(self._buf[start:stop])
+
 
 class Reader:
     """Offset-tracking little-endian reader (stream_NewReader/stream_Read,

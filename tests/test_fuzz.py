@@ -3,6 +3,7 @@ fail with controlled errors (ValueError/EOFError/KeyError) or degrade
 gracefully -- never crash with an uncontrolled exception class."""
 
 import numpy as np
+import pytest
 
 import minnow_c_tpu as mnw
 from minnow_c_tpu.algos import registry
@@ -68,3 +69,14 @@ def test_header_field_count_lies():
     # even with a fixed-up checksum the parser must fail cleanly)
     blob[8:12] = (10 ** 6).to_bytes(4, "little")
     _try(bytes(blob))
+
+
+def test_unknown_block_flags_rejected():
+    """Reserved prelude flag bits must be refused, not silently return a
+    misdecoded payload."""
+    from minnow_c_tpu.algos import blocks
+    blk = bytearray(blocks.encode_block(b"x" * 32, width=8,
+                                        try_entropy=False))
+    blk[9] |= 0x02  # set a reserved flag bit
+    with pytest.raises(ValueError, match="unknown block flag"):
+        blocks.decode_block(bytes(blk))

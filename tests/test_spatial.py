@@ -117,3 +117,33 @@ class TestSnapshotGeometry:
         out = snapshot.decompress_snapshot(
             buf, box=((1.0, 1.0, 1.0), (2.0, 2.0, 2.0)))
         assert out["vel"].shape == (3, 4096)
+
+
+def test_corrupt_chain_does_not_loop_forever():
+    """A NextIOHeader that fails to advance (no checksum covers it) must
+    raise, not iterate the same segment forever."""
+    import io as _io
+    from minnow_c_tpu.segment import io as seg_io
+    buf = _io.BytesIO()
+    seg_io.write_segments(buf, [b"A" * 8, b"B" * 8])
+    raw = bytearray(buf.getvalue())
+    # 0 in NextIOHeader is the end marker: truncating the chain is legal.
+    raw[40:48] = (0).to_bytes(8, "little")
+    assert len(list(seg_io.iter_segments(_io.BytesIO(bytes(raw))))) == 1
+    # Point the SECOND header's NextIOHeader back at itself: without the
+    # guard this iterates that segment forever.
+    raw = bytearray(buf.getvalue())
+    second = 48 + 8  # first header + first segment
+    raw[second + 40:second + 48] = second.to_bytes(8, "little")
+    with pytest.raises(ValueError, match="does not advance"):
+        list(seg_io.iter_segments(_io.BytesIO(bytes(raw))))
+
+
+def test_periodic_seam_touching_counts():
+    """Closed intervals that touch exactly at the periodic seam must
+    intersect, matching the non-periodic touching convention."""
+    from minnow_c_tpu.segment.io import box_intersects
+    # segment [56, 64] in an L=64 box touches a query starting at 0
+    assert box_intersects((56.0, 0.0, 0.0), (8.0, 1.0, 1.0),
+                          (0.0, 0.0, 0.0), (2.0, 1.0, 1.0),
+                          periodic=64.0)
