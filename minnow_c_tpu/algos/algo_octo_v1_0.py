@@ -126,11 +126,8 @@ class OctoV1_0(CoilV1_0):
             w.u64(v)
         for v in q.x1:
             w.u64(v)
-        meta_block = encode_block(w.data, 0, self.try_entropy, self.accel)
         depths = [bits_needed(q.x1[i] - q.x0[i]) for i in range(3)]
-        blocks = self._compress_morton(qf, None, depths)
-        blocks[0] = meta_block
-        return blocks
+        return self._compress_morton(qf, w.data, depths)
 
     def _decompress_id(self, hd: FieldHeader, blocks) -> QField:
         from ..types import IDQuantization
@@ -166,8 +163,10 @@ class OctoV1_0(CoilV1_0):
 
     def _compress_morton(self, qf: QField, meta: bytes,
                          depths) -> List[bytes]:
-        bins = jnp.asarray(np.asarray(qf.data)).reshape(3, -1).astype(
-            jnp.uint32)
+        # Keep bins on device (qf.data is usually already a device
+        # array from the quant engine; np round-trips cost full-array
+        # transfers through the slow tunnel).
+        bins = jnp.asarray(qf.data).reshape(3, -1).astype(jnp.uint32)
         k = min(MAX_K, max(depths))
         cell_bits = [min(k, d) for d in depths]
         lo_bits = [d - c for d, c in zip(depths, cell_bits)]
@@ -175,7 +174,7 @@ class OctoV1_0(CoilV1_0):
         lows = [bins[i] & ((jnp.uint32(1) << jnp.uint32(lo_bits[i])) -
                            jnp.uint32(1)) for i in range(3)]
         m = morton3(*cells)
-        blocks = [encode_block(meta or b"", 0, self.try_entropy, self.accel)]
+        blocks = [encode_block(meta, 0, self.try_entropy, self.accel)]
         # Morton stream: Coil-style chunked delta coding; store via the
         # Coil plane encoder (depth arg only caps widths, pass 32).
         mwords, _ = CoilV1_0._encode_plane(self, m, 32)
@@ -193,17 +192,16 @@ class OctoV1_0(CoilV1_0):
     def _decompress_morton(self, hd: FieldHeader, blocks, quant,
                            depths) -> QField:
         n = hd.particle_len
-        needed = [blocks[i] if len(blocks) > i else None for i in range(5)]
-        if any(b is None for b in needed[1:2]):
+        if len(blocks) < 2 or blocks[1] is None:
             return QField(hd=hd, data=None, quant=quant, valid=False)
         k = min(MAX_K, max(depths))
         cell_bits = [min(k, d) for d in depths]
         lo_bits = [d - c for d, c in zip(depths, cell_bits)]
 
+        from .algo_trim_v1_0 import _payload_words
         payload, _, _ = decode_block(blocks[1])
-        mwords = np.frombuffer(payload.tobytes(), dtype="<u4").astype(
-            np.uint32, copy=False)
-        m = jnp.asarray(CoilV1_0._decode_plane(self, mwords, 0, n))
+        m = jnp.asarray(CoilV1_0._decode_plane(
+            self, _payload_words(payload), 0, n))
         cells = unmorton3(m)
 
         dims = []
@@ -218,14 +216,14 @@ class OctoV1_0(CoilV1_0):
                 ok = False
             else:
                 p, wbits, _ = decode_block(blk)
-                words = np.frombuffer(p.tobytes(), dtype="<u4").astype(
-                    np.uint32, copy=False)
-                low = bitpack.uniform_unpack(jnp.asarray(words), wbits, n)
+                low = bitpack.uniform_unpack(
+                    jnp.asarray(_payload_words(p)), wbits, n)
                 ok = True
-            dims.append(np.asarray(
-                (cells[i] << jnp.uint32(lo_bits[i])) | low))
+            # stays a device array: the quant engine dequantizes from
+            # device, and only final floats cross the slow D2H link
+            dims.append((cells[i] << jnp.uint32(lo_bits[i])) | low)
             dim_valid.append(ok)
-        qf = QField(hd=hd, data=np.stack(dims), quant=quant,
+        qf = QField(hd=hd, data=jnp.stack(dims), quant=quant,
                     valid=all(dim_valid))
         qf.dim_valid = tuple(dim_valid)
         return qf

@@ -28,7 +28,6 @@ go into a new algo_trim_v1_1.py (header_format.tex:278-283).
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional
 
 import jax
@@ -270,10 +269,8 @@ class TrimV1_0:
             return None  # derived codec changed the plane wire
         if code not in (FieldCode.POSN, FieldCode.VELC, FieldCode.UNSF):
             return None
-        if any(b is None for b in blocks):
+        if any(b is None for b in blocks) or not blocks:
             return None
-        import jax
-
         from ..ops import decode_pallas, fastpath
         from ..ops import rng as _rng
         from ..quant.engine import depth_to_delta
@@ -289,8 +286,6 @@ class TrimV1_0:
             return fastpath.fast_uniform_decode(
                 words, key, depth, n, x0v, dxv,
                 periodic_width=(box if periodic else None))
-
-        from ..quant.engine import unmap_float as _unmap
 
         n = hd.particle_len
         meta, _, _ = decode_block(blocks[0])
@@ -323,7 +318,7 @@ class TrimV1_0:
                     log10_scaled=log10_scaled,
                     sym_log10_threshold=threshold)
                 return Field(hd=hd, data=x, acc=acc)
-            if depth < 1 or n < 32:
+            if depth < 1 or n < 32 or len(blocks) < 2:
                 return None
             payload, w, _ = decode_block(blocks[1])
             words = jnp.asarray(_payload_words(payload))
@@ -385,7 +380,7 @@ class TrimV1_0:
                                        sym_log10_scaled=symlog,
                                        sym_log10_threshold=threshold)
             return Field(hd=hd, data=data, acc=acc)
-        if depth < 1 or n < 32:
+        if depth < 1 or n < 32 or len(blocks) < 4:
             return None
         dims = []
         for d in range(3):

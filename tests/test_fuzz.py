@@ -80,3 +80,20 @@ def test_unknown_block_flags_rejected():
     blk[9] |= 0x02  # set a reserved flag bit
     with pytest.raises(ValueError, match="unknown block flag"):
         blocks.decode_block(bytes(blk))
+
+
+def test_fused_decode_short_block_list_degrades():
+    """A checksum-valid segment whose field has too few blocks must
+    degrade (or fall back), never IndexError out of the fused path."""
+    from minnow_c_tpu.segment import format as seg_fmt
+    seg, pos, _, _ = __import__("test_segment").make_seg(n=4096)
+    blob = api.compress_segment(seg, seed=1)
+    parsed = seg_fmt.deserialize(blob)
+    # Rebuild the segment with the POSN field truncated to 1 block.
+    fields = [seg_fmt.WireField(f.field_code, f.algo_code, f.version,
+                                f.blocks[:1] if i == 0 else f.blocks)
+              for i, f in enumerate(parsed.fields)]
+    cut = seg_fmt.serialize(fields, parsed.particle_num)
+    out = api.decompress_segment(cut, fused=True)
+    assert out.fields[0] is None or out.fields[0].data is None \
+        or not getattr(out.fields[0], "valid", True)
