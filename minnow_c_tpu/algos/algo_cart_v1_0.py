@@ -69,10 +69,9 @@ class CartV1_0(TrimV1_0):
         head = np.array([words.size, self._MAGIC], dtype=np.uint32)
         payload = np.concatenate([head.view(np.uint8),
                                   transformed.view(np.uint8)])
-        pad = (-payload.size) % 4
-        if pad:
-            payload = np.concatenate([payload,
-                                      np.zeros(pad, dtype=np.uint8)])
+        # head is 8 B and transformed is 4*n_words B, so the payload is
+        # always u32-aligned (the transform preserves length).
+        assert payload.size % 4 == 0
         return payload.view(np.uint32), depth
 
     def _decode_plane(self, words: np.ndarray, width: int, n: int):

@@ -78,12 +78,12 @@ class CoilV1_0(TrimV1_0):
         body = raw[8 + n_chunks + wtab_pad:].view(np.uint32)
 
         z = chunked.unpack_chunks(body, widths).reshape(-1)[:n]
-        zi = jnp.asarray(z).astype(jnp.int32)
-        d = (zi >> 1) ^ -(zi & 1)
+        # logical-shift unzigzag; the int32 form corrupts |delta| >= 2^30
+        d = kernels.u32_unzigzag(jnp.asarray(z))
         d = d.at[0].set(0)
-        out = jnp.int32(first) + jnp.cumsum(d)
+        out = jnp.uint32(first) + jnp.cumsum(d).astype(jnp.uint32)
         # device-resident: bins stay on device through dequantization
-        return out.astype(jnp.uint32)
+        return out
 
 
 registry.register(CoilV1_0())

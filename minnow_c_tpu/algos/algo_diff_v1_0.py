@@ -64,12 +64,14 @@ class DiffV1_0(TrimV1_0):
             return np.zeros(0, dtype=np.uint32)
         first = jnp.uint32(words[0])
         z = bitpack.uniform_unpack(jnp.asarray(words[1:]), width, n - 1)
-        zi = z.astype(jnp.int32)
-        d = (zi >> 1) ^ -(zi & 1)
-        rest = first.astype(jnp.int32) + jnp.cumsum(d)
+        # Logical-shift unzigzag (kernels.u32_unzigzag): the old int32
+        # spelling corrupted every |delta| >= 2^30.  All-u32 arithmetic
+        # wraps mod 2^32 exactly like the encode.
+        d = kernels.u32_unzigzag(z)
+        rest = first + jnp.cumsum(d).astype(jnp.uint32)
         # device-resident: bins stay on device through dequantization
         return jnp.concatenate([jnp.asarray([first], dtype=jnp.uint32),
-                                rest.astype(jnp.uint32)])
+                                rest])
 
 
 import functools
@@ -89,11 +91,10 @@ def _diff_plane_fused(words, key, width: int, n: int, depth: int, x0, dx,
     first = jnp.uint32(words[0])
     z = bitpack.uniform_unpack(words[1:], width, n - 1)
     z = jax.lax.optimization_barrier(z)
-    zi = z.astype(jnp.int32)
-    d = (zi >> 1) ^ -(zi & 1)
-    rest = first.astype(jnp.int32) + jnp.cumsum(d)
+    d = kernels.u32_unzigzag(z)  # logical shift; int32 corrupts >= 2^30
+    rest = first + jnp.cumsum(d).astype(jnp.uint32)
     bins = jnp.concatenate([jnp.asarray([first], dtype=jnp.uint32),
-                            rest.astype(jnp.uint32)])
+                            rest])
     bins = jax.lax.optimization_barrier(bins)
     bin_w = jnp.float32(dx) / jnp.float32(1 << depth)
     u = _rng.uniform_dither((key[0], key[1]), (n,))
@@ -120,11 +121,13 @@ def _fused_for_diff(self, hd, blocks, field_index):
         return None
     if code not in (FieldCode.POSN, FieldCode.VELC, FieldCode.UNSF):
         return None
-    if any(b is None for b in blocks):
+    if not blocks or any(b is None for b in blocks):
         return None
     n = hd.particle_len
     if n < 2:
         return None
+    if len(blocks) < (2 if code == FieldCode.UNSF else 4):
+        return None  # short-but-checksum-valid list: let generic degrade
     meta, _, _ = decode_block(blocks[0])
     r = Reader(meta.tobytes())
     if code == FieldCode.UNSF:

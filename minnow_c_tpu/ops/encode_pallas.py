@@ -192,9 +192,9 @@ def pack_pallas_rows(vals, width: int, from_f32: bool = False,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("width", "periodic_width", "interpret"))
-def encode_pallas(x, width: int, periodic_width=None,
-                  interpret: bool = False):
+                   static_argnames=("width", "periodic", "interpret"))
+def _encode_pallas(x, width: int, box, periodic: bool,
+                   interpret: bool = False):
     """Fused fast-uniform encode: unwrap -> minmax -> scale (XLA, the
     wire-defining IEEE math) -> trunc/clamp/pack (Pallas).  Returns
     (packed words, x0, range); bit-identical to
@@ -205,8 +205,8 @@ def encode_pallas(x, width: int, periodic_width=None,
             f"float encode width {width} not in [1, 24]: float depths cap "
             "at the f32 mantissa (quant.c:684-693); the trunc/clamp "
             "constants here are only exact to 24 bits")
-    if periodic_width is not None:
-        x = kernels.undo_periodic(x, periodic_width)
+    if periodic:
+        x = kernels.undo_periodic(x, box)
     x0 = jnp.min(x)
     x1 = jnp.max(x)
     rng_v = x1 - x0
@@ -217,3 +217,12 @@ def encode_pallas(x, width: int, periodic_width=None,
     words = pack_pallas(scaled, width, n, from_f32=True,
                         interpret=interpret)
     return words, x0, rng_v
+
+
+def encode_pallas(x, width: int, periodic_width=None,
+                  interpret: bool = False):
+    """Public wrapper: the box width rides as a traced operand so
+    different box sizes share one compiled program per (width, n)."""
+    periodic = periodic_width is not None
+    box = jnp.float32(periodic_width if periodic else 0.0)
+    return _encode_pallas(x, width, box, periodic, interpret=interpret)

@@ -27,27 +27,49 @@ from . import rng as _rng
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("level", "n", "periodic_width"))
+                   static_argnames=("level", "n", "periodic"))
+def _fast_uniform_decode(words, key, level: int, n: int, x0, dx, box,
+                         periodic: bool, ctr0):
+    bins = bitpack.uniform_unpack(words, level, n)
+    bins = jax.lax.optimization_barrier(bins)
+    bin_width = jnp.float32(dx) / jnp.float32(1 << level)
+    u = _rng.uniform_dither((key[0], key[1]), (n,), ctr0=ctr0)
+    x = jnp.float32(x0) + bin_width * (bins.astype(jnp.float32) + u)
+    if not periodic:
+        return x
+    x = jax.lax.optimization_barrier(x)
+    return kernels.periodic(x, box)
+
+
 def fast_uniform_decode(words, key, level: int, n: int, x0, dx,
                         periodic_width=None, ctr0: int = 0):
     """words -> dithered floats: unpack at ``level`` bits, undo bin
     indexing over [x0, x0+dx), optionally rewrap into the periodic box.
 
     ``key``: (2,) u32 dither key; ``ctr0``: global element offset of this
-    plane's first element (for tiled/sharded decode of one logical plane).
-    """
-    bins = bitpack.uniform_unpack(words, level, n)
+    plane's first element (for tiled/sharded decode of one logical
+    plane).  The box width is a TRACED operand (only its presence is a
+    compile key), so snapshots with different box sizes share one
+    compiled program per (level, n)."""
+    periodic = periodic_width is not None
+    box = jnp.float32(periodic_width if periodic else 0.0)
+    return _fast_uniform_decode(words, key, level, n, x0, dx, box,
+                                periodic, ctr0)
+
+
+@functools.partial(jax.jit, static_argnames=("level", "periodic"))
+def _fast_uniform_encode_xla(x, level: int, box, periodic: bool):
+    if periodic:
+        x = kernels.undo_periodic(x, box)
+    x0 = jnp.min(x)
+    x1 = jnp.max(x)
+    rng_v = x1 - x0
+    bins = kernels.uniform_bin_index(x, level, x0, rng_v)
     bins = jax.lax.optimization_barrier(bins)
-    bin_width = jnp.float32(dx) / jnp.float32(1 << level)
-    u = _rng.uniform_dither((key[0], key[1]), (n,), ctr0=ctr0)
-    x = jnp.float32(x0) + bin_width * (bins.astype(jnp.float32) + u)
-    if periodic_width is None:
-        return x
-    x = jax.lax.optimization_barrier(x)
-    return kernels.periodic(x, periodic_width)
+    words = bitpack.uniform_pack(bins, level)
+    return words, x0, rng_v
 
 
-@functools.partial(jax.jit, static_argnames=("level", "periodic_width"))
 def fast_uniform_encode(x, level: int, periodic_width=None):
     """floats -> (packed words, x0, range): optionally unwrap the periodic
     box, min/max, bin at ``level`` bits, pack.  Returns device arrays;
@@ -62,12 +84,6 @@ def fast_uniform_encode(x, level: int, periodic_width=None):
         from . import encode_pallas
         return encode_pallas.encode_pallas(x, level,
                                            periodic_width=periodic_width)
-    if periodic_width is not None:
-        x = kernels.undo_periodic(x, periodic_width)
-    x0 = jnp.min(x)
-    x1 = jnp.max(x)
-    rng_v = x1 - x0
-    bins = kernels.uniform_bin_index(x, level, x0, rng_v)
-    bins = jax.lax.optimization_barrier(bins)
-    words = bitpack.uniform_pack(bins, level)
-    return words, x0, rng_v
+    periodic = periodic_width is not None
+    box = jnp.float32(periodic_width if periodic else 0.0)
+    return _fast_uniform_encode_xla(x, level, box, periodic)

@@ -230,10 +230,18 @@ def u32_delta_zigzag(bins):
     return ((d << 1) ^ (d >> 31)).astype(jnp.uint32)
 
 
+def u32_unzigzag(z):
+    """Inverse zigzag map: z -> signed delta, mod 2^32, as uint32.
+
+    MUST use a LOGICAL right shift: the int32 spelling ``(zi >> 1) ^
+    -(zi & 1)`` sign-extends for z >= 2^31, decoding every |delta| >=
+    2^30 off by 2^31 (silent corruption for wide UNSI ranges -- the
+    encode side is exact mod 2^32)."""
+    z = z.astype(jnp.uint32)
+    return (z >> jnp.uint32(1)) ^ (jnp.uint32(0) - (z & jnp.uint32(1)))
+
+
 def u32_undo_delta_zigzag(z):
-    """Inverse of u32_delta_zigzag: unzigzag then prefix-sum.  The running
-    sum telescopes back to the original bins, so intermediates never exceed
-    the original value range (no overflow for bins < 2^31)."""
-    zi = z.astype(jnp.int32)
-    d = (zi >> 1) ^ -(zi & 1)
-    return jnp.cumsum(d).astype(jnp.uint32)
+    """Inverse of u32_delta_zigzag: unzigzag then prefix-sum (wraps mod
+    2^32, matching the encode's int32 wrap)."""
+    return jnp.cumsum(u32_unzigzag(z)).astype(jnp.uint32)

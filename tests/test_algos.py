@@ -318,3 +318,22 @@ class TestTrimV11Deltas:
         # 24..28 in the FieldHeader) and the header checksum (offset 0..4)
         diff_offsets = [i for i, (a, b) in enumerate(zip(b0, b1)) if a != b]
         assert all(i < 28 for i in diff_offsets), diff_offsets[:10]
+
+
+def test_diff_coil_wide_range_uint_roundtrip():
+    """Deltas with |d| >= 2^30 produce zigzag values >= 2^31; the decode
+    unzigzag must use a LOGICAL shift (the int32 spelling silently added
+    2^31 to every such delta).  Wide-range UNSI data is the reachable
+    case (hashes, offsets)."""
+    n = 4096
+    rng = np.random.default_rng(0)
+    # values spanning almost the full u32 range -> huge adjacent deltas
+    vals = rng.integers(0, 1 << 42, n, dtype=np.uint64)
+    for algo in (mnw.AlgoCode.DIFF, mnw.AlgoCode.COIL):
+        ver = registry.newest(algo)
+        seg = mnw.Seg(fields=[mnw.Field(
+            hd=mnw.FieldHeader(mnw.FieldCode.UNSI, algo, ver, n),
+            data=vals, acc=mnw.IntAccuracy())])
+        blob = api.compress_segment(seg, seed=1)
+        out = api.decompress_segment(blob)
+        np.testing.assert_array_equal(np.asarray(out.fields[0].data), vals)
