@@ -40,25 +40,34 @@ class Gadget2Header:
     omega0: float
     omega_lambda: float
     hubble_param: float
+    # Original 256-byte record: pack() starts from it, so fields this
+    # driver does not model (flag_sfr/feedback, npartTotal, flag_cooling,
+    # num_files, trailing entries) round-trip losslessly.
+    raw: bytes = b""
 
     @classmethod
     def unpack(cls, raw: bytes) -> "Gadget2Header":
         npart = struct.unpack("<6I", raw[0:24])
         mass = struct.unpack("<6d", raw[24:72])
         time, redshift = struct.unpack("<2d", raw[72:88])
-        # flags (2 ints), npartTotal (6 uints), flag_cooling, num_files
+        # bytes 88-128: flag_sfr, flag_feedback, npartTotal[6],
+        # flag_cooling, num_files (preserved via ``raw``); BoxSize and
+        # the cosmology doubles start at byte 128 of struct io_header.
         box_size, omega0, omega_lambda, hubble = struct.unpack(
-            "<4d", raw[120:152])
+            "<4d", raw[128:160])
         return cls(npart=npart, mass=mass, time=time, redshift=redshift,
                    box_size=box_size, omega0=omega0,
-                   omega_lambda=omega_lambda, hubble_param=hubble)
+                   omega_lambda=omega_lambda, hubble_param=hubble,
+                   raw=bytes(raw[:HEADER_BYTES]).ljust(HEADER_BYTES,
+                                                       b"\x00"))
 
     def pack(self) -> bytes:
-        raw = bytearray(HEADER_BYTES)
+        raw = bytearray(self.raw) if len(self.raw) == HEADER_BYTES \
+            else bytearray(HEADER_BYTES)
         raw[0:24] = struct.pack("<6I", *self.npart)
         raw[24:72] = struct.pack("<6d", *self.mass)
         raw[72:88] = struct.pack("<2d", self.time, self.redshift)
-        raw[120:152] = struct.pack("<4d", self.box_size, self.omega0,
+        raw[128:160] = struct.pack("<4d", self.box_size, self.omega0,
                                    self.omega_lambda, self.hubble_param)
         return bytes(raw)
 
@@ -115,10 +124,32 @@ def compress(in_fp: BinaryIO, out_fp: BinaryIO,
     Fortran-style record, then the chained compressed segments."""
     hdr, pos, vel, ids = read_snapshot(in_fp)
     n = ids.shape[0]
+    import warnings
+    for i in range(6):
+        if hdr.npart[i] and hdr.mass[i] == 0.0:
+            warnings.warn(
+                f"particle type {i} uses a per-particle MASS record "
+                "(mass table 0 with npart > 0); this driver compresses "
+                "POS/VEL/ID only -- the MASS data will be dropped")
+            break
+    if in_fp.read(1):
+        warnings.warn("trailing Gadget-2 records beyond POS/VEL/ID are "
+                      "not compressed and will be dropped")
     if num_blocks is None:
-        num_blocks = max(1, n // 4_000_000)  # < 10^7 particles per segment
-        while n % num_blocks:
-            num_blocks -= 1
+        # nearest divisor of n to the <10^7-particles-per-segment target
+        target = max(1, n // 4_000_000)
+        down = target
+        while down > 1 and n % down:
+            down -= 1
+        up = target
+        while up < n and n % up:
+            up += 1
+        num_blocks = down if (target - down) <= (up - target) else up
+        if n // num_blocks > 10_000_000:
+            raise ValueError(
+                f"n={n} has no block count near the 10^7-particle "
+                "segment limit (spec, header_format.tex:120-127); pass "
+                "num_blocks explicitly or pad the input")
     if id_grid_width is None:
         id_grid_width = int(np.ceil((float(ids.max()) + 1) ** (1 / 3)))
     spec = snapshot.SnapshotSpec(

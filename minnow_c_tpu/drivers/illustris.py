@@ -8,13 +8,22 @@ holding ``Coordinates`` (N, 3), ``Velocities`` (N, 3), and ``ParticleIDs``
 
 The ``.il.min`` layout mirrors the Gadget-2 driver: one Fortran-framed
 JSON header record carrying the snapshot attributes and the particle-type
-table, followed by chained compressed segments per particle type.
+table, followed by chained compressed segments per particle type.  Every
+JSON-representable Header attribute round-trips; particle types are
+loaded and compressed one at a time (peak memory is one type, not the
+whole snapshot).
+
+Non-periodic data (``BoxSize == 0``): coordinates may be negative, and
+the codec's position path wraps decodes into [0, width).  The driver
+therefore shifts each type by its per-dim minimum (recorded in the JSON
+meta as ``pos_offset``), encodes with a width more than twice the data
+range -- so the periodic unwrap/rewrap never touches real values -- and
+restores the offset on decompress.
 """
 
 from __future__ import annotations
 
 import json
-import struct
 from typing import BinaryIO, Optional
 
 import numpy as np
@@ -29,6 +38,13 @@ def _pick_blocks(n: int, target: int = 4_000_000) -> int:
     while n % nb:
         nb -= 1
     return nb
+
+
+def _json_safe(v):
+    a = np.asarray(v)
+    if a.dtype.kind in "iufb":
+        return a.tolist()
+    return str(v)
 
 
 def compress(h5_path: str, out_fp: BinaryIO,
@@ -47,42 +63,62 @@ def compress(h5_path: str, out_fp: BinaryIO,
             "box_size": box,
             "redshift": float(np.atleast_1d(hdr.get("Redshift", 0.0))[0]),
             "time": float(np.atleast_1d(hdr.get("Time", 0.0))[0]),
+            "attrs": {k: _json_safe(v) for k, v in hdr.items()},
             "part_types": [],
         }
-        types = part_types if part_types is not None else [
-            k for k in f.keys() if k.startswith("PartType")]
-        payloads = []
-        for t in sorted(types):
+        types = sorted(part_types if part_types is not None else
+                       [k for k in f.keys() if k.startswith("PartType")])
+        # Meta first, from shapes only (no data loaded yet).
+        for t in types:
             g = f[t]
             if "Coordinates" not in g:
                 continue
+            n = int(g["Coordinates"].shape[0])
+            entry = {"name": t, "n": n, "blocks": _pick_blocks(n),
+                     "has_vel": "Velocities" in g,
+                     "has_ids": "ParticleIDs" in g,
+                     "pos_offset": [0.0, 0.0, 0.0]}
+            if box == 0.0:
+                # Non-periodic: shift by the per-dim minimum so the
+                # periodic rewrap never touches real data.
+                lo = np.asarray(g["Coordinates"]).min(axis=0)
+                entry["pos_offset"] = [float(v) for v in lo]
+            meta["part_types"].append(entry)
+
+        # The JSON record length depends only on shapes/offsets above.
+        _write_record(out_fp, json.dumps(meta).encode())
+
+        # One type at a time: peak memory is a single type's arrays.
+        for entry in meta["part_types"]:
+            g = f[entry["name"]]
             pos = np.ascontiguousarray(
                 np.asarray(g["Coordinates"], dtype=np.float32).T)
+            off = np.asarray(entry["pos_offset"], dtype=np.float32)
+            if off.any():
+                pos = pos - off[:, None]
             vel = np.ascontiguousarray(
                 np.asarray(g["Velocities"], dtype=np.float32).T) \
-                if "Velocities" in g else None
+                if entry["has_vel"] else None
             ids = np.asarray(g["ParticleIDs"], dtype=np.uint64) \
-                if "ParticleIDs" in g else None
-            n = pos.shape[1]
-            nb = _pick_blocks(n)
-            meta["part_types"].append(
-                {"name": t, "n": n, "blocks": nb, "has_vel": vel is not None,
-                 "has_ids": ids is not None})
-            payloads.append((t, pos, vel, ids, nb))
-
-    _write_record(out_fp, json.dumps(meta).encode())
-    for t, pos, vel, ids, nb in payloads:
-        width = meta["box_size"] or float(pos.max()) * 1.001
-        grid = int(np.ceil((float(ids.max()) + 1) ** (1 / 3))) \
-            if ids is not None else 0
-        spec = snapshot.SnapshotSpec(
-            pos=PositionAccuracy(delta=pos_delta, width=width),
-            vel=VelocityAccuracy(delta=vel_delta) if vel is not None
-            else None,
-            ids=IDAccuracy(width=grid) if ids is not None else None)
-        st = snapshot.compress_snapshot(out_fp, pos, vel, ids, spec, nb,
-                                        seed)
-        stats["types"][t] = st
+                if entry["has_ids"] else None
+            if box:
+                width = box
+            else:
+                # Non-periodic: the codec's position path is periodic, so
+                # pick width > 2x the data range -- undo_periodic then
+                # never unwraps (everything is within width/2 of any
+                # anchor) and dithered decodes can't cross a boundary.
+                width = max(float(pos.max()) * 2.01, 1e-6)
+            grid = int(np.ceil((float(ids.max()) + 1) ** (1 / 3))) \
+                if ids is not None else 0
+            spec = snapshot.SnapshotSpec(
+                pos=PositionAccuracy(delta=pos_delta, width=width),
+                vel=VelocityAccuracy(delta=vel_delta) if vel is not None
+                else None,
+                ids=IDAccuracy(width=grid) if ids is not None else None)
+            st = snapshot.compress_snapshot(out_fp, pos, vel, ids, spec,
+                                            entry["blocks"], seed)
+            stats["types"][entry["name"]] = st
     stats["meta"] = meta
     return stats
 
@@ -91,27 +127,31 @@ def decompress(in_fp: BinaryIO, h5_path: str) -> dict:
     """.il.min -> Illustris HDF5 snapshot."""
     import h5py
 
+    from ..segment import io as seg_io
+    from ..segment.api import decompress_segment
+    from ..types import FieldCode
+
     meta = json.loads(_read_record(in_fp).decode())
     with h5py.File(h5_path, "w") as f:
         hdr = f.create_group("Header")
+        for k, v in meta.get("attrs", {}).items():
+            hdr.attrs[k] = v
         hdr.attrs["BoxSize"] = meta["box_size"]
         hdr.attrs["Redshift"] = meta["redshift"]
         hdr.attrs["Time"] = meta["time"]
         for ti in meta["part_types"]:
-            # each type's segments are contiguous in the chain; read
-            # exactly `blocks` segments for this type
-            from ..segment import io as seg_io
-            from ..segment.api import decompress_segment
-            from ..types import FieldCode
+            # Each type's chained segments end with NextIOHeader = 0;
+            # iter_segments consumes exactly one chain (with the corrupt-
+            # chain advance guard) and leaves the file positioned at the
+            # next type's chain.
+            chain = list(seg_io.iter_segments(in_fp))
+            if len(chain) != ti["blocks"]:
+                raise ValueError(
+                    f"{ti['name']}: expected {ti['blocks']} chained "
+                    f"segments, found {len(chain)}")
             pos_parts, vel_parts, id_parts = [], [], []
-            count = 0
-            offset = in_fp.tell()
-            while count < ti["blocks"]:
-                in_fp.seek(offset)
-                raw = in_fp.read(seg_io.IO_HEADER_BYTES)
-                io_hd = seg_io.IOHeader.unpack(raw)
-                seg = decompress_segment(
-                    in_fp.read(io_hd.segment_bytes), fused=True)
+            for _io_hd, seg_bytes in chain:
+                seg = decompress_segment(seg_bytes, fused=True)
                 for fld in seg.fields:
                     arr = np.asarray(fld.data)
                     if fld.hd.field_code == FieldCode.POSN:
@@ -120,13 +160,14 @@ def decompress(in_fp: BinaryIO, h5_path: str) -> dict:
                         vel_parts.append(arr)
                     elif fld.hd.field_code == FieldCode.PTID:
                         id_parts.append(arr)
-                count += 1
-                offset = io_hd.next_io_header if io_hd.next_io_header \
-                    else in_fp.tell()
             g = f.create_group(ti["name"])
-            g.create_dataset(
-                "Coordinates",
-                data=np.concatenate(pos_parts, axis=1).T.astype(np.float32))
+            pos = np.concatenate(pos_parts, axis=1)
+            off = np.asarray(ti.get("pos_offset", [0.0] * 3),
+                             dtype=np.float32)
+            if off.any():
+                pos = pos + off[:, None]
+            g.create_dataset("Coordinates",
+                             data=pos.T.astype(np.float32))
             if vel_parts:
                 g.create_dataset(
                     "Velocities",

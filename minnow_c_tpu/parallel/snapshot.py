@@ -373,6 +373,10 @@ def _wrap_precompressed(raw_words: np.ndarray, comp: bytes,
     smaller representation (mirrors blocks.encode_block)."""
     raw = np.ascontiguousarray(raw_words)
     raw_bytes = raw.astype(raw.dtype.newbyteorder("<"), copy=False).tobytes()
+    if max(len(raw_bytes), len(comp)) > 0xFFFFFFFF:
+        raise ValueError(
+            f"block payload of {len(raw_bytes)} bytes exceeds the u32 "
+            "prelude length; use more blocks (spec table 1)")
     if len(comp) < len(raw_bytes):
         from ..algos.blocks import FLAG_LZ4
         w = Writer()
@@ -449,8 +453,10 @@ def _batched_float_decode(words, x0, rng_b, key, depth: int, nb: int,
 
     from ..ops import decode_pallas as _dp
     on_tpu = jax.default_backend() == "tpu"
-    if (on_tpu or _FORCE_ROWS_DECODE) and _dp.rows_kernel_eligible(depth,
-                                                                   nb):
+    # depth <= 24 matches the rows kernel's float cap (a corrupt/foreign
+    # meta depth must fall back, not raise out of the batched reader).
+    if (on_tpu or _FORCE_ROWS_DECODE) and depth <= 24 and \
+            _dp.rows_kernel_eligible(depth, nb):
         # One Pallas grid over all (block, dim) streams (same kernel as
         # the sharded codec's decode); identical bits -- the shared key
         # just repeats per row, counters restart at 0 per stream exactly
@@ -551,8 +557,8 @@ def _decompress_snapshot_batched(segments) -> Optional[dict]:
             if any(m[3] != depth or m[4] != seed or m[2] != box or
                    m[5] != symlog or m[6] != threshold for m in metas):
                 return None
-            if depth < 1:
-                return None
+            if depth < 1 or depth > 24:
+                return None  # foreign/corrupt depth: per-segment path
             words = []
             for b in range(B):
                 row = []

@@ -7,6 +7,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from minnow_c_tpu.drivers import gadget2
 
@@ -107,3 +108,55 @@ class TestGadget2:
         err = np.minimum(err, 64.0 - err)
         assert err.max() <= 1e-3
         np.testing.assert_array_equal(i2, ids)
+
+
+def test_header_offsets_match_gadget2_io_header():
+    """BoxSize lives at byte 128 of struct io_header (after flag_sfr,
+    flag_feedback, npartTotal[6], flag_cooling, num_files) -- a shared
+    pack/unpack offset bug would round-trip internally while misreading
+    every real Gadget-2 file."""
+    import struct
+    raw = bytearray(256)
+    raw[0:24] = struct.pack("<6I", 0, 7, 0, 0, 0, 0)
+    raw[120:128] = struct.pack("<2i", 1, 1)     # flag_cooling, num_files
+    raw[128:136] = struct.pack("<d", 205.0)     # BoxSize
+    raw[136:160] = struct.pack("<3d", 0.31, 0.69, 0.677)
+    hdr = gadget2.Gadget2Header.unpack(bytes(raw))
+    assert hdr.box_size == 205.0
+    assert hdr.omega0 == 0.31
+    # pack() preserves the unmodeled flag bytes verbatim
+    packed = hdr.pack()
+    assert packed[120:128] == bytes(raw[120:128])
+
+
+def test_illustris_negative_coordinates_roundtrip(tmp_path):
+    """BoxSize == 0 (non-periodic) data with negative coordinates must
+    round-trip within delta -- the driver shifts by the per-dim minimum
+    so the codec's periodic rewrap never touches real values."""
+    h5py = pytest.importorskip("h5py")
+    from minnow_c_tpu.drivers import illustris
+    n = 4096
+    rng = np.random.default_rng(2)
+    coords = rng.uniform(-120.0, 80.0, (n, 3)).astype(np.float32)
+    src = tmp_path / "src.hdf5"
+    with h5py.File(src, "w") as f:
+        h = f.create_group("Header")
+        h.attrs["BoxSize"] = 0.0
+        h.attrs["Redshift"] = 0.0
+        h.attrs["Time"] = 1.0
+        h.attrs["NumPart_ThisFile"] = np.array([0, n, 0, 0, 0, 0])
+        g = f.create_group("PartType1")
+        g.create_dataset("Coordinates", data=coords)
+        g.create_dataset("ParticleIDs",
+                         data=np.arange(1, n + 1, dtype=np.uint64))
+    out = tmp_path / "snap.il.min"
+    with open(out, "wb") as f:
+        illustris.compress(str(src), f, pos_delta=1e-3)
+    back = tmp_path / "back.hdf5"
+    with open(out, "rb") as f:
+        illustris.decompress(f, str(back))
+    with h5py.File(back, "r") as f:
+        got = np.asarray(f["PartType1"]["Coordinates"])
+        assert f["Header"].attrs["NumPart_ThisFile"][1] == n  # attrs kept
+    assert np.abs(got - coords).max() <= 1e-3
+    assert got.min() < 0  # negatives actually restored
