@@ -117,8 +117,13 @@ def run(fn: Callable[[object], object], bytes_per_iter: int,
             break
         iters *= 2
     # Median of three trials at the final size guards against one-off
-    # timer/runtime anomalies.
-    times = sorted([dt, trial(iters), trial(iters)])
-    dt = times[1]
+    # timer/runtime anomalies -- but respect the wall budget (bench.c
+    # enforces WALL_CLOCK_LIMIT as a hard stop): skip retrials that
+    # would blow past max_total_s.
+    samples = [dt]
+    while len(samples) < 3 and \
+            time.perf_counter() - start_total + dt <= max_total_s:
+        samples.append(trial(iters))
+    dt = sorted(samples)[len(samples) // 2]
     return Result(bytes_per_second=bytes_per_iter * iters / dt,
                   iterations=iters, trial_seconds=dt)

@@ -50,6 +50,18 @@ def splitmix64(state: int, n: int) -> np.ndarray:
     return out
 
 
+def _xoro_step(s0, s1):
+    """One xoroshiro128+ generator step (xorshiftNext, rand.c:80-90);
+    the single source of truth for both the vectorized and the
+    per-stream (jump) paths.  Works on scalars or arrays."""
+    with np.errstate(over="ignore"):
+        result = s0 + s1
+        s1 = s1 ^ s0
+        s0 = _rotl(s0, 55) ^ s1 ^ ((s1 << np.uint64(14)) & _MASK64)
+        s1 = _rotl(s1, 36)
+    return s0, s1, result
+
+
 class Xoroshiro128Plus:
     """Vectorized xoroshiro128+ over n parallel streams.
 
@@ -83,23 +95,14 @@ class Xoroshiro128Plus:
         self.s0[i], self.s1[i] = j0, j1
 
     def _next_one(self, i: int) -> np.uint64:
-        s0, s1 = self.s0[i], self.s1[i]
-        with np.errstate(over="ignore"):
-            result = s0 + s1
-            s1 = s1 ^ s0
-            self.s0[i] = _rotl(s0, 55) ^ s1 ^ ((s1 << np.uint64(14)) & _MASK64)
-            self.s1[i] = _rotl(s1, 36)
+        s0, s1, result = _xoro_step(self.s0[i], self.s1[i])
+        self.s0[i], self.s1[i] = s0, s1
         return result
 
     def next_u64(self) -> np.ndarray:
         """One xoroshiro128+ step on every stream (xorshiftNext,
         rand.c:80-90).  Returns shape (n,) uint64."""
-        s0, s1 = self.s0, self.s1
-        with np.errstate(over="ignore"):
-            result = s0 + s1
-            s1 = s1 ^ s0
-            self.s0 = _rotl(s0, 55) ^ s1 ^ ((s1 << np.uint64(14)) & _MASK64)
-            self.s1 = _rotl(s1, 36)
+        self.s0, self.s1, result = _xoro_step(self.s0, self.s1)
         return result
 
     def uint64(self, count: int) -> np.ndarray:
@@ -231,7 +234,13 @@ def _threefry2x32(k0, k1, c0, c1, xp):
 
 
 def threefry_bits(key, n: int, tag: int = 0):
-    """n uint32 random words (two per counter) -- jax.numpy path."""
+    """n uint32 random words (two per counter) -- jax.numpy path.
+
+    Shares counter space with ``dither_u16`` for the same (key, tag):
+    pass a distinct ``tag`` when drawing auxiliary randomness for a key
+    that also dithers, or the two outputs are correlated by
+    construction (dither lanes are exactly these words' 16-bit
+    halves)."""
     import jax.numpy as jnp
     k0, k1 = key
     half = (n + 1) // 2
@@ -243,7 +252,17 @@ def threefry_bits(key, n: int, tag: int = 0):
 def dither_u16(key, n: int, tag: int = 0, ctr0: int = 0):
     """n uint16-valued (stored u32) dither lanes: four per Threefry call.
     ``ctr0`` offsets the element index for tiled/sharded decode of a longer
-    stream (element i uses counter (ctr0 + i) >> 2)."""
+    stream (element i uses counter (ctr0 + i) >> 2).
+
+    ``ctr0`` must be a multiple of 4: the lane phase below always starts
+    at half 0 of counter ctr0//4, so an unaligned offset would silently
+    return the WRONG dither lanes (a stream-format violation).  Tile
+    boundaries in this codebase are multiples of 2^14, so aligned."""
+    if isinstance(ctr0, int) and ctr0 % 4:
+        # (traced ctr0 can't be checked at trace time; the contract
+        # still holds -- tile boundaries are multiples of 2^14)
+        raise ValueError(f"ctr0 {ctr0} must be a multiple of 4 "
+                         "(4 dither lanes share one Threefry counter)")
     import jax.numpy as jnp
     k0, k1 = key
     q = (n + 3) // 4
@@ -257,6 +276,8 @@ def dither_u16(key, n: int, tag: int = 0, ctr0: int = 0):
 
 def dither_u16_np(key, n: int, tag: int = 0, ctr0: int = 0) -> np.ndarray:
     """Bit-identical numpy mirror of ``dither_u16``."""
+    if ctr0 % 4:
+        raise ValueError(f"ctr0 {ctr0} must be a multiple of 4")
     k0, k1 = key
     q = (n + 3) // 4
     ctr = np.arange(q, dtype=np.uint32) + np.uint32(ctr0 // 4)

@@ -27,6 +27,13 @@ def initialize(coordinator_address: Optional[str] = None,
                process_id: Optional[int] = None) -> None:
     """Join the jax.distributed cluster (no-op for single-process)."""
     import jax
+    if coordinator_address is not None and num_processes is None:
+        # Forward for auto-detection rather than silently staying
+        # single-process (which would make every host build its own
+        # disjoint "global" array with no error).
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   process_id=process_id)
+        return
     if num_processes is None or num_processes <= 1:
         return
     jax.distributed.initialize(coordinator_address=coordinator_address,
@@ -52,7 +59,12 @@ def global_block_array(local_blocks: np.ndarray, mesh):
 
 def local_block_slice(global_out, mesh):
     """This process's addressable slice of a block-sharded result, as a
-    numpy array in global block order."""
-    shards = sorted(global_out.addressable_shards,
-                    key=lambda s: s.index[0].start or 0)
+    numpy array in global block order.
+
+    Replicated mesh axes (anything beyond ``mesh.axis_names[0]``) yield
+    one addressable shard per REPLICA; keep only replica 0 of each
+    block range or the result would duplicate blocks."""
+    shards = [s for s in global_out.addressable_shards
+              if s.replica_id == 0]
+    shards.sort(key=lambda s: s.index[0].start or 0)
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
