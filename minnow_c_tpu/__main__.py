@@ -32,6 +32,13 @@ def main(argv=None):
     i = sub.add_parser("info", help="list segments of a .min file")
     i.add_argument("input")
 
+    t = sub.add_parser("repack", help="losslessly re-encode every "
+                                      "segment with a different codec")
+    t.add_argument("input")
+    t.add_argument("output")
+    t.add_argument("--algo", required=True,
+                   help="target codec: Trim, Diff, Coil, Octo, Sort, Cart")
+
     v = sub.add_parser("verify", help="integrity-check every segment, "
                                       "field, and block checksum")
     v.add_argument("input")
@@ -79,6 +86,25 @@ def main(argv=None):
                      f"{tuple(round(w, 3) for w in hd.width)}")
                 print(f"segment {k}: {hd.segment_bytes} bytes, "
                       f"library v{semver.to_string(hd.version)}, {geom}")
+    elif args.cmd == "repack":
+        from .drivers.gadget2 import _read_record, _write_record
+        from .segment import io as seg_io
+        from .segment.api import transcode_segment
+        from .types import AlgoCode
+        try:
+            algo = getattr(AlgoCode, args.algo.upper())
+        except AttributeError:
+            raise SystemExit(f"unknown codec {args.algo!r}")
+        import os
+        with open(args.input, "rb") as fin, open(args.output, "wb") as fo:
+            _write_record(fo, _read_record(fin))  # client header verbatim
+            pairs = ((transcode_segment(seg, algo), (hd.origin, hd.width))
+                     for hd, seg in seg_io.iter_segments(fin))
+            n = seg_io.write_segments_streaming(fo, pairs)
+        a = os.path.getsize(args.input)
+        b = os.path.getsize(args.output)
+        print(f"{args.output}: {n} segments transcoded to "
+              f"{args.algo}, {a} -> {b} bytes ({b / a:.3f}x)")
     elif args.cmd == "verify":
         from .drivers.gadget2 import _read_record
         from .segment import io as seg_io, format as seg_fmt

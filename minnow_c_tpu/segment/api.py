@@ -163,6 +163,44 @@ def wire_to_cseg(data: bytes) -> CSeg:
     return CSeg(fields=fields)
 
 
+def transcode_segment(data: bytes, algo: int,
+                      version: int = None) -> bytes:
+    """Losslessly re-encode a segment with a different compression
+    algorithm.
+
+    Works at the QUANTIZED level: the stored bin streams are decoded
+    (no dithered float reconstruction) and re-compressed with the new
+    codec, so the transcode preserves the exact quantized data and the
+    original dither seed -- decoding the output yields bit-identical
+    floats to decoding the input.  This is the frozen-version registry's
+    archive-migration story: old files can move to newer/denser codecs
+    with zero generation loss (header_format.tex:239-283).
+    """
+    from copy import copy
+    if version is None:
+        version = registry.newest(algo)
+    cs = wire_to_cseg(data)
+    parsed = wire.deserialize(data)
+    out = []
+    for f, cf in zip(parsed.fields, cs.fields):
+        hd = FieldHeader(field_code=f.field_code, algo_code=f.algo_code,
+                         algo_version=f.version,
+                         particle_len=parsed.particle_num)
+        old_codec = registry.get(hd.algo_code, hd.algo_version)
+        qf = old_codec.decompress(hd, f.blocks)
+        if getattr(qf, "valid", True) is False:
+            raise ValueError(
+                f"field {f.field_code:#x} is corrupt; refusing to "
+                "transcode damaged data")
+        qf = copy(qf)
+        qf.hd = FieldHeader(field_code=hd.field_code, algo_code=algo,
+                            algo_version=version,
+                            particle_len=hd.particle_len)
+        out.append(qf)
+    cs2 = compress(QSeg(fields=out))
+    return seg_to_wire(cs2, parsed.particle_num)
+
+
 def compress_segment(s: Seg, seed: int = 0) -> bytes:
     """Full encode: Seg -> spec segment bytes."""
     lens = {f.hd.particle_len for f in s.fields}
@@ -175,7 +213,8 @@ def compress_segment(s: Seg, seed: int = 0) -> bytes:
     return seg_to_wire(cs, particle_num)
 
 
-def decompress_segment(data: bytes, fused: bool = False) -> Seg:
+def decompress_segment(data: bytes, fused: bool = False,
+                       fields=None) -> Seg:
     """Full decode: spec segment bytes -> Seg (invalid fields/dims
     degrade gracefully).
 
@@ -184,12 +223,21 @@ def decompress_segment(data: bytes, fused: bool = False) -> Seg:
     (``TrimV1_0.decompress_field_fused`` -> ops.decode_pallas), skipping
     the intermediate bin materialization; output bits are identical to the
     generic path (same dither spec and keys -- tested).  Ineligible fields
-    fall back transparently."""
+    fall back transparently.
+
+    ``fields``: optional collection of ``FieldCode`` values to decode;
+    other fields stay ``None`` in the returned Seg WITHOUT any decode
+    work (analysis workloads often want positions only).  Field
+    positions (and so dither keys) are unaffected by the filter --
+    selected fields decode bit-identically to a full decode."""
     parsed = wire.deserialize(data)
+    want = None if fields is None else set(fields)
     out_fields = [None] * len(parsed.fields)
     qfields = []
     q_slots = []
     for i, f in enumerate(parsed.fields):
+        if want is not None and f.field_code not in want:
+            continue
         hd = FieldHeader(field_code=f.field_code, algo_code=f.algo_code,
                          algo_version=f.version,
                          particle_len=parsed.particle_num)

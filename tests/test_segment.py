@@ -395,3 +395,45 @@ def test_corrupt_block_prelude_degrades_not_crashes():
     out = api.decompress(cs)
     assert out.fields[0].valid is False
     assert out.fields[1].valid is not False  # others unaffected
+
+
+class TestTranscodeAndFilter:
+    def test_transcode_preserves_decoded_bits(self):
+        """Repacking to a different codec at the bin level must decode
+        to bit-identical floats (no generation loss) and keep IDs
+        exact."""
+        seg, pos, vel, ids = make_seg(n=20000)
+        blob = api.compress_segment(seg, seed=7)
+        ref = api.decompress_segment(blob)
+        for algo in (mnw.AlgoCode.DIFF, mnw.AlgoCode.CART,
+                     mnw.AlgoCode.TRIM):
+            blob2 = api.transcode_segment(blob, algo)
+            out = api.decompress_segment(blob2)
+            for a, b in zip(ref.fields, out.fields):
+                np.testing.assert_array_equal(np.asarray(a.data),
+                                              np.asarray(b.data))
+
+    def test_transcode_refuses_corrupt_field(self):
+        seg, *_ = make_seg(n=4096)
+        blob = bytearray(api.compress_segment(seg, seed=2))
+        blob[-50] ^= 0xFF
+        with pytest.raises(ValueError):
+            api.transcode_segment(bytes(blob), mnw.AlgoCode.DIFF)
+
+    def test_field_filter_decodes_selected_only(self):
+        """fields= skips non-selected fields entirely but decodes the
+        selected ones bit-identically to a full decode (keys ride the
+        true field positions)."""
+        seg, pos, vel, ids = make_seg(n=8192)
+        blob = api.compress_segment(seg, seed=3)
+        full = api.decompress_segment(blob)
+        only_pos = api.decompress_segment(blob,
+                                          fields={mnw.FieldCode.POSN})
+        assert only_pos.fields[1] is None and only_pos.fields[2] is None
+        np.testing.assert_array_equal(np.asarray(only_pos.fields[0].data),
+                                      np.asarray(full.fields[0].data))
+        # same under the fused path
+        only_vel = api.decompress_segment(blob, fused=True,
+                                          fields={mnw.FieldCode.VELC})
+        np.testing.assert_array_equal(np.asarray(only_vel.fields[1].data),
+                                      np.asarray(full.fields[1].data))
