@@ -390,8 +390,12 @@ def _wrap_precompressed(raw_words: np.ndarray, comp: bytes,
     return w.data
 
 
+_FIELD_BY_NAME = {"pos": int(FieldCode.POSN), "vel": int(FieldCode.VELC),
+                  "ids": int(FieldCode.PTID)}
+
+
 def decompress_snapshot(fp: BinaryIO, batched: bool = True,
-                        box=None, periodic=None) -> dict:
+                        box=None, periodic=None, fields=None) -> dict:
     """Read a chained multi-segment snapshot back into concatenated field
     arrays (ordered gather in file order).
 
@@ -404,7 +408,13 @@ def decompress_snapshot(fp: BinaryIO, batched: bool = True,
     bounding box intersects the query box (skip-ahead spatial query,
     header_format.tex:206-218); only particles from those segments are
     returned.  ``periodic`` optionally gives the box length(s) for
-    wrap-aware intersection."""
+    wrap-aware intersection.
+
+    ``fields``: optional subset of {"pos", "vel", "ids"} to decode; the
+    rest are skipped entirely (no decode work, no device transfers) and
+    absent from the result.  Selected fields are bit-identical to a
+    full read."""
+    want = None if fields is None else {_FIELD_BY_NAME[f] for f in fields}
     if box is not None:
         origin, width = box
         segments = [s for _, s in seg_io.iter_segments_intersecting(
@@ -414,13 +424,15 @@ def decompress_snapshot(fp: BinaryIO, batched: bool = True,
     if not segments:
         return {}
     if batched:
-        out = _decompress_snapshot_batched(segments)
+        out = _decompress_snapshot_batched(segments, want)
         if out is not None:
             return out
     pos_parts, vel_parts, id_parts = [], [], []
     for seg_bytes in segments:
-        seg = decompress_segment(seg_bytes, fused=True)
+        seg = decompress_segment(seg_bytes, fused=True, fields=want)
         for f in seg.fields:
+            if f is None:
+                continue
             arr = np.asarray(f.data)
             if f.hd.field_code == FieldCode.POSN:
                 pos_parts.append(arr)
@@ -499,7 +511,7 @@ def _batched_unmap(y, mode: int, threshold: float):
     return unmap_float(y, mode, threshold)
 
 
-def _decompress_snapshot_batched(segments) -> Optional[dict]:
+def _decompress_snapshot_batched(segments, want=None) -> Optional[dict]:
     """Batched decode of a uniform snapshot file; None if the file doesn't
     fit the writer's structure (caller falls back)."""
     from ..algos.blocks import decode_block
@@ -528,6 +540,8 @@ def _decompress_snapshot_batched(segments) -> Optional[dict]:
     B = len(parsed)
     out = {}
     for fi, (code, _, _) in enumerate(sig):
+        if want is not None and code not in want:
+            continue
         blocks_by_seg = [p.fields[fi].blocks for p in parsed]
         if code in (int(FieldCode.POSN), int(FieldCode.VELC)):
             is_pos = code == int(FieldCode.POSN)

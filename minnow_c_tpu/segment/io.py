@@ -120,6 +120,47 @@ def _advance(offset: int, hd: IOHeader) -> int:
     return nxt
 
 
+def append_segments(fp: BinaryIO, seg_iter) -> int:
+    """Extend an existing chained file in place: walk the IOHeader chain
+    from the current position, patch the last header's ``NextIOHeader``
+    to point at the file end, and stream the new segments there.
+    ``seg_iter`` yields ``(segment_bytes, (origin, width) | None)`` pairs
+    (as in :func:`write_segments_streaming`).  ``fp`` must be opened for
+    read+write.  Returns the number of segments appended.
+
+    Segments are independent and self-describing, so appending never
+    rewrites existing data -- only the 8-byte chain link is patched
+    (the durability story: a crash mid-append leaves the original file
+    intact apart from a link to a truncated tail, which iteration
+    reports as a short read)."""
+    import struct as _struct
+    start = fp.tell()
+    last_off = None
+    offset = start
+    while True:
+        fp.seek(offset)
+        raw = fp.read(IO_HEADER_BYTES)
+        if len(raw) < IO_HEADER_BYTES:
+            if last_off is not None:
+                raise ValueError("truncated IOHeader chain")
+            break  # empty file: plain write from start
+        hd = IOHeader.unpack(raw)
+        last_off = offset
+        nxt = _advance(offset, hd)
+        if nxt == 0:
+            break
+        offset = nxt
+    fp.seek(0, 2)
+    end = fp.tell()
+    if last_off is not None:
+        fp.seek(last_off + 40)  # NextIOHeader is the trailing u64
+        fp.write(_struct.pack("<Q", end))
+        fp.seek(end)
+    else:
+        fp.seek(start)
+    return write_segments_streaming(fp, seg_iter)
+
+
 def iter_segments(fp: BinaryIO) -> Iterator[Tuple[IOHeader, bytes]]:
     """Iterate (header, segment bytes) pairs following the chain."""
     offset = fp.tell()

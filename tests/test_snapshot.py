@@ -225,3 +225,22 @@ class TestBatchedDecode:
         out = snapshot.decompress_snapshot(buf, batched=True)  # falls back
         sl = lambda x: np.sign(x) * np.log10(1 + np.abs(x))
         assert np.abs(sl(out["vel"]) - sl(vel)).max() <= 1.2e-3
+
+
+def test_snapshot_field_filter():
+    """decompress_snapshot(fields=...) returns only the requested
+    fields, bit-identical to a full read, on both the batched and the
+    per-segment paths."""
+    pos, vel, ids = make_snapshot(n=16384)
+    buf = _io.BytesIO()
+    snapshot.compress_snapshot(buf, pos, vel, ids, SPEC, num_blocks=4,
+                               seed=3)
+    buf.seek(0)
+    full = snapshot.decompress_snapshot(buf)
+    for batched in (True, False):
+        buf.seek(0)
+        got = snapshot.decompress_snapshot(buf, batched=batched,
+                                           fields={"pos"})
+        assert set(got) == {"pos"}
+        np.testing.assert_array_equal(np.asarray(got["pos"]),
+                                      np.asarray(full["pos"]))

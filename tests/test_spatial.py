@@ -147,3 +147,31 @@ def test_periodic_seam_touching_counts():
     assert box_intersects((56.0, 0.0, 0.0), (8.0, 1.0, 1.0),
                           (0.0, 0.0, 0.0), (2.0, 1.0, 1.0),
                           periodic=64.0)
+
+
+def test_append_segments_extends_chain():
+    """append_segments patches only the last chain link and the new
+    segments become part of one chain."""
+    import io as _io
+    from minnow_c_tpu.segment import io as seg_io
+    buf = _io.BytesIO()
+    seg_io.write_segments(buf, [b"A" * 8, b"B" * 16])
+    before = buf.getvalue()
+    buf.seek(0)
+    n = seg_io.append_segments(buf, iter([(b"C" * 24, None),
+                                          (b"D" * 8, ((1, 2, 3),
+                                                      (4, 5, 6)))]))
+    assert n == 2
+    buf.seek(0)
+    got = [seg for _, seg in seg_io.iter_segments(buf)]
+    assert got == [b"A" * 8, b"B" * 16, b"C" * 24, b"D" * 8]
+    # original bytes untouched except the patched 8-byte link
+    after = buf.getvalue()
+    diffs = [i for i in range(len(before)) if before[i] != after[i]]
+    link = set(range(48 + 8 + 40, 48 + 8 + 48))  # 2nd header's u64 link
+    assert diffs and set(diffs) <= link
+    # appending to an empty file is a plain write
+    buf2 = _io.BytesIO()
+    assert seg_io.append_segments(buf2, iter([(b"X" * 8, None)])) == 1
+    buf2.seek(0)
+    assert [seg for _, seg in seg_io.iter_segments(buf2)] == [b"X" * 8]
