@@ -5,6 +5,9 @@ Usage::
     python -m minnow_c_tpu compress   snap.g2 out.g2.min [--pos-delta X]
     python -m minnow_c_tpu decompress out.g2.min snap.g2
     python -m minnow_c_tpu info       out.g2.min
+    python -m minnow_c_tpu verify     out.g2.min
+    python -m minnow_c_tpu repack     out.g2.min out.cart.min --algo Cart
+    python -m minnow_c_tpu query     out.g2.min --origin X Y Z --size W H D
 """
 
 from __future__ import annotations
