@@ -11,7 +11,7 @@ included) against that reference size.
 
 Wire bytes are backend-independent (encode is deterministic); this runs
 on the CPU backend.  Writes ``doc/ratio_table.md`` + ``ratio_results.json``
-and is summarized in BENCH_NOTES.md by bench_all.py.
+and feeds doc/ratio_table.md (written below) and the test_ratio_sweep invariants.
 """
 
 import json
@@ -58,7 +58,7 @@ DELTAS = {
 
 
 def datasets(n=N, seed=0):
-    """(field kind, ordering) -> (data array, accuracy builder)."""
+    """(field kind, ordering) -> data array."""
     rng = np.random.default_rng(seed)
     steps = rng.normal(0, 0.01, (3, n)).astype(np.float32)
     pos_coh = (np.cumsum(steps, axis=1) + W / 2).astype(np.float32) % W
@@ -155,10 +155,13 @@ def main():
             raw = arr.nbytes
             rows.append({"field": kind, "order": order, "delta": delta,
                          "raw": raw, "ref": ref, **cells})
-            best = min(v for v in cells.values() if isinstance(v, int))
+            ints = [v for v in cells.values() if isinstance(v, int)]
+            best = min(ints) if ints else None  # all codecs errored
+            verdict = "ERR" if best is None else (
+                "OK" if best <= ref + 512 else "OVER")
             print(f"{kind}/{order} d={delta:g}: ref={ref} "
-                  f"trim={cells['trim']} best={best} "
-                  f"({'OK' if best <= ref + 512 else 'OVER'})", flush=True)
+                  f"trim={cells['trim']} best={best} ({verdict})",
+                  flush=True)
 
     with open("ratio_results.json", "w") as f:
         json.dump(rows, f, indent=1)

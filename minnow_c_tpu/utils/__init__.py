@@ -1,4 +1,4 @@
-"""Cross-cutting utilities: profiling, buffers."""
+"""Cross-cutting utilities: profiling, the MINNOW_DEBUG assert tier (utils.debug), and input byte-order normalization (native_order)."""
 
 import numpy as np
 

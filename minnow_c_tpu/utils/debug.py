@@ -18,7 +18,13 @@ from __future__ import annotations
 
 import os
 
-_DEBUG = bool(int(os.environ.get("MINNOW_DEBUG", "0") or "0"))
+def _parse_flag(v: str) -> bool:
+    """Tolerant env-flag parse: 1/true/yes/on (any case) enable; bad
+    values must not crash package import."""
+    return v.strip().lower() in ("1", "true", "yes", "on")
+
+
+_DEBUG = _parse_flag(os.environ.get("MINNOW_DEBUG", "0"))
 
 
 def debug_enabled() -> bool:

@@ -337,3 +337,13 @@ def test_diff_coil_wide_range_uint_roundtrip():
         blob = api.compress_segment(seg, seed=1)
         out = api.decompress_segment(blob)
         np.testing.assert_array_equal(np.asarray(out.fields[0].data), vals)
+
+
+def test_unpack_chunks_rejects_bad_width_table():
+    """A wire-sourced chunk-width byte > 32 must fail cleanly (the
+    graceful-degradation contract), not IndexError inside the gather."""
+    from minnow_c_tpu.algos import chunked
+    body = np.zeros(64, dtype=np.uint32)
+    widths = np.array([8, 255], dtype=np.uint8)
+    with pytest.raises(ValueError, match="width"):
+        chunked.unpack_chunks(body, widths)

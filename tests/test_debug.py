@@ -53,3 +53,11 @@ class TestDebugAssert:
                                n),
             data=pos, acc=mnw.PositionAccuracy(delta=1e-3, width=W))
         engine.quantize(f, seed=1)  # invariant holds, no raise
+
+
+def test_debug_flag_tolerant_parse():
+    """MINNOW_DEBUG=true/on/yes must enable (not crash import)."""
+    from minnow_c_tpu.utils.debug import _parse_flag
+    assert _parse_flag("true") and _parse_flag("ON") and _parse_flag("1")
+    assert not _parse_flag("0") and not _parse_flag("") \
+        and not _parse_flag("garbage")
