@@ -40,6 +40,7 @@ from . import algos, quant, segment  # noqa: E402
 from .segment.api import (  # noqa: E402
     compress_segment,
     decompress_segment,
+    transcode_segment,
 )
 from .types import (  # noqa: E402
     AlgoCode,
