@@ -41,6 +41,22 @@ CHAIN = 128  # decodes per dispatch: amortizes remote-dispatch latency
 # from the previous step's decoded output, a true data dependency.
 
 
+WATCHDOG_S = 2100  # hard cap: cold remote compiles run minutes, not hours
+
+
+def _emit_failure(why):
+    # The driver records exactly one JSON line; a hung process records
+    # nothing.  If the TPU tunnel is down (observed multi-hour outages in
+    # this environment), report the failure honestly instead of hanging.
+    print(json.dumps({
+        "metric": "decode_fast_uniform_GBps_per_chip",
+        "value": 0.0,
+        "unit": "GB/s",
+        "vs_baseline": 0.0,
+        "error": why,
+    }), flush=True)
+
+
 def main():
     from minnow_c_tpu.ops import native
 
@@ -75,8 +91,28 @@ def main():
         "value": round(value, 3),
         "unit": "GB/s",
         "vs_baseline": round(value / BASELINE_GBPS, 3),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    import signal
+
+    def _on_alarm(signum, frame):
+        _emit_failure("watchdog: no result within %ds "
+                      "(TPU tunnel down or compile stuck)" % WATCHDOG_S)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(WATCHDOG_S)
+    try:
+        main()
+        signal.alarm(0)
+        # JAX teardown can itself hang on a flaky tunnel; the JSON line
+        # is flushed, so exit hard rather than risk recording nothing.
+        sys.stdout.flush()
+        os._exit(0)
+    except Exception as exc:  # noqa: BLE001 - report, don't hang the driver
+        signal.alarm(0)  # exactly one JSON line: no late-alarm second emit
+        _emit_failure("%s: %s" % (type(exc).__name__, exc))
+        sys.stdout.flush()
+        os._exit(2)

@@ -414,7 +414,18 @@ def decompress_snapshot(fp: BinaryIO, batched: bool = True,
     rest are skipped entirely (no decode work, no device transfers) and
     absent from the result.  Selected fields are bit-identical to a
     full read."""
-    want = None if fields is None else {_FIELD_BY_NAME[f] for f in fields}
+    want = None
+    if fields is not None:
+        want = set()
+        for f in fields:
+            if isinstance(f, (int, FieldCode)):  # accept FieldCode too,
+                want.add(int(f))  # matching decompress_segment(fields=...)
+            elif f in _FIELD_BY_NAME:
+                want.add(_FIELD_BY_NAME[f])
+            else:
+                raise ValueError(
+                    f"unknown field selector {f!r}: expected one of "
+                    f"{sorted(_FIELD_BY_NAME)} or a FieldCode")
     if box is not None:
         origin, width = box
         segments = [s for _, s in seg_io.iter_segments_intersecting(

@@ -179,10 +179,9 @@ def transcode_segment(data: bytes, algo: int,
     from copy import copy
     if version is None:
         version = registry.newest(algo)
-    cs = wire_to_cseg(data)
     parsed = wire.deserialize(data)
     out = []
-    for f, cf in zip(parsed.fields, cs.fields):
+    for f in parsed.fields:
         hd = FieldHeader(field_code=f.field_code, algo_code=f.algo_code,
                          algo_version=f.version,
                          particle_len=parsed.particle_num)

@@ -133,6 +133,7 @@ def append_segments(fp: BinaryIO, seg_iter) -> int:
     (the durability story: a crash mid-append leaves the original file
     intact apart from a link to a truncated tail, which iteration
     reports as a short read)."""
+    import itertools as _itertools
     import struct as _struct
     start = fp.tell()
     last_off = None
@@ -150,6 +151,14 @@ def append_segments(fp: BinaryIO, seg_iter) -> int:
         if nxt == 0:
             break
         offset = nxt
+    # Pull the first item BEFORE patching the chain link: an empty
+    # iterator must leave the file untouched (a patched link with no
+    # segment behind it would poison every later chain walk).
+    it = iter(seg_iter)
+    try:
+        first = next(it)
+    except StopIteration:
+        return 0
     fp.seek(0, 2)
     end = fp.tell()
     if last_off is not None:
@@ -158,7 +167,7 @@ def append_segments(fp: BinaryIO, seg_iter) -> int:
         fp.seek(end)
     else:
         fp.seek(start)
-    return write_segments_streaming(fp, seg_iter)
+    return write_segments_streaming(fp, _itertools.chain([first], it))
 
 
 def iter_segments(fp: BinaryIO) -> Iterator[Tuple[IOHeader, bytes]]:

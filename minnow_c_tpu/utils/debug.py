@@ -19,9 +19,16 @@ from __future__ import annotations
 import os
 
 def _parse_flag(v: str) -> bool:
-    """Tolerant env-flag parse: 1/true/yes/on (any case) enable; bad
+    """Tolerant env-flag parse: true/yes/on or any nonzero integer (e.g.
+    MINNOW_DEBUG=2, the common "more verbose" convention) enable; bad
     values must not crash package import."""
-    return v.strip().lower() in ("1", "true", "yes", "on")
+    s = v.strip().lower()
+    if s in ("true", "yes", "on"):
+        return True
+    try:
+        return int(s) != 0
+    except ValueError:
+        return False
 
 
 _DEBUG = _parse_flag(os.environ.get("MINNOW_DEBUG", "0"))

@@ -61,3 +61,11 @@ def test_debug_flag_tolerant_parse():
     assert _parse_flag("true") and _parse_flag("ON") and _parse_flag("1")
     assert not _parse_flag("0") and not _parse_flag("") \
         and not _parse_flag("garbage")
+
+
+def test_debug_flag_nonzero_integers_enable():
+    """MINNOW_DEBUG=2 (any nonzero int) enables, matching the historic
+    bool(int(...)) behavior."""
+    from minnow_c_tpu.utils.debug import _parse_flag
+    assert _parse_flag("2") and _parse_flag("-1") and _parse_flag(" 3 ")
+    assert not _parse_flag("00")

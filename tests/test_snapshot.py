@@ -244,3 +244,24 @@ def test_snapshot_field_filter():
         assert set(got) == {"pos"}
         np.testing.assert_array_equal(np.asarray(got["pos"]),
                                       np.asarray(full["pos"]))
+
+
+def test_snapshot_field_filter_selectors():
+    """FieldCode selectors work (matching decompress_segment), and an
+    unknown name raises ValueError naming the valid keys — not a bare
+    KeyError before the file is read."""
+    import pytest
+    pos, vel, ids = make_snapshot(n=4096)
+    buf = _io.BytesIO()
+    snapshot.compress_snapshot(buf, pos, vel, ids, SPEC, num_blocks=2,
+                               seed=3)
+    buf.seek(0)
+    full = snapshot.decompress_snapshot(buf)
+    buf.seek(0)
+    got = snapshot.decompress_snapshot(buf, fields={mnw.FieldCode.VELC})
+    assert set(got) == {"vel"}
+    np.testing.assert_array_equal(np.asarray(got["vel"]),
+                                  np.asarray(full["vel"]))
+    buf.seek(0)
+    with pytest.raises(ValueError, match="pos"):
+        snapshot.decompress_snapshot(buf, fields={"positions"})

@@ -175,3 +175,22 @@ def test_append_segments_extends_chain():
     assert seg_io.append_segments(buf2, iter([(b"X" * 8, None)])) == 1
     buf2.seek(0)
     assert [seg for _, seg in seg_io.iter_segments(buf2)] == [b"X" * 8]
+
+
+def test_append_segments_empty_iter_leaves_file_untouched():
+    """An empty append must not patch the chain link: a dangling
+    link-to-EOF would make every later walk fail as truncated."""
+    import io as _io
+    from minnow_c_tpu.segment import io as seg_io
+    buf = _io.BytesIO()
+    seg_io.write_segments(buf, [b"A" * 8, b"B" * 16])
+    before = buf.getvalue()
+    buf.seek(0)
+    assert seg_io.append_segments(buf, iter([])) == 0
+    assert buf.getvalue() == before
+    # the file is still appendable afterwards
+    buf.seek(0)
+    assert seg_io.append_segments(buf, iter([(b"C" * 8, None)])) == 1
+    buf.seek(0)
+    assert [s for _, s in seg_io.iter_segments(buf)] == \
+        [b"A" * 8, b"B" * 16, b"C" * 8]
