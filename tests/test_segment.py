@@ -406,9 +406,24 @@ class TestTranscodeAndFilter:
         blob = api.compress_segment(seg, seed=7)
         ref = api.decompress_segment(blob)
         for algo in (mnw.AlgoCode.DIFF, mnw.AlgoCode.CART,
-                     mnw.AlgoCode.TRIM):
+                     mnw.AlgoCode.TRIM, mnw.AlgoCode.COIL,
+                     mnw.AlgoCode.OCTO, mnw.AlgoCode.SORT):
             blob2 = api.transcode_segment(blob, algo)
             out = api.decompress_segment(blob2)
+            for a, b in zip(ref.fields, out.fields):
+                np.testing.assert_array_equal(np.asarray(a.data),
+                                              np.asarray(b.data))
+
+    def test_transcode_chain_zero_generation_loss(self):
+        """An archive migrated through several codecs over its lifetime
+        must decode bit-identically to the original at every hop."""
+        seg, *_ = make_seg(n=8192)
+        blob = api.compress_segment(seg, seed=11)
+        ref = api.decompress_segment(blob)
+        for algo in (mnw.AlgoCode.SORT, mnw.AlgoCode.COIL,
+                     mnw.AlgoCode.OCTO, mnw.AlgoCode.TRIM):
+            blob = api.transcode_segment(blob, algo)
+            out = api.decompress_segment(blob)
             for a, b in zip(ref.fields, out.fields):
                 np.testing.assert_array_equal(np.asarray(a.data),
                                               np.asarray(b.data))
