@@ -428,6 +428,30 @@ class TestTranscodeAndFilter:
                 np.testing.assert_array_equal(np.asarray(a.data),
                                               np.asarray(b.data))
 
+    def test_transcode_deltas_mode(self):
+        """Per-particle-depth (Deltas) streams transcode too: the
+        per-element depth table must survive the codec switch."""
+        rng = np.random.default_rng(3)
+        n = 8192
+        pos = rng.uniform(0, 64.0, (3, n)).astype(np.float32)
+        deltas = rng.choice([1e-2, 1e-3, 1e-4], n).astype(np.float32)
+        from minnow_c_tpu.algos import registry
+        f = mnw.Field(
+            hd=mnw.FieldHeader(mnw.FieldCode.POSN, mnw.AlgoCode.TRIM,
+                               registry.newest(mnw.AlgoCode.TRIM), n),
+            data=pos,
+            acc=mnw.PositionAccuracy(delta=1e-3, width=64.0,
+                                     deltas=deltas))
+        blob = api.compress_segment(mnw.Seg(fields=[f]), seed=9)
+        ref = api.decompress_segment(blob)
+        for algo in (mnw.AlgoCode.DIFF, mnw.AlgoCode.COIL,
+                     mnw.AlgoCode.SORT):
+            out = api.decompress_segment(
+                api.transcode_segment(blob, algo))
+            np.testing.assert_array_equal(
+                np.asarray(ref.fields[0].data),
+                np.asarray(out.fields[0].data))
+
     def test_transcode_refuses_corrupt_field(self):
         seg, *_ = make_seg(n=4096)
         blob = bytearray(api.compress_segment(seg, seed=2))
