@@ -347,3 +347,43 @@ def test_unpack_chunks_rejects_bad_width_table():
     widths = np.array([8, 255], dtype=np.uint8)
     with pytest.raises(ValueError, match="width"):
         chunked.unpack_chunks(body, widths)
+
+
+@pytest.mark.parametrize("n", [1, 33])
+def test_tiny_and_odd_segments_all_codecs(n):
+    """Every codec must round-trip single-particle and odd-length
+    segments for all five field types (word-pad and per-dim edge
+    cases)."""
+    from minnow_c_tpu.segment import api
+    rng = np.random.default_rng(5 + n)
+    W = 64.0
+    pos = rng.uniform(0, W, (3, n)).astype(np.float32)
+    vel = rng.normal(0, 300, (3, n)).astype(np.float32)
+    ids = rng.permutation(np.arange(n, dtype=np.uint64) * 7 % (1024 ** 3))
+    unsf = np.abs(rng.normal(1, 2, n)).astype(np.float32)
+    unsi = rng.integers(0, 1 << 40, n, dtype=np.uint64)
+    for algo in (mnw.AlgoCode.TRIM, mnw.AlgoCode.DIFF, mnw.AlgoCode.CART,
+                 mnw.AlgoCode.COIL, mnw.AlgoCode.OCTO, mnw.AlgoCode.SORT):
+        ver = registry.newest(algo)
+        fields = [
+            mnw.Field(hd=mnw.FieldHeader(mnw.FieldCode.POSN, algo, ver, n),
+                      data=pos,
+                      acc=mnw.PositionAccuracy(delta=1e-3, width=W)),
+            mnw.Field(hd=mnw.FieldHeader(mnw.FieldCode.VELC, algo, ver, n),
+                      data=vel, acc=mnw.VelocityAccuracy(delta=1.0)),
+            mnw.Field(hd=mnw.FieldHeader(mnw.FieldCode.PTID, algo, ver, n),
+                      data=ids, acc=mnw.IDAccuracy(width=1024)),
+            mnw.Field(hd=mnw.FieldHeader(mnw.FieldCode.UNSF, algo, ver, n),
+                      data=unsf, acc=mnw.FloatAccuracy(delta=1e-3)),
+            mnw.Field(hd=mnw.FieldHeader(mnw.FieldCode.UNSI, algo, ver, n),
+                      data=unsi, acc=mnw.IntAccuracy()),
+        ]
+        blob = api.compress_segment(mnw.Seg(fields=fields), seed=n)
+        out = api.decompress_segment(blob)
+        perr = np.abs(out.fields[0].data - pos)
+        perr = np.minimum(perr, W - perr)
+        assert (perr <= 1e-3).all()
+        assert (np.abs(out.fields[1].data - vel) <= 1.0).all()
+        assert (np.asarray(out.fields[2].data) == ids).all()
+        assert (np.abs(out.fields[3].data - unsf) <= 1e-3).all()
+        assert (np.asarray(out.fields[4].data) == unsi).all()
