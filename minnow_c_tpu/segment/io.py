@@ -109,10 +109,18 @@ def write_segments_streaming(fp: BinaryIO, seg_iter) -> int:
     return count
 
 
+_SANE_U64 = 1 << 62  # IOHeaders carry no checksum: bound u64 fields so a
+# corrupt value raises ValueError instead of OverflowError inside
+# fp.seek/fp.read (C ssize_t limits)
+
+
 def _advance(offset: int, hd: IOHeader) -> int:
     """Next chain offset; a corrupt NextIOHeader that fails to advance
     (IOHeaders carry no checksum) must error, not loop forever."""
     nxt = hd.next_io_header
+    if nxt >= _SANE_U64:
+        raise ValueError(
+            f"corrupt IOHeader: NextIOHeader {nxt:#x} out of range")
     if nxt != 0 and nxt <= offset:
         raise ValueError(
             f"corrupt IOHeader chain: NextIOHeader {nxt:#x} does not "
@@ -170,6 +178,22 @@ def append_segments(fp: BinaryIO, seg_iter) -> int:
     return write_segments_streaming(fp, _itertools.chain([first], it))
 
 
+def _read_body(fp: BinaryIO, hd: IOHeader) -> bytes:
+    """Read a segment body, validating the unchecksummed u64 length
+    (a corrupt SegmentBytes must raise ValueError, not OverflowError
+    inside fp.read or a misleading underflow later)."""
+    if hd.segment_bytes >= _SANE_U64:
+        raise ValueError(
+            f"corrupt IOHeader: SegmentBytes {hd.segment_bytes:#x} "
+            "out of range")
+    seg = fp.read(hd.segment_bytes)
+    if len(seg) < hd.segment_bytes:
+        raise ValueError(
+            f"truncated segment body: header claims "
+            f"{hd.segment_bytes} bytes, file has {len(seg)}")
+    return seg
+
+
 def iter_segments(fp: BinaryIO) -> Iterator[Tuple[IOHeader, bytes]]:
     """Iterate (header, segment bytes) pairs following the chain."""
     offset = fp.tell()
@@ -179,7 +203,7 @@ def iter_segments(fp: BinaryIO) -> Iterator[Tuple[IOHeader, bytes]]:
         if len(raw) < IO_HEADER_BYTES:
             return
         hd = IOHeader.unpack(raw)
-        yield hd, fp.read(hd.segment_bytes)
+        yield hd, _read_body(fp, hd)
         nxt = _advance(offset, hd)
         if nxt == 0:
             return
@@ -241,7 +265,7 @@ def iter_segments_intersecting(fp: BinaryIO, origin, width,
             return
         hd = IOHeader.unpack(raw)
         if box_intersects(hd.origin, hd.width, origin, width, periodic):
-            yield hd, fp.read(hd.segment_bytes)
+            yield hd, _read_body(fp, hd)
         nxt = _advance(offset, hd)
         if nxt == 0:
             return

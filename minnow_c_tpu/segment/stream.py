@@ -99,6 +99,12 @@ class Writer:
         return bytes(self._buf[start:stop])
 
 
+class StreamUnderflowError(EOFError, ValueError):
+    """Wire data ended early.  Subclasses both EOFError (the historic
+    type callers catch) and ValueError (the package's documented
+    corrupt-input contract), so either handler style works."""
+
+
 class Reader:
     """Offset-tracking little-endian reader (stream_NewReader/stream_Read,
     stream.c:29-52,89-110)."""
@@ -116,7 +122,7 @@ class Reader:
 
     def _take(self, n: int) -> memoryview:
         if self.offset + n > len(self._data):
-            raise EOFError(
+            raise StreamUnderflowError(
                 f"stream underflow: need {n} bytes at offset {self.offset}, "
                 f"only {self.remaining} remain")
         v = self._data[self.offset:self.offset + n]

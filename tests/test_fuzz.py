@@ -97,3 +97,35 @@ def test_fused_decode_short_block_list_degrades():
     out = api.decompress_segment(cut, fused=True)
     assert out.fields[0] is None or out.fields[0].data is None \
         or not getattr(out.fields[0], "valid", True)
+
+
+def test_file_layer_mutations_and_truncations():
+    """Whole-file fuzz through decompress_snapshot: every mutated or
+    truncated .min file must raise ValueError (the documented corrupt-
+    input contract) or decode -- never OverflowError from unchecked u64
+    header fields, bare EOFError, or an index crash."""
+    import io as _io
+    from minnow_c_tpu.parallel import snapshot
+    rng = np.random.default_rng(0)
+    n = 2048
+    pos = rng.uniform(0, 64.0, (3, n)).astype(np.float32)
+    spec = snapshot.SnapshotSpec(
+        pos=mnw.PositionAccuracy(delta=1e-3, width=64.0),
+        vel=None, ids=None)
+    buf = _io.BytesIO()
+    snapshot.compress_snapshot(buf, pos, None, None, spec, num_blocks=2,
+                               seed=1)
+    blob = buf.getvalue()
+    idxs = list(range(96)) + list(range(96, len(blob), 509))
+    for i in idxs:
+        b = bytearray(blob)
+        b[i] ^= 0xFF
+        try:
+            snapshot.decompress_snapshot(_io.BytesIO(bytes(b)))
+        except ValueError:
+            pass
+    for cut in range(0, len(blob), 251):
+        try:
+            snapshot.decompress_snapshot(_io.BytesIO(blob[:cut]))
+        except ValueError:
+            pass
