@@ -16,6 +16,24 @@ import argparse
 import sys
 
 
+def _skip_client_header(f) -> bytes:
+    """Archive commands accept both layouts: ``.g2.min`` files carry the
+    raw Gadget-2 header record before the IOHeader chain
+    (header_format.tex IO_format figure); plain ``.min`` files written
+    through the library API start directly at the 'Mnw\\0' magic.  Skips
+    and returns the client record if present, else b"" with the file
+    positioned at the chain start."""
+    import struct
+    from .drivers.gadget2 import _read_record
+    from .segment.io import MAGIC
+    pos = f.tell()
+    head = f.read(4)
+    f.seek(pos)
+    if len(head) == 4 and struct.unpack("<I", head)[0] == MAGIC:
+        return b""
+    return _read_record(f)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="minnow_c_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -77,11 +95,10 @@ def main(argv=None):
         print(f"{args.output}: box {hdr.box_size}, z={hdr.redshift}, "
               f"npart {sum(hdr.npart)}")
     elif args.cmd == "info":
-        from .drivers.gadget2 import _read_record
         from .segment import io as seg_io
         from . import semver
         with open(args.input, "rb") as f:
-            _read_record(f)  # skip the raw client header
+            _skip_client_header(f)
             for k, hd in enumerate(seg_io.iter_headers(f)):
                 geom = "no geometry" if all(
                     w == 0.0 for w in hd.width) else \
@@ -90,7 +107,7 @@ def main(argv=None):
                 print(f"segment {k}: {hd.segment_bytes} bytes, "
                       f"library v{semver.to_string(hd.version)}, {geom}")
     elif args.cmd == "repack":
-        from .drivers.gadget2 import _read_record, _write_record
+        from .drivers.gadget2 import _write_record
         from .segment import io as seg_io
         from .segment.api import transcode_segment
         from .types import AlgoCode
@@ -100,7 +117,9 @@ def main(argv=None):
             raise SystemExit(f"unknown codec {args.algo!r}")
         import os
         with open(args.input, "rb") as fin, open(args.output, "wb") as fo:
-            _write_record(fo, _read_record(fin))  # client header verbatim
+            client = _skip_client_header(fin)
+            if client:
+                _write_record(fo, client)  # client header verbatim
             pairs = ((transcode_segment(seg, algo), (hd.origin, hd.width))
                      for hd, seg in seg_io.iter_segments(fin))
             n = seg_io.write_segments_streaming(fo, pairs)
@@ -109,38 +128,42 @@ def main(argv=None):
         print(f"{args.output}: {n} segments transcoded to "
               f"{args.algo}, {a} -> {b} bytes ({b / a:.3f}x)")
     elif args.cmd == "verify":
-        from .drivers.gadget2 import _read_record
         from .segment import io as seg_io, format as seg_fmt
         bad = total_seg = total_blocks = bad_blocks = 0
         with open(args.input, "rb") as f:
-            _read_record(f)  # skip the raw client header
-            for k, (hd, seg_bytes) in enumerate(seg_io.iter_segments(f)):
-                total_seg += 1
-                try:
-                    parsed = seg_fmt.deserialize(seg_bytes)
-                except Exception as e:
-                    print(f"segment {k}: UNPARSEABLE ({e})")
-                    bad += 1
-                    continue
-                for fld in parsed.fields:
-                    total_blocks += len(fld.blocks)
-                    nbad = sum(b is None for b in fld.blocks)
-                    bad_blocks += nbad
-                    if nbad:
-                        code = fld.field_code.to_bytes(
-                            4, "little").decode("ascii", "replace")
-                        print(f"segment {k} field {code!r}: {nbad} of "
-                              f"{len(fld.blocks)} blocks corrupt")
+            try:
+                _skip_client_header(f)
+                for k, (hd, seg_bytes) in enumerate(
+                        seg_io.iter_segments(f)):
+                    total_seg += 1
+                    try:
+                        parsed = seg_fmt.deserialize(seg_bytes)
+                    except Exception as e:
+                        print(f"segment {k}: UNPARSEABLE ({e})")
                         bad += 1
+                        continue
+                    for fld in parsed.fields:
+                        total_blocks += len(fld.blocks)
+                        nbad = sum(b is None for b in fld.blocks)
+                        bad_blocks += nbad
+                        if nbad:
+                            code = fld.field_code.to_bytes(
+                                4, "little").decode("ascii", "replace")
+                            print(f"segment {k} field {code!r}: {nbad} of "
+                                  f"{len(fld.blocks)} blocks corrupt")
+                            bad += 1
+            except ValueError as e:
+                # a corrupt IOHeader chain ends the walk, not the tool
+                print(f"chain walk aborted: {e}")
+                bad += 1
         status = "OK" if bad == 0 else "CORRUPT"
         print(f"{args.input}: {status} -- {total_seg} segments, "
               f"{total_blocks} blocks, {bad_blocks} corrupt")
         return 0 if bad == 0 else 1
     elif args.cmd == "query":
-        from .drivers.gadget2 import _read_record
         from .segment import io as seg_io
         with open(args.input, "rb") as f:
-            _read_record(f)
+            _skip_client_header(f)
             total = hits = 0
             start = f.tell()
             for hd in seg_io.iter_headers(f):

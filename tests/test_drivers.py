@@ -160,3 +160,51 @@ def test_illustris_negative_coordinates_roundtrip(tmp_path):
         assert f["Header"].attrs["NumPart_ThisFile"][1] == n  # attrs kept
     assert np.abs(got - coords).max() <= 1e-3
     assert got.min() < 0  # negatives actually restored
+
+
+def test_cli_archive_commands_on_plain_min_files(tmp_path):
+    """info/verify/query/repack accept plain .min files (no Gadget-2
+    client header, chain starts at the Mnw magic) as well as .g2.min --
+    and verify reports a corrupt chain instead of crashing."""
+    import struct
+    import minnow_c_tpu as mnw
+    from minnow_c_tpu.parallel import snapshot
+    rng = np.random.default_rng(2)
+    n = 4096
+    pos = rng.uniform(0, 64.0, (3, n)).astype(np.float32)
+    spec = snapshot.SnapshotSpec(
+        pos=mnw.PositionAccuracy(delta=1e-3, width=64.0),
+        vel=None, ids=None)
+    plain = tmp_path / "plain.min"
+    with open(plain, "wb") as f:
+        snapshot.compress_snapshot(f, pos, None, None, spec,
+                                   num_blocks=2, seed=1)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cwd = os.path.dirname(os.path.dirname(__file__))
+
+    def run(*cmd):
+        return subprocess.run(
+            [sys.executable, "-m", "minnow_c_tpu", *cmd],
+            capture_output=True, text=True, env=env, cwd=cwd)
+
+    r = run("verify", str(plain))
+    assert r.returncode == 0, r.stderr
+    assert " OK " in r.stdout
+    r = run("info", str(plain))
+    assert r.returncode == 0 and "segment 1" in r.stdout, r.stderr
+    r = run("query", str(plain), "--origin", "0", "0", "0",
+            "--size", "64", "64", "64")
+    assert r.returncode == 0 and "2 of 2" in r.stdout, r.stderr
+    out = tmp_path / "plain.cart.min"
+    r = run("repack", str(plain), str(out), "--algo", "Cart")
+    assert r.returncode == 0, r.stderr
+    r = run("verify", str(out))
+    assert r.returncode == 0, r.stderr
+    # corrupt chain (huge SegmentBytes): report CORRUPT, don't crash
+    blob = bytearray(plain.read_bytes())
+    blob[32:40] = struct.pack("<Q", 2 ** 64 - 1)
+    badf = tmp_path / "chain.min"
+    badf.write_bytes(bytes(blob))
+    r = run("verify", str(badf))
+    assert r.returncode == 1, r.stderr
+    assert "CORRUPT" in r.stdout and "Traceback" not in r.stderr
