@@ -51,3 +51,69 @@ def test_roundtrip(tmp_path):
             assert np.abs(np.asarray(f[t]["Velocities"]) - vel).max() <= 1.0
             np.testing.assert_array_equal(
                 np.asarray(f[t]["ParticleIDs"]), ids)
+
+
+def test_multi_file_roundtrip(tmp_path):
+    """compress_multi merges a chunked snapshot (the real Illustris
+    layout: snap_X.0.hdf5 ... snap_X.N-1.hdf5) into one archive that
+    decompresses to the concatenated logical snapshot."""
+    box = 75000.0
+    paths, want = [], {}
+    sizes = [3000, 1000, 2000]  # ragged chunks, incl. a type-0-only file
+    for i, n in enumerate(sizes):
+        p = tmp_path / f"snap.{i}.hdf5"
+        data = make_h5(str(p), n=n, box=box, seed=10 + i,
+                       two_types=(i != 1))
+        paths.append(str(p))
+        for t, (pos, vel, ids) in data.items():
+            w = want.setdefault(t, ([], [], []))
+            w[0].append(pos), w[1].append(vel), w[2].append(ids)
+    comp = tmp_path / "snap.il.min"
+    with open(comp, "wb") as f:
+        stats = illustris.compress_multi(paths, f, pos_delta=1.0,
+                                         vel_delta=1.0, seed=3)
+    back = tmp_path / "merged.hdf5"
+    with open(comp, "rb") as f:
+        meta = illustris.decompress(f, str(back))
+    assert meta["files"] == paths
+    with h5py.File(back, "r") as f:
+        for t, (ps, vs, is_) in want.items():
+            pos = np.concatenate(ps)
+            vel = np.concatenate(vs)
+            ids = np.concatenate(is_)
+            assert f[t]["Coordinates"].shape == pos.shape
+            err = np.abs(np.asarray(f[t]["Coordinates"]) - pos)
+            err = np.minimum(err, box - err)
+            assert err.max() <= 1.0
+            assert np.abs(np.asarray(f[t]["Velocities"]) - vel).max() <= 1.0
+            np.testing.assert_array_equal(
+                np.asarray(f[t]["ParticleIDs"]), ids)
+
+
+def test_multi_file_nonperiodic_offsets(tmp_path):
+    """Per-chunk pos_offset: non-periodic chunks with different negative
+    ranges must each restore their own offset."""
+    paths, want = [], []
+    for i in range(2):
+        p = tmp_path / f"z.{i}.hdf5"
+        rng = np.random.default_rng(20 + i)
+        pos = rng.uniform(-500.0 * (i + 1), 200.0, (1500, 3)).astype(
+            np.float32)
+        with h5py.File(p, "w") as f:
+            hdr = f.create_group("Header")
+            hdr.attrs["BoxSize"] = 0.0
+            g = f.create_group("PartType1")
+            g.create_dataset("Coordinates", data=pos)
+        paths.append(str(p))
+        want.append(pos)
+    comp = tmp_path / "z.il.min"
+    with open(comp, "wb") as f:
+        illustris.compress_multi(paths, f, pos_delta=0.01)
+    back = tmp_path / "z.hdf5"
+    with open(comp, "rb") as f:
+        illustris.decompress(f, str(back))
+    with h5py.File(back, "r") as f:
+        got = np.asarray(f["PartType1"]["Coordinates"])
+    exp = np.concatenate(want)
+    assert got.shape == exp.shape
+    assert np.abs(got - exp).max() <= 0.01
