@@ -99,7 +99,8 @@ def main(argv=None):
         from . import semver
         with open(args.input, "rb") as f:
             _skip_client_header(f)
-            for k, hd in enumerate(seg_io.iter_headers(f)):
+            for k, hd in enumerate(seg_io.iter_headers(
+                    f, all_chains=True)):
                 geom = "no geometry" if all(
                     w == 0.0 for w in hd.width) else \
                     (f"box {tuple(round(o, 3) for o in hd.origin)} + "
@@ -120,9 +121,19 @@ def main(argv=None):
             client = _skip_client_header(fin)
             if client:
                 _write_record(fo, client)  # client header verbatim
-            pairs = ((transcode_segment(seg, algo), (hd.origin, hd.width))
-                     for hd, seg in seg_io.iter_segments(fin))
-            n = seg_io.write_segments_streaming(fo, pairs)
+            # Transcode chain by chain so multi-chain archives (e.g.
+            # .il.min: one chain per particle type) keep their chain
+            # boundaries -- readers rely on NextIOHeader = 0 per chain.
+            n = 0
+            while True:
+                pos = fin.tell()
+                if len(fin.read(1)) == 0:
+                    break  # end of file
+                fin.seek(pos)
+                pairs = ((transcode_segment(seg, algo),
+                          (hd.origin, hd.width))
+                         for hd, seg in seg_io.iter_segments(fin))
+                n += seg_io.write_segments_streaming(fo, pairs)
         a = os.path.getsize(args.input)
         b = os.path.getsize(args.output)
         print(f"{args.output}: {n} segments transcoded to "
@@ -134,7 +145,7 @@ def main(argv=None):
             try:
                 _skip_client_header(f)
                 for k, (hd, seg_bytes) in enumerate(
-                        seg_io.iter_segments(f)):
+                        seg_io.iter_segments(f, all_chains=True)):
                     total_seg += 1
                     try:
                         parsed = seg_fmt.deserialize(seg_bytes)
@@ -166,12 +177,12 @@ def main(argv=None):
             _skip_client_header(f)
             total = hits = 0
             start = f.tell()
-            for hd in seg_io.iter_headers(f):
+            for hd in seg_io.iter_headers(f, all_chains=True):
                 total += 1
             f.seek(start)
             for hd, _seg in seg_io.iter_segments_intersecting(
                     f, tuple(args.origin), tuple(args.size),
-                    args.periodic):
+                    args.periodic, all_chains=True):
                 hits += 1
             print(f"{hits} of {total} segments intersect "
                   f"[{args.origin}, +{args.size}]")

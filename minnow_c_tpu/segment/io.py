@@ -194,8 +194,16 @@ def _read_body(fp: BinaryIO, hd: IOHeader) -> bytes:
     return seg
 
 
-def iter_segments(fp: BinaryIO) -> Iterator[Tuple[IOHeader, bytes]]:
-    """Iterate (header, segment bytes) pairs following the chain."""
+def iter_segments(fp: BinaryIO,
+                  all_chains: bool = False
+                  ) -> Iterator[Tuple[IOHeader, bytes]]:
+    """Iterate (header, segment bytes) pairs following the chain.
+
+    A file may hold several consecutive chains (e.g. one per particle
+    type in ``.il.min`` archives); by default iteration stops at the
+    first chain's ``NextIOHeader = 0`` terminator with the file
+    positioned at the next chain.  ``all_chains=True`` keeps going
+    through every chain until end of file."""
     offset = fp.tell()
     while True:
         fp.seek(offset)
@@ -206,7 +214,9 @@ def iter_segments(fp: BinaryIO) -> Iterator[Tuple[IOHeader, bytes]]:
         yield hd, _read_body(fp, hd)
         nxt = _advance(offset, hd)
         if nxt == 0:
-            return
+            if not all_chains:
+                return
+            nxt = offset + IO_HEADER_BYTES + hd.segment_bytes
         offset = nxt
 
 
@@ -251,12 +261,13 @@ def box_intersects(origin, width, q_origin, q_width,
 
 
 def iter_segments_intersecting(fp: BinaryIO, origin, width,
-                               periodic=None
+                               periodic=None, all_chains: bool = False
                                ) -> Iterator[Tuple[IOHeader, bytes]]:
     """Skip-ahead spatial query: yield only the (header, segment bytes)
     pairs whose IOHeader bounding box intersects the query box
     [origin, origin+width].  Non-matching segments are skipped without
-    reading their bodies (seek straight to NextIOHeader)."""
+    reading their bodies (seek straight to NextIOHeader).
+    ``all_chains`` as in :func:`iter_segments`."""
     offset = fp.tell()
     while True:
         fp.seek(offset)
@@ -264,16 +275,24 @@ def iter_segments_intersecting(fp: BinaryIO, origin, width,
         if len(raw) < IO_HEADER_BYTES:
             return
         hd = IOHeader.unpack(raw)
+        if hd.segment_bytes >= _SANE_U64:
+            raise ValueError(
+                f"corrupt IOHeader: SegmentBytes {hd.segment_bytes:#x} "
+                "out of range")
         if box_intersects(hd.origin, hd.width, origin, width, periodic):
             yield hd, _read_body(fp, hd)
         nxt = _advance(offset, hd)
         if nxt == 0:
-            return
+            if not all_chains:
+                return
+            nxt = offset + IO_HEADER_BYTES + hd.segment_bytes
         offset = nxt
 
 
-def iter_headers(fp: BinaryIO) -> Iterator[IOHeader]:
-    """Skip-ahead iteration over headers only (no segment reads)."""
+def iter_headers(fp: BinaryIO, all_chains: bool = False
+                 ) -> Iterator[IOHeader]:
+    """Skip-ahead iteration over headers only (no segment reads).
+    ``all_chains`` as in :func:`iter_segments`."""
     offset = fp.tell()
     while True:
         fp.seek(offset)
@@ -281,8 +300,14 @@ def iter_headers(fp: BinaryIO) -> Iterator[IOHeader]:
         if len(raw) < IO_HEADER_BYTES:
             return
         hd = IOHeader.unpack(raw)
+        if hd.segment_bytes >= _SANE_U64:
+            raise ValueError(
+                f"corrupt IOHeader: SegmentBytes {hd.segment_bytes:#x} "
+                "out of range")
         yield hd
         nxt = _advance(offset, hd)
         if nxt == 0:
-            return
+            if not all_chains:
+                return
+            nxt = offset + IO_HEADER_BYTES + hd.segment_bytes
         offset = nxt

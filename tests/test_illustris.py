@@ -117,3 +117,40 @@ def test_multi_file_nonperiodic_offsets(tmp_path):
     exp = np.concatenate(want)
     assert got.shape == exp.shape
     assert np.abs(got - exp).max() <= 0.01
+
+
+def test_cli_archive_commands_on_multi_chain_il_min(tmp_path):
+    """verify/info/repack walk ALL chains of an .il.min archive (one
+    chain per particle type), not just the first."""
+    import os
+    import subprocess
+    import sys
+    data = make_h5(str(tmp_path / "s.hdf5"), n=2048, two_types=True)
+    comp = tmp_path / "s.il.min"
+    with open(comp, "wb") as f:
+        illustris.compress(str(tmp_path / "s.hdf5"), f, pos_delta=1.0)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cwd = os.path.dirname(os.path.dirname(__file__))
+
+    def run(*cmd):
+        return subprocess.run(
+            [sys.executable, "-m", "minnow_c_tpu", *cmd],
+            capture_output=True, text=True, env=env, cwd=cwd)
+
+    r = run("verify", str(comp))
+    assert r.returncode == 0, r.stderr
+    assert "2 segments" in r.stdout  # both type chains walked
+    r = run("info", str(comp))
+    assert r.returncode == 0 and "segment 1" in r.stdout
+    out = tmp_path / "s.diff.il.min"
+    r = run("repack", str(comp), str(out), "--algo", "Diff")
+    assert r.returncode == 0, r.stderr
+    assert "2 segments transcoded" in r.stdout
+    # chain boundaries preserved: the repacked archive still decompresses
+    back = tmp_path / "back.hdf5"
+    with open(out, "rb") as f:
+        illustris.decompress(f, str(back))
+    with h5py.File(back, "r") as f:
+        for t, (pos, vel, ids) in data.items():
+            np.testing.assert_array_equal(
+                np.asarray(f[t]["ParticleIDs"]), ids)
