@@ -3,7 +3,9 @@
 Usage::
 
     python -m minnow_c_tpu compress   snap.g2 out.g2.min [--pos-delta X]
+    python -m minnow_c_tpu compress   snap.0.hdf5 snap.1.hdf5 out.il.min
     python -m minnow_c_tpu decompress out.g2.min snap.g2
+    python -m minnow_c_tpu decompress out.il.min snap.hdf5
     python -m minnow_c_tpu info       out.g2.min
     python -m minnow_c_tpu verify     out.g2.min
     python -m minnow_c_tpu repack     out.g2.min out.cart.min --algo Cart
@@ -14,6 +16,24 @@ from __future__ import annotations
 
 import argparse
 import sys
+
+
+_HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
+
+
+def _is_hdf5(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(8) == _HDF5_MAGIC
+
+
+def _is_illustris_min(path: str) -> bool:
+    """.il.min carries a JSON meta record first; .g2.min carries the raw
+    256-byte Gadget-2 header record.  Peek past the 4-byte record length."""
+    import struct
+    with open(path, "rb") as f:
+        raw = f.read(5)
+    return len(raw) == 5 and struct.unpack("<I", raw[:4])[0] > 0 \
+        and raw[4:5] == b"{"
 
 
 def _skip_client_header(f) -> bytes:
@@ -38,15 +58,19 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="minnow_c_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    c = sub.add_parser("compress", help="Gadget-2 snapshot -> .g2.min")
-    c.add_argument("input")
+    c = sub.add_parser(
+        "compress",
+        help="Gadget-2 or Illustris-HDF5 snapshot -> .min (HDF5 chunk "
+             "files may be listed together and merge into one archive)")
+    c.add_argument("input", nargs="+")
     c.add_argument("output")
     c.add_argument("--pos-delta", type=float, default=1e-3)
     c.add_argument("--vel-delta", type=float, default=1.0)
     c.add_argument("--blocks", type=int, default=None)
     c.add_argument("--seed", type=int, default=0)
 
-    d = sub.add_parser("decompress", help=".g2.min -> Gadget-2 snapshot")
+    d = sub.add_parser("decompress",
+                       help=".g2.min -> Gadget-2 / .il.min -> HDF5")
     d.add_argument("input")
     d.add_argument("output")
 
@@ -77,23 +101,58 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.cmd == "compress":
-        from .drivers import gadget2
-        with open(args.input, "rb") as fin, open(args.output, "wb") as fout:
-            stats = gadget2.compress(fin, fout, pos_delta=args.pos_delta,
-                                     vel_delta=args.vel_delta,
-                                     num_blocks=args.blocks, seed=args.seed)
         import os
-        raw = os.path.getsize(args.input)
+        hdf5 = [_is_hdf5(path) for path in args.input]
+        if any(hdf5) and not all(hdf5):
+            raise SystemExit("cannot mix HDF5 and Gadget-2 inputs")
+        if all(hdf5):
+            from .drivers import illustris
+            with open(args.output, "wb") as fout:
+                if len(args.input) == 1:
+                    stats = illustris.compress(
+                        args.input[0], fout, pos_delta=args.pos_delta,
+                        vel_delta=args.vel_delta, seed=args.seed)
+                else:
+                    stats = illustris.compress_multi(
+                        args.input, fout, pos_delta=args.pos_delta,
+                        vel_delta=args.vel_delta, seed=args.seed)
+            n = sum(e["n"] for e in stats["meta"]["part_types"])
+            types = ", ".join(e["name"] for e in stats["meta"]["part_types"])
+        else:
+            if len(args.input) != 1:
+                raise SystemExit(
+                    "Gadget-2 compress takes exactly one input file")
+            from .drivers import gadget2
+            with open(args.input[0], "rb") as fin, \
+                    open(args.output, "wb") as fout:
+                stats = gadget2.compress(
+                    fin, fout, pos_delta=args.pos_delta,
+                    vel_delta=args.vel_delta,
+                    num_blocks=args.blocks, seed=args.seed)
+            n = stats["n"]
+            types = f"{stats['num_blocks']} segments"
+        raw = sum(os.path.getsize(path) for path in args.input)
         out = os.path.getsize(args.output)
-        print(f"{args.input}: {stats['n']} particles, "
-              f"{stats['num_blocks']} segments, {raw} -> {out} bytes "
+        src = args.input[0] if len(args.input) == 1 else \
+            f"{len(args.input)} chunk files"
+        print(f"{src}: {n} particles ({types}), {raw} -> {out} bytes "
               f"(ratio {out / raw:.3f})")
     elif args.cmd == "decompress":
-        from .drivers import gadget2
-        with open(args.input, "rb") as fin, open(args.output, "wb") as fout:
-            hdr = gadget2.decompress(fin, fout)
-        print(f"{args.output}: box {hdr.box_size}, z={hdr.redshift}, "
-              f"npart {sum(hdr.npart)}")
+        if _is_illustris_min(args.input):
+            from .drivers import illustris
+            with open(args.input, "rb") as fin:
+                meta = illustris.decompress(fin, args.output)
+            n = sum(e["n"] for e in meta["part_types"])
+            print(f"{args.output}: box {meta['box_size']}, "
+                  f"z={meta['redshift']}, {n} particles, "
+                  f"{len(meta['part_types'])} particle types")
+        else:
+            from .drivers import gadget2
+            with open(args.input, "rb") as fin, \
+                    open(args.output, "wb") as fout:
+                hdr = gadget2.decompress(fin, fout)
+            print(f"{args.output}: box {hdr.box_size}, z={hdr.redshift}, "
+                  f"npart {sum(hdr.npart)}")
     elif args.cmd == "info":
         from .segment import io as seg_io
         from . import semver

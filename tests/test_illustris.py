@@ -154,3 +154,44 @@ def test_cli_archive_commands_on_multi_chain_il_min(tmp_path):
         for t, (pos, vel, ids) in data.items():
             np.testing.assert_array_equal(
                 np.asarray(f[t]["ParticleIDs"]), ids)
+
+
+def test_cli_compress_decompress_routes_hdf5(tmp_path):
+    """CLI compress/decompress detect HDF5 inputs by magic (single file
+    and multi-chunk merge) and route .il.min back to HDF5."""
+    import os
+    import subprocess
+    import sys
+    box = 75000.0
+    paths, want = [], []
+    for i, n in enumerate((1024, 1536)):
+        p = tmp_path / f"snap.{i}.hdf5"
+        make_h5(str(p), n=n, box=box, seed=20 + i)
+        paths.append(str(p))
+        with h5py.File(p, "r") as f:
+            want.append(np.asarray(f["PartType1"]["Coordinates"]))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cwd = os.path.dirname(os.path.dirname(__file__))
+
+    def run(*cmd):
+        return subprocess.run(
+            [sys.executable, "-m", "minnow_c_tpu", *cmd],
+            capture_output=True, text=True, env=env, cwd=cwd)
+
+    comp = tmp_path / "snap.il.min"
+    r = run("compress", *paths, str(comp), "--pos-delta", "1.0")
+    assert r.returncode == 0, r.stderr
+    assert "2560 particles" in r.stdout
+    back = tmp_path / "back.hdf5"
+    r = run("decompress", str(comp), str(back))
+    assert r.returncode == 0, r.stderr
+    assert "2560 particles" in r.stdout
+    with h5py.File(back, "r") as f:
+        got = np.asarray(f["PartType1"]["Coordinates"])
+    exp = np.concatenate(want)
+    err = np.abs(got - exp)
+    err = np.minimum(err, box - err)
+    assert got.shape == exp.shape and err.max() <= 1.0
+    # mixing formats is refused loudly
+    r = run("compress", paths[0], "/dev/null", str(tmp_path / "x.min"))
+    assert r.returncode != 0 and "mix" in r.stderr
