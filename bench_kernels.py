@@ -42,6 +42,30 @@ CHAIN = 32      # in-jit chained iterations (amortize remote dispatch)
 results = {}
 
 
+def dump_results():
+    """Write bench_kernels.json (values are GB/s of the 100 MB input,
+    per chip) with the measurement config alongside the numbers."""
+    import time
+    out = {
+        "meta": {
+            "unit": "GB/s of 100MB f32/u32 input, per chip",
+            "device": jax.devices()[0].device_kind,
+            "backend": jax.default_backend(),
+            "n_elems": N,
+            "level": LEVEL,
+            "chain": CHAIN,
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        },
+        "results": results,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_kernels.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(json.dumps(out))
+
+
 def bench(name, make_chain, bytes_per_iter=N * 4):
     fn = make_chain()
     res = harness.run(fn, bytes_per_iter=bytes_per_iter * CHAIN)
@@ -166,11 +190,7 @@ def main():
     # The production fused decode (the headline path; bench.py) --
     # Pallas, so TPU only.
     if jax.default_backend() != "tpu":
-        with open(os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "bench_kernels.json"), "w") as f:
-            json.dump(results, f, indent=2)
-        print(json.dumps(results))
+        dump_results()
         return
 
     from minnow_c_tpu.ops import decode_pallas
@@ -183,10 +203,7 @@ def main():
         return chained(body, jnp.zeros((N,), jnp.float32))
     bench("fused_decode_pallas", mk_fused_decode)
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_kernels.json"), "w") as f:
-        json.dump(results, f, indent=2)
-    print(json.dumps(results))
+    dump_results()
 
 
 if __name__ == "__main__":

@@ -16,7 +16,6 @@ doc/round2_status.md on why block_until_ready alone lies here).
 
 Run: python exp/decode_ablate.py [tpu|cpu]
 """
-import functools
 import os
 import sys
 import time
@@ -88,7 +87,6 @@ def body_variant(W, k0, k1, scal, tile0, *, width, skip_unpack,
 def make_decode(**flags):
     M = TILE // 128
     n_tiles = N // TILE
-    wpt = TILE * WIDTH // 32
 
     def kernel(words_ref, key_ref, scal_ref, out_ref):
         t = pl.program_id(0)
@@ -153,6 +151,22 @@ def main():
     dxb = jnp.float32(BOX) / np.float32(np.exp2(WIDTH, dtype=np.float64))
     scal = jax.device_put(jnp.stack(
         [jnp.float32(0.0), dxb, jnp.float32(BOX)]))
+
+    if INTERPRET:
+        # Parity guard: the 'full' variant hand-duplicates the production
+        # kernel's body (dp._decode_body + periodic wrap); if the
+        # production kernel changes, this ablation's baseline must fail
+        # loudly rather than silently measure stale math.
+        full = make_decode(skip_unpack=False, skip_dither=False,
+                           skip_s_stack=False, skip_undo=False)
+        got = np.asarray(full(w3, key, scal))
+        want = np.asarray(dp.decode_pallas(
+            jnp.asarray(packed), key, WIDTH, N, 0.0, BOX, BOX,
+            periodic=True, interpret=True))
+        if not np.array_equal(got, want):
+            raise SystemExit("parity FAILED: 'full' ablation variant no "
+                             "longer matches decode_pallas bit-for-bit")
+        print("parity ok: 'full' variant == decode_pallas (bit-exact)")
 
     variants = [
         ("full", dict(skip_unpack=False, skip_dither=False,
