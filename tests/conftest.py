@@ -22,5 +22,24 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_compiled_executables():
+    """Drop compiled XLA programs after every test module.
+
+    Every jitted program holds mmap'd JIT code pages for the process
+    lifetime; this suite compiles enough distinct programs that a full
+    run crosses vm.max_map_count (default 65530 -- measured 65,256 maps
+    at death) and the next mmap failure inside LLVM/zstd kills the
+    process as a SIGSEGV, SIGABRT, or llvm-worker deadlock at whichever
+    compile happens to run last (observed 7/7 at the suite's largest
+    program, the ShardedSnapshotCodec decode, while every subset of the
+    suite passes).  Clearing jax's executable caches between modules
+    keeps the map count bounded; within-module compile reuse is
+    unaffected."""
+    yield
+    jax.clear_caches()
