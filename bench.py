@@ -35,10 +35,14 @@ N = (25_000_000 // decode_pallas.TILE) * decode_pallas.TILE
 WIDTH_BOX = 64.0
 
 
-CHAIN = 128  # decodes per dispatch: amortizes remote-dispatch latency
+CHAIN = 32  # decodes per dispatch: amortizes remote-dispatch latency
 # (~1-100 ms per call through the tunnel, variable by session) without
-# weakening the anti-replay salt chain -- each loop step's key derives
-# from the previous step's decoded output, a true data dependency.
+# weakening the anti-replay salt chain -- each step's key derives from
+# the previous step's decoded output, a true data dependency.  The chain
+# is PYTHON-UNROLLED inside one jit rather than a fori_loop: the loop
+# carry (100 MB decoded plane) plus per-iteration while-loop overhead
+# measured 134 GB/s vs 291 GB/s unrolled for identical work
+# (exp/decode_chain_variants.py).
 
 
 WATCHDOG_S = 2100  # hard cap: cold remote compiles run minutes, not hours
@@ -70,17 +74,14 @@ def main():
 
     @jax.jit
     def decode_chain(words, salt):
-        def body(i, carry):
-            s, _ = carry
+        s = salt
+        x = None
+        for i in range(CHAIN):
             x = decode_pallas.decode_pallas(
                 words, key ^ s, LEVEL, N, 0.0, WIDTH_BOX, WIDTH_BOX,
                 periodic=True)
-            s2 = jax.lax.bitcast_convert_type(x[0], jnp.uint32) ^ \
-                i.astype(jnp.uint32)
-            return (s2, x)
-
-        s, x = jax.lax.fori_loop(0, CHAIN, body,
-                                 (salt, jnp.zeros((N,), jnp.float32)))
+            s = jax.lax.bitcast_convert_type(x[0], jnp.uint32) ^ \
+                jnp.uint32(i)
         return x
 
     res = harness.run(lambda s: decode_chain(packed, s),

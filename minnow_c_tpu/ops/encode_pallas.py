@@ -198,19 +198,31 @@ def _encode_pallas(x, width: int, box, periodic: bool,
     """Fused fast-uniform encode: unwrap -> minmax -> scale (XLA, the
     wire-defining IEEE math) -> trunc/clamp/pack (Pallas).  Returns
     (packed words, x0, range); bit-identical to
-    ``fastpath.fast_uniform_encode`` (parity-tested)."""
+    ``fastpath.fast_uniform_encode`` (parity-tested).
+
+    The unwrap is deliberately RECOMPUTED for each consumer (minmax
+    reduction, scale pass) behind optimization barriers instead of
+    materializing one shared unwrapped plane: undo_periodic is a couple
+    of VPU ops (free) while the shared plane costs a full HBM write +
+    reads and, measured on v5e, a ~5x slowdown of the whole encode
+    (exp/encode_traffic.py: 12.5 -> 66.7 GB/s dispatch-bound, identical
+    wire bits).  The barriers stop XLA from CSEing the two unwraps back
+    into one materialized buffer."""
     n = x.shape[0]
     if not (1 <= width <= 24):
         raise ValueError(
             f"float encode width {width} not in [1, 24]: float depths cap "
             "at the f32 mantissa (quant.c:684-693); the trunc/clamp "
             "constants here are only exact to 24 bits")
-    if periodic:
-        x = kernels.undo_periodic(x, box)
-    x0 = jnp.min(x)
-    x1 = jnp.max(x)
-    rng_v = x1 - x0
-    delta = (x - x0) / rng_v
+
+    def unwrap(v):
+        return kernels.undo_periodic(v, box) if periodic else v
+
+    u1 = unwrap(jax.lax.optimization_barrier(x))
+    x0 = jnp.min(u1)
+    rng_v = jnp.max(u1) - x0
+    u2 = unwrap(jax.lax.optimization_barrier(x))
+    delta = (u2 - x0) / rng_v
     scaled = delta * jnp.float32(np.float32(np.exp2(width,
                                                     dtype=np.float64)))
     scaled = jax.lax.optimization_barrier(scaled)

@@ -75,15 +75,27 @@ def block_split(x: np.ndarray, num_blocks: int) -> np.ndarray:
 def _float_block_encode(xb, depth: int, box):
     """Quantize one (3, n_b) float block: unwrap (if ``box``), min/max,
     shared range across dims, bin (position(), quant.c:161-224; velocity
-    is the same minus the periodic unwrap, quant.c:226-289)."""
-    if box is not None:
-        xb = jax.vmap(lambda d: kernels.undo_periodic(d, box))(xb)
-    x0 = jnp.min(xb, axis=1)
-    x1 = jnp.max(xb, axis=1)
+    is the same minus the periodic unwrap, quant.c:226-289).
+
+    The unwrap is recomputed per consumer behind optimization barriers
+    rather than shared: materializing the unwrapped plane for both the
+    min/max reduction and the binning pass costs a full HBM round trip
+    and measured ~5x on the fused single-stream encode
+    (exp/encode_traffic.py; same wire bits either way since
+    undo_periodic is deterministic)."""
+    def unwrap(v):
+        if box is None:
+            return v
+        return jax.vmap(lambda d: kernels.undo_periodic(d, box))(v)
+
+    u1 = unwrap(jax.lax.optimization_barrier(xb))
+    x0 = jnp.min(u1, axis=1)
+    x1 = jnp.max(u1, axis=1)
     rng_b = jnp.max(x1 - x0)
+    u2 = unwrap(jax.lax.optimization_barrier(xb))
     bins = jax.vmap(
         lambda xd, o: kernels.uniform_bin_index(xd, depth, o, rng_b))(
-            xb, x0)
+            u2, x0)
     return bins, x0, rng_b
 
 

@@ -56,8 +56,14 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("width",))
-def _batched_prepare_pos(x, width):
-    """(B, 3, nb) -> unwrapped, per-block x0 (B,3), per-block range (B,).
+def _batched_stats_pos(x, width):
+    """(B, 3, nb) -> per-block x0 (B,3), per-block shared range (B,).
+
+    Stats only: the unwrapped plane is deliberately NOT returned.
+    Materializing it as a jit output (one full HBM write + re-read by the
+    pack phase) measured ~5x on the fused encode; the pack phase
+    recomputes the unwrap instead, bit-identically (undo_periodic is
+    deterministic; see exp/encode_traffic.py).
 
     Module-level jit: wrapping these in fresh ``jax.jit(lambda ...)`` per
     call forced an executable reload every invocation (~30-60 s each on
@@ -66,21 +72,24 @@ def _batched_prepare_pos(x, width):
         xu = jax.vmap(lambda d: kernels.undo_periodic(d, width))(xb)
         x0 = jnp.min(xu, axis=1)
         x1 = jnp.max(xu, axis=1)
-        return xu, x0, jnp.max(x1 - x0)
+        return x0, jnp.max(x1 - x0)
     return jax.vmap(one)(x)
 
 
 @functools.partial(jax.jit, static_argnames=("sym_log10_scaled",
                                               "threshold"))
-def _batched_prepare_vel(x, sym_log10_scaled: int = 0,
-                         threshold: float = 0.0):
+def _batched_stats_vel(x, sym_log10_scaled: int = 0,
+                       threshold: float = 0.0):
+    """Velocity analog of ``_batched_stats_pos``: min/max of the mapped
+    plane only; the (deterministic) symlog/identity map is recomputed by
+    the pack phase."""
     from ..quant.engine import map_float
 
     def one(xb):
         xm = map_float(xb, 2 if sym_log10_scaled else 0, threshold)
         x0 = jnp.min(xm, axis=1)
         x1 = jnp.max(xm, axis=1)
-        return xm, x0, jnp.max(x1 - x0)
+        return x0, jnp.max(x1 - x0)
     return jax.vmap(one)(x)
 
 
@@ -96,27 +105,54 @@ def _batched_id_pack(rel, w: int):
     return jax.vmap(lambda r: bitpack.uniform_pack(r, w))(rel)
 
 
-@functools.partial(jax.jit, static_argnames=("depth",))
-def _batched_bin_pack(xu, x0, rng_b, depth: int):
-    """(B, 3, nb) floats -> (B, 3, words) packed bins at static depth.
+def _pack_bins_rows(bins, depth: int):
+    """(B, 3, nb) u32 bins -> (B, 3, words) packed streams."""
+    b_l, _, n_b = bins.shape
+    if n_b % 32 == 0:
+        # fold (B, 3) into the pack matmul's rows (layout hazard: a
+        # vmapped pack is a batched matmul with a ~21x-padded TPU layout,
+        # see ops/bitpack.uniform_pack_rows)
+        return bitpack.uniform_pack_rows(
+            bins.reshape(b_l * 3, n_b), depth).reshape(b_l, 3, -1)
+    return jax.vmap(jax.vmap(
+        lambda b: bitpack.uniform_pack(b, depth)))(bins)
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "width"))
+def _batched_bin_pack_pos(x, x0, rng_b, depth: int, width):
+    """(B, 3, nb) RAW positions -> (B, 3, words) packed bins at static
+    depth; recomputes the periodic unwrap (bit-identical to binning the
+    stats pass's plane -- undo_periodic is deterministic).
 
     The barrier between binning and packing matters: fused, this backend
     compiles the composition ~1000x slow (47 s for 30M values vs ~50 ms
     staged) -- the same pathology as fusing unpack into decode consumers.
     """
     def one(xb, x0b, rb):
+        xu = jax.vmap(lambda d: kernels.undo_periodic(d, width))(xb)
         bins = jax.vmap(
             lambda xd, o: kernels.uniform_bin_index(xd, depth, o, rb))(
-                xb, x0b)
+                xu, x0b)
         return jax.lax.optimization_barrier(bins)
-    bins = jax.vmap(one)(xu, x0, rng_b)
-    b_l, _, n_b = bins.shape
-    if n_b % 32 == 0:
-        # fold (B, 3) into the pack matmul's rows (layout hazard above)
-        return bitpack.uniform_pack_rows(
-            bins.reshape(b_l * 3, n_b), depth).reshape(b_l, 3, -1)
-    return jax.vmap(jax.vmap(
-        lambda b: bitpack.uniform_pack(b, depth)))(bins)
+    return _pack_bins_rows(jax.vmap(one)(x, x0, rng_b), depth)
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "sym_log10_scaled",
+                                              "threshold"))
+def _batched_bin_pack_vel(x, x0, rng_b, depth: int,
+                          sym_log10_scaled: int = 0,
+                          threshold: float = 0.0):
+    """Velocity analog: recomputes the (deterministic) symlog/identity
+    map, then bins and packs (see ``_batched_bin_pack_pos``)."""
+    from ..quant.engine import map_float
+
+    def one(xb, x0b, rb):
+        xm = map_float(xb, 2 if sym_log10_scaled else 0, threshold)
+        bins = jax.vmap(
+            lambda xd, o: kernels.uniform_bin_index(xd, depth, o, rb))(
+                xm, x0b)
+        return jax.lax.optimization_barrier(bins)
+    return _pack_bins_rows(jax.vmap(one)(x, x0, rng_b), depth)
 
 
 def _encode_pos_batch(pos: np.ndarray, B: int, nb: int, acc, seed: int,
@@ -125,11 +161,11 @@ def _encode_pos_batch(pos: np.ndarray, B: int, nb: int, acc, seed: int,
     block lists (Trim v1.0 layout) + the shared depth.  ``depth=None``
     derives it from the observed global range."""
     xb = jnp.asarray(np.moveaxis(pos.reshape(3, B, nb), 1, 0))
-    xu, x0, rng_b = _batched_prepare_pos(xb, float(acc.width))
+    x0, rng_b = _batched_stats_pos(xb, float(acc.width))
     if depth is None:
         g = float(np.asarray(jnp.max(rng_b)))
         depth = engine.delta_to_depth(acc.delta, 0.0, g)
-    words = _batched_bin_pack(xu, x0, rng_b, depth)
+    words = _batched_bin_pack_pos(xb, x0, rng_b, depth, float(acc.width))
     words_h = np.asarray(words)
     x0_h = np.asarray(x0)
     rng_h = np.asarray(rng_b)
@@ -157,12 +193,14 @@ def _encode_pos_batch(pos: np.ndarray, B: int, nb: int, acc, seed: int,
 def _encode_vel_batch(vel: np.ndarray, B: int, nb: int, acc, seed: int,
                       accel: int, depth: Optional[int] = None):
     xb = jnp.asarray(np.moveaxis(vel.reshape(3, B, nb), 1, 0))
-    xm, x0, rng_b = _batched_prepare_vel(
+    x0, rng_b = _batched_stats_vel(
         xb, int(acc.sym_log10_scaled), float(acc.sym_log10_threshold))
     if depth is None:
         g = float(np.asarray(jnp.max(rng_b)))
         depth = engine.delta_to_depth(acc.delta, 0.0, g)
-    words = _batched_bin_pack(xm, x0, rng_b, depth)
+    words = _batched_bin_pack_vel(xb, x0, rng_b, depth,
+                                  int(acc.sym_log10_scaled),
+                                  float(acc.sym_log10_threshold))
     words_h = np.asarray(words)
     x0_h = np.asarray(x0)
     rng_h = np.asarray(rng_b)
