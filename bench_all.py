@@ -115,25 +115,31 @@ def config2():
         rng.uniform(0, W, n).astype(np.float32)))
     depth = 14
 
-    CHAIN = 32  # in-jit chained iterations: single dispatches are
+    CHAIN = 16  # in-jit chained iterations: single dispatches are
     # enqueue-bound on this runtime (~4 ms/dispatch caps any kernel at
     # ~25 GB/s); the salt chain keeps every iteration a real dependent
-    # computation (see bench.py).
+    # computation (see bench.py).  Chains are PYTHON-UNROLLED, not
+    # fori_loop: the loop carry forces a per-iteration copy of the
+    # carried array and the while-loop adds per-step overhead (measured
+    # 134 vs 291 GB/s on the decode chain,
+    # exp/decode_chain_variants.py).  The salt rides into each step as a
+    # box-width perturbation that rounds away in f32 (W * (1 + s*1e-45)
+    # == W exactly), so inputs are unique per step -- no replay -- with
+    # zero extra per-element traffic.
 
     # x/bins ride as jit ARGUMENTS (closures serialize into the remote
     # compile request; see config4_100m).
     @jax.jit
     def enc(xin, salt):
-        def body(i, carry):
-            s, _ = carry
-            w, _, _ = fastpath.fast_uniform_encode(
-                xin + s.astype(jnp.float32) * jnp.float32(1e-12), depth,
-                periodic_width=W)
-            return (w[0] ^ i.astype(jnp.uint32), w)
-        z, _, _ = fastpath.fast_uniform_encode(xin, depth,
-                                               periodic_width=W)
-        s, w = jax.lax.fori_loop(0, CHAIN, body,
-                                 (salt, jnp.zeros_like(z)))
+        s = salt
+        w = None
+        for i in range(CHAIN):
+            box = jnp.float32(W) * (jnp.float32(1.0) +
+                                    s.astype(jnp.float32) *
+                                    jnp.float32(1e-45))
+            w, _, _ = fastpath.fast_uniform_encode(xin, depth,
+                                                   periodic_width=box)
+            s = w[0] ^ jnp.uint32(i)
         return s, w
 
     res = harness.run(lambda s: enc(x, s), bytes_per_iter=n * 4 * CHAIN)
@@ -146,17 +152,20 @@ def config2():
 
     @jax.jit
     def pack_only(bins_in, salt):
-        def body(i, carry):
-            s, _ = carry
+        # The salt XOR is a full elementwise pass (it cannot fuse into
+        # the pallas_call), so this chain carries +8 B/elem of parasitic
+        # traffic on top of the pack's own ~5.75 B/elem -- the recorded
+        # number UNDERSTATES the bare pack kernel by ~2.4x in the
+        # HBM-bound limit.
+        s = salt
+        w = None
+        for i in range(CHAIN):
             b = bins_in ^ s
             if jax.default_backend() == "tpu":
                 w = encode_pallas.pack_pallas(b, depth, n)
             else:
                 w = bitpack.uniform_pack(b, depth)
-            return (w[0] ^ i.astype(jnp.uint32), w)
-        z = bitpack.uniform_pack(bins_in, depth)
-        s, w = jax.lax.fori_loop(0, CHAIN, body,
-                                 (salt, jnp.zeros_like(z)))
+            s = w[0] ^ jnp.uint32(i)
         return s, w
 
     res_p = harness.run(lambda s: pack_only(bins, s),
@@ -164,6 +173,8 @@ def config2():
     results["config2_encode_kernel"] = {
         "GBps": round(res.gb_per_second, 2),
         "pack_only_GBps": round(res_p.gb_per_second, 2),
+        "pack_only_note": "includes a non-fusable salt XOR pass "
+                          "(+8 B/elem); understates the bare kernel",
         "depth": depth, "input_MB": round(n * 4 / 1e6)}
     log(f"config2: encode {res.gb_per_second:.2f} GB/s, "
         f"pack {res_p.gb_per_second:.2f} GB/s")
@@ -263,38 +274,39 @@ def config4_100m():
 
     # Big device arrays are jit ARGUMENTS, never closures: closed-over
     # arrays are serialized as constants into the remote-compile request
-    # (HTTP 413 over ~100 MB).
+    # (HTTP 413 over ~100 MB).  Chains are Python-unrolled (a fori_loop
+    # carrying the 600 MB words / 1.2 GB output forces a per-iteration
+    # copy of the carry; measured 134 vs 291 GB/s on the decode chain,
+    # exp/decode_chain_variants.py).  The salt_perturb pass itself cannot
+    # fuse into the SPMD program's first stage, so these numbers carry
+    # +8 B/elem of parasitic traffic -- they UNDERSTATE the codec.
     @jax.jit
-    def enc_chain(xin, w0, salt):
-        def body(i, carry):
-            s, _ = carry
+    def enc_chain(xin, salt):
+        s = salt
+        words = None
+        for i in range(CHAIN):
             xs = salt_perturb(xin, [(0, s & m),
                                     (1, (s >> jnp.uint32(10)) & m)])
             words, x0b, rng_b = codec._encode(xs)
-            return (words[0, 0, 0] ^ i.astype(jnp.uint32), words)
-
-        _, words = jax.lax.fori_loop(
-            0, CHAIN, body, (salt, jnp.zeros_like(w0)))
+            s = words[0, 0, 0] ^ jnp.uint32(i)
         return words
 
-    res_e = harness.run(lambda s: enc_chain(xd, words_d, s),
+    res_e = harness.run(lambda s: enc_chain(xd, s),
                         bytes_per_iter=raw * CHAIN)
     log(f"config4_100M encode: {res_e.gb_per_second:.1f} GB/s")
 
     @jax.jit
-    def dec_chain(xlike, wd, salt):
-        def body(i, carry):
-            s, _ = carry
+    def dec_chain(wd, salt):
+        s = salt
+        out = None
+        for i in range(CHAIN):
             w = salt_perturb(wd, [(0, s)])
             out = codec._decode(w, *hdrs, seed_arr, zero_blk)
-            s2 = jax.lax.bitcast_convert_type(out[0, 0, 0], jnp.uint32)
-            return (s2 ^ i.astype(jnp.uint32), out)
-
-        _, out = jax.lax.fori_loop(
-            0, CHAIN, body, (salt, jnp.zeros_like(xlike)))
+            s = jax.lax.bitcast_convert_type(out[0, 0, 0], jnp.uint32) ^ \
+                jnp.uint32(i)
         return out
 
-    res_d = harness.run(lambda s: dec_chain(xd, words_d, s),
+    res_d = harness.run(lambda s: dec_chain(words_d, s),
                         bytes_per_iter=raw * CHAIN)
     log(f"config4_100M decode: {res_d.gb_per_second:.1f} GB/s")
 
@@ -352,20 +364,18 @@ def config4():
         # (observed 446 and 372 GB/s for a pipeline floored at ~150 GB/s).
         # Spread the full 32-bit salt across two elements' mantissas
         # (22+22 overlapping bits reconstruct all 32), so the buffer space
-        # covers every salt value.
-        def body(i, carry):
-            s, _ = carry
+        # covers every salt value.  Python-unrolled (no 600 MB loop
+        # carry; see config4_100m).
+        s = salt
+        out = None
+        for i in range(CHAIN):
             m = jnp.uint32(0x3FFFFF)
             xs = salt_perturb(xin, [(0, s & m),
                                     (1, (s >> jnp.uint32(10)) & m)])
             words, x0b, rng_b = codec._encode(xs)
             out = codec._decode(words, x0b, rng_b, seed_arr, zero_blk)
-            s2 = jax.lax.bitcast_convert_type(out[0, 0, 0], jnp.uint32) ^ \
-                i.astype(jnp.uint32)
-            return (s2, out)
-
-        _, out = jax.lax.fori_loop(
-            0, CHAIN, body, (salt, jnp.zeros_like(xin)))
+            s = jax.lax.bitcast_convert_type(out[0, 0, 0], jnp.uint32) ^ \
+                jnp.uint32(i)
         return out
 
     res = harness.run(lambda s: roundtrip(xd, s),
@@ -520,8 +530,13 @@ def main():
         "existed were inflated -- round 1's 194 GB/s decode headline was",
         "such an artifact (the same kernel honestly measured 9.2 GB/s),",
         "which is what exposed the lane-padding bottleneck that the",
-        "round-2 lane-dense kernels fix: decode now measures ~190 GB/s",
-        "on-chip / 134 GB/s dispatch-amortized, encode ~99 GB/s, real.", "",
+        "round-2 lane-dense kernels fixed.  Round 3 additionally found",
+        "that fori_loop salt chains under-report (the loop carry copies",
+        "the carried array every iteration and the while-loop adds",
+        "per-step overhead): chains are now Python-unrolled inside one",
+        "jit (exp/decode_chain_variants.py: 134 -> 291 GB/s for",
+        "identical decode work).  Current honest kernel numbers: decode",
+        "~291 GB/s, full fused encode ~178 GB/s per chip.", "",
         "## On the BASELINE target \"decode bit-exact vs minnow_c\"", "",
         "This target is unmeetable as literally stated: the reference's",
         "decode dither RNG is seeded from `clock()` at call time",
