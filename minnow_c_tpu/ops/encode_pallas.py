@@ -238,3 +238,209 @@ def encode_pallas(x, width: int, periodic_width=None,
     periodic = periodic_width is not None
     box = jnp.float32(periodic_width if periodic else 0.0)
     return _encode_pallas(x, width, box, periodic, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# 'recip' scale mode: the whole encode pass (unwrap + scale + bin + pack)
+# in ONE kernel
+# ---------------------------------------------------------------------------
+# The C-exact division map cannot run in Mosaic (approximate f32
+# division), which forces the v1.0 encode into 3 HBM passes (minmax;
+# scale, because the scaled plane must come from XLA; pack) =
+# 17.75 B/elem at depth 14.  The 'recip' map
+# (kernels.uniform_bin_index_recip: multiply by the exactly-rounded
+# reciprocal) uses only exactly-rounded ops, so pass 2 and 3 fuse:
+# minmax (read) + one kernel (read x, write words) = 9.75 B/elem.
+# Measured on v5e (in-jit unrolled salt chain): 177.6 -> 299.2 GB/s,
+# with Pallas/XLA bit parity on uniform, offset-normal, and
+# boundary-adversarial inputs (exp/encode_fused2.py).
+
+
+def _recip_body(xv, x0, recip, box, anchor, *, width: int, periodic: bool):
+    """Shared math of the recip map on a (128, M) value tile: anchored
+    unwrap (kernels.undo_periodic semantics; ``half`` = box * 0.5 is
+    exact, matching XLA's box / 2), then
+    trunc(clamp(((x - x0) * recip) * 2^width)) -- every op exactly
+    rounded, bit-identical to kernels.uniform_bin_index_recip after
+    kernels.undo_periodic."""
+    if periodic:
+        half = box * jnp.float32(0.5)
+        xv = jnp.where(xv - anchor >= half, xv - box, xv)
+        xv = jnp.where(xv - anchor < -half, xv + box, xv)
+    nb = jnp.float32(np.float32(np.exp2(width, dtype=np.float64)))
+    scaled = ((xv - x0) * recip) * nb
+    return scaled
+
+
+def _encode_recip_kernel(x_ref, scal_ref, out_ref, *, width: int,
+                         periodic: bool):
+    """x (1, M, 128) raw floats -> words (1, M, 4*width); scal (SMEM) =
+    [x0, recip, box, anchor]."""
+    scaled = _recip_body(x_ref[0].T, scal_ref[0], scal_ref[1], scal_ref[2],
+                         scal_ref[3], width=width, periodic=periodic)
+    out_ref[0] = _pack_body(scaled, width=width, from_f32=True)
+
+
+def _encode_recip_tiles(x, scal, width: int, tile: int, periodic: bool,
+                        interpret: bool):
+    M = tile // 128
+    n_tiles = x.shape[0] // tile
+    x3 = x.reshape(n_tiles, M, 128)
+    kernel = functools.partial(_encode_recip_kernel, width=width,
+                               periodic=periodic)
+    space = pl.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, M, 128), lambda i: (i, i * 0, i * 0),
+                         memory_space=space),
+            pl.BlockSpec((4,), lambda i: (i * 0,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, M, 4 * width),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=space),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, M, 4 * width), jnp.uint32),
+        interpret=interpret,
+    )(x3, scal)
+    return out.reshape(-1)
+
+
+def _recip_bins_xla(x, x0, recip, box, anchor, width: int, periodic: bool):
+    """The recip map in XLA, op-for-op the kernel's sequence (used for
+    ragged tails and as the CPU path)."""
+    if periodic:
+        half = box * jnp.float32(0.5)
+        x = jnp.where(x - anchor >= half, x - box, x)
+        x = jnp.where(x - anchor < -half, x + box, x)
+    nb = jnp.float32(np.float32(np.exp2(width, dtype=np.float64)))
+    scaled = ((x - x0) * recip) * nb
+    si = scaled.astype(jnp.int32)
+    si = jnp.where(scaled < 0, jnp.int32(0),
+                   jnp.where(scaled >= nb, jnp.int32((1 << width) - 1), si))
+    return jnp.where(jnp.isnan(scaled), jnp.int32(0), si).astype(jnp.uint32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "periodic", "interpret"))
+def _encode_pallas_recip(x, width: int, box, periodic: bool,
+                         interpret: bool = False):
+    """Fused recip-mode encode: minmax (XLA) + one kernel.  Returns
+    (packed words, x0, range)."""
+    n = x.shape[0]
+    if not (1 <= width <= 24):
+        raise ValueError(
+            f"float encode width {width} not in [1, 24] (f32 mantissa cap)")
+
+    def unwrap(v):
+        return kernels.undo_periodic(v, box) if periodic else v
+
+    u1 = unwrap(jax.lax.optimization_barrier(x))
+    x0 = jnp.min(u1)
+    rng_v = jnp.max(u1) - x0
+    recip = jnp.float32(1.0) / rng_v  # exact IEEE division, in XLA
+    anchor = x[0]
+    scal = jnp.stack([x0, recip, jnp.asarray(box, jnp.float32), anchor])
+
+    outs = []
+    done = 0
+    for tile in _TILE_CASCADE:
+        chunk = ((n - done) // tile) * tile
+        if not chunk:
+            continue
+        outs.append(_encode_recip_tiles(x[done: done + chunk], scal, width,
+                                        tile, periodic, interpret))
+        done += chunk
+    if done < n:
+        bins = _recip_bins_xla(x[done:n], x0, recip,
+                               jnp.asarray(box, jnp.float32), anchor,
+                               width, periodic)
+        outs.append(bitpack.uniform_pack(bins, width))
+    words = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    return words, x0, rng_v
+
+
+def encode_pallas_recip(x, width: int, periodic_width=None,
+                        interpret: bool = False):
+    """Public wrapper for the fused recip-mode encode (scale_mode
+    'recip'); see kernels.uniform_bin_index_recip for the map's spec."""
+    periodic = periodic_width is not None
+    box = jnp.float32(periodic_width if periodic else 0.0)
+    return _encode_pallas_recip(x, width, box, periodic,
+                                interpret=interpret)
+
+
+def _encode_recip_rows_kernel(x_ref, scal_ref, out_ref, *, width: int,
+                              periodic: bool):
+    """One (row, tile) grid step: x (1, 1, M, 128) -> words
+    (1, 1, M, 4*width); per-row scalars (R, 4) ride whole in SMEM,
+    indexed by the row program id (same pattern as
+    decode_pallas._decode_rows_kernel)."""
+    r = pl.program_id(0)
+    scaled = _recip_body(x_ref[0, 0].T, scal_ref[r, 0], scal_ref[r, 1],
+                         scal_ref[r, 2], scal_ref[r, 3], width=width,
+                         periodic=periodic)
+    out_ref[0, 0] = _pack_body(scaled, width=width, from_f32=True)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "periodic", "interpret"))
+def encode_pallas_recip_rows(x, x0, recip, box, anchor, width: int,
+                             periodic: bool, interpret: bool = False):
+    """Batched fused recip-mode encode of R independent streams:
+    x (R, n) raw floats + per-row scalars (R,) -> (R, (n//32)*width)
+    packed words.  Requires 32 | n (no partial tail word per row).
+    Per row bit-identical to ``encode_pallas_recip`` at the same
+    scalars."""
+    from .decode_pallas import ROW_CHUNK, rows_kernel_eligible
+    rows, n = x.shape
+    if not rows_kernel_eligible(width, n) or not (1 <= width <= 24):
+        raise ValueError(
+            "encode_pallas_recip_rows requires 1<=width<=24 and 32 | n")
+    if rows > ROW_CHUNK:
+        return jnp.concatenate(
+            [encode_pallas_recip_rows(
+                x[i:i + ROW_CHUNK], x0[i:i + ROW_CHUNK],
+                recip[i:i + ROW_CHUNK], box[i:i + ROW_CHUNK],
+                anchor[i:i + ROW_CHUNK], width, periodic,
+                interpret=interpret)
+             for i in range(0, rows, ROW_CHUNK)])
+    out_words = (n // 32) * width
+    tile = TILE
+    while tile > 1 << 14 and tile // 2 >= n:
+        tile //= 2
+    M = tile // 128
+    n_tiles = -(-n // tile)
+    pad = n_tiles * tile - n
+    if pad:
+        # Padded elements pack into words past each row's real stream
+        # (32 | n puts the last real bit on a word boundary); the final
+        # slice drops them.  Pad values go through the same map; their
+        # bins are garbage but never observed.
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    x4 = x.reshape(rows, n_tiles, M, 128)
+    scal = jnp.stack([x0.astype(jnp.float32), recip.astype(jnp.float32),
+                      box.astype(jnp.float32),
+                      anchor.astype(jnp.float32)], axis=1)  # (R, 4)
+    kernel = functools.partial(_encode_recip_rows_kernel, width=width,
+                               periodic=periodic)
+    space = pl.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, M, 128),
+                         lambda r, i: (r, i, r * 0, r * 0),
+                         memory_space=space),
+            pl.BlockSpec((rows, 4), lambda r, i: (r * 0, r * 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, M, 4 * width),
+                               lambda r, i: (r, i, r * 0, r * 0),
+                               memory_space=space),
+        out_shape=jax.ShapeDtypeStruct((rows, n_tiles, M, 4 * width),
+                                       jnp.uint32),
+        interpret=interpret,
+    )(x4, scal)
+    return out.reshape(rows, n_tiles * tile * width // 32)[:, :out_words]

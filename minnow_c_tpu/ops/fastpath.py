@@ -70,20 +70,55 @@ def _fast_uniform_encode_xla(x, level: int, box, periodic: bool):
     return words, x0, rng_v
 
 
-def fast_uniform_encode(x, level: int, periodic_width=None):
+@functools.partial(jax.jit, static_argnames=("level", "periodic"))
+def _fast_uniform_encode_recip_xla(x, level: int, box, periodic: bool):
+    """The recip scale mode in XLA (the CPU / small-input path):
+    op-for-op the kernel sequence of ops/encode_pallas._recip_body, so
+    the stream is bit-identical to the fused Pallas encode."""
+    from .encode_pallas import _recip_bins_xla
+
+    def unwrap(v):
+        return kernels.undo_periodic(v, box) if periodic else v
+
+    u1 = unwrap(jax.lax.optimization_barrier(x))
+    x0 = jnp.min(u1)
+    rng_v = jnp.max(u1) - x0
+    recip = jnp.float32(1.0) / rng_v
+    bins = _recip_bins_xla(x, x0, recip, box, x[0], level, periodic)
+    bins = jax.lax.optimization_barrier(bins)
+    words = bitpack.uniform_pack(bins, level)
+    return words, x0, rng_v
+
+
+def fast_uniform_encode(x, level: int, periodic_width=None,
+                        scale_mode: str = "div"):
     """floats -> (packed words, x0, range): optionally unwrap the periodic
     box, min/max, bin at ``level`` bits, pack.  Returns device arrays;
     the (x0, range) pair is the plane's quantization header.
 
-    On TPU the whole pipeline routes through the fused Pallas encode
-    (XLA keeps the wire-defining float division; Pallas does trunc/clamp
-    and the lane-dense pack) -- bit-identical output, ~4.7x faster
-    (see ops/encode_pallas.py)."""
-    if jax.default_backend() == "tpu" and x.shape[0] >= (1 << 14) \
-            and 1 <= level <= 24:
+    ``scale_mode``: 'div' (default) is the C-exact division bin map
+    (util.c:173-196 semantics); 'recip' multiplies by the exactly-rounded
+    reciprocal instead (kernels.uniform_bin_index_recip) -- same error
+    class, wire-compatible (the bin map is the encoder's choice), and it
+    lets the whole encode pass fuse into one Pallas kernel (measured
+    177.6 -> 299.2 GB/s on v5e, exp/encode_fused2.py).
+
+    On TPU both modes route through the fused Pallas encodes (for 'div',
+    XLA keeps the wire-defining float division; Pallas does trunc/clamp
+    and the lane-dense pack) -- bit-identical to the XLA paths either
+    way (parity-tested)."""
+    if scale_mode not in ("div", "recip"):
+        raise ValueError(f"unknown scale_mode {scale_mode!r}")
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and x.shape[0] >= (1 << 14) and 1 <= level <= 24:
         from . import encode_pallas
+        if scale_mode == "recip":
+            return encode_pallas.encode_pallas_recip(
+                x, level, periodic_width=periodic_width)
         return encode_pallas.encode_pallas(x, level,
                                            periodic_width=periodic_width)
     periodic = periodic_width is not None
     box = jnp.float32(periodic_width if periodic else 0.0)
+    if scale_mode == "recip":
+        return _fast_uniform_encode_recip_xla(x, level, box, periodic)
     return _fast_uniform_encode_xla(x, level, box, periodic)

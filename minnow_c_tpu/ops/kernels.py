@@ -122,6 +122,44 @@ def uniform_bin_index(x, level, x0, dx):
     return jnp.where(jnp.isnan(delta), jnp.uint32(0), out)
 
 
+def uniform_bin_index_recip(x, level, x0, dx):
+    """The 'recip' scale-mode bin map: multiply by the exactly-rounded
+    reciprocal instead of dividing.
+
+        recip  = rn(1 / dx)            (scalar, exact IEEE division)
+        q0     = rn(rn(x - x0) * recip)
+        bins   = trunc(clamp(q0 * 2^level))
+
+    Every per-element op is an exactly-rounded mul/sub, so this map is
+    bit-reproducible across numpy, XLA, and Mosaic -- which is what lets
+    the whole encode pass (unwrap + scale + bin + pack) fuse into ONE
+    Pallas kernel (Mosaic's f32 division is approximate, so the C-exact
+    division map of ``uniform_bin_index`` cannot).  |q0 - rn((x-x0)/dx)|
+    <= ~1 ulp, so a value within ~1 ulp of a bin boundary may land one
+    bin over; the decode-side dither bound grows by at most
+    2^-23 * dx -- the same error class the division map itself carries at
+    the 24-bit depth cap.  Wire-compatible with every Trim stream (the
+    bin map is the encoder's choice; decode never recomputes it).
+
+    Clamp tests run on the pre-scaled plane (exact power-of-two scaling,
+    so they are equivalent to tests on q0); NaN (constant plane: dx == 0
+    makes recip = inf and q0 = 0 * inf = NaN) pins to bin 0 exactly like
+    ``uniform_bin_index``.
+    """
+    x0 = jnp.float32(x0)
+    dx = jnp.float32(dx)
+    num_bins = jnp.float32(np.float32(1 << int(level))) if isinstance(
+        level, (int, np.integer)) else _exact_pow2_f32(level)
+    recip = jnp.float32(1.0) / dx
+    scaled = ((x - x0) * recip) * num_bins
+    si = scaled.astype(jnp.int32)
+    top = jnp.int32((1 << int(level)) - 1) if isinstance(
+        level, (int, np.integer)) else (num_bins - 1).astype(jnp.int32)
+    si = jnp.where(scaled < 0, jnp.int32(0),
+                   jnp.where(scaled >= num_bins, top, si))
+    return jnp.where(jnp.isnan(scaled), jnp.int32(0), si).astype(jnp.uint32)
+
+
 def bin_index(x, level, x0, dx):
     """Per-element-depth bin indices (util_BinIndex, util.c:145-170).
     ``level`` is a u8/u32 array of per-element bit depths."""

@@ -155,8 +155,50 @@ def _batched_bin_pack_vel(x, x0, rng_b, depth: int,
     return _pack_bins_rows(jax.vmap(one)(x, x0, rng_b), depth)
 
 
+def _recip_rows_or_fallback(x, x0, rng_b, depth: int, box):
+    """Recip-scale-mode batched bin+pack: one fused Pallas rows kernel on
+    TPU when 32 | nb (unwrap + scale + bin + pack, ~1.7x the div-mode
+    pipeline), else the op-identical XLA recip map + per-plane pack."""
+    from .sharding import _float_rows_encode_recip
+    b, _, nb = x.shape
+    prefer = jax.default_backend() == "tpu"
+    if nb % 32 == 0:
+        return _float_rows_encode_recip(x, x0, rng_b, depth, box, prefer,
+                                        False)
+    from ..ops.encode_pallas import _recip_bins_xla
+    periodic = box is not None
+    boxf = jnp.float32(box if periodic else 0.0)
+    recip = jnp.float32(1.0) / rng_b
+
+    def one(xb, x0b, rc):
+        return jax.vmap(lambda xd, o: _recip_bins_xla(
+            xd, o, rc, boxf, xd[0], depth, periodic))(xb, x0b)
+
+    bins = jax.lax.optimization_barrier(jax.vmap(one)(x, x0, recip))
+    return _pack_bins_rows(bins, depth)
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "width"))
+def _batched_bin_pack_pos_recip(x, x0, rng_b, depth: int, width):
+    return _recip_rows_or_fallback(x, x0, rng_b, depth, float(width))
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "sym_log10_scaled",
+                                              "threshold"))
+def _batched_bin_pack_vel_recip(x, x0, rng_b, depth: int,
+                                sym_log10_scaled: int = 0,
+                                threshold: float = 0.0):
+    if sym_log10_scaled:
+        # The symlog map is transcendental (Mosaic-approximate), so it
+        # runs in XLA; the recip bin map + pack still fuse downstream.
+        from ..quant.engine import map_float
+        x = jax.vmap(lambda xb: map_float(xb, 2, threshold))(x)
+    return _recip_rows_or_fallback(x, x0, rng_b, depth, None)
+
+
 def _encode_pos_batch(pos: np.ndarray, B: int, nb: int, acc, seed: int,
-                      accel: int, depth: Optional[int] = None):
+                      accel: int, depth: Optional[int] = None,
+                      scale_mode: str = "div"):
     """Batched device encode of positions (3, B*nb) -> per-block wire
     block lists (Trim v1.0 layout) + the shared depth.  ``depth=None``
     derives it from the observed global range."""
@@ -165,7 +207,12 @@ def _encode_pos_batch(pos: np.ndarray, B: int, nb: int, acc, seed: int,
     if depth is None:
         g = float(np.asarray(jnp.max(rng_b)))
         depth = engine.delta_to_depth(acc.delta, 0.0, g)
-    words = _batched_bin_pack_pos(xb, x0, rng_b, depth, float(acc.width))
+    if scale_mode == "recip":
+        words = _batched_bin_pack_pos_recip(xb, x0, rng_b, depth,
+                                            float(acc.width))
+    else:
+        words = _batched_bin_pack_pos(xb, x0, rng_b, depth,
+                                      float(acc.width))
     words_h = np.asarray(words)
     x0_h = np.asarray(x0)
     rng_h = np.asarray(rng_b)
@@ -191,16 +238,19 @@ def _encode_pos_batch(pos: np.ndarray, B: int, nb: int, acc, seed: int,
 
 
 def _encode_vel_batch(vel: np.ndarray, B: int, nb: int, acc, seed: int,
-                      accel: int, depth: Optional[int] = None):
+                      accel: int, depth: Optional[int] = None,
+                      scale_mode: str = "div"):
     xb = jnp.asarray(np.moveaxis(vel.reshape(3, B, nb), 1, 0))
     x0, rng_b = _batched_stats_vel(
         xb, int(acc.sym_log10_scaled), float(acc.sym_log10_threshold))
     if depth is None:
         g = float(np.asarray(jnp.max(rng_b)))
         depth = engine.delta_to_depth(acc.delta, 0.0, g)
-    words = _batched_bin_pack_vel(xb, x0, rng_b, depth,
-                                  int(acc.sym_log10_scaled),
-                                  float(acc.sym_log10_threshold))
+    pack = _batched_bin_pack_vel_recip if scale_mode == "recip" \
+        else _batched_bin_pack_vel
+    words = pack(xb, x0, rng_b, depth,
+                 int(acc.sym_log10_scaled),
+                 float(acc.sym_log10_threshold))
     words_h = np.asarray(words)
     x0_h = np.asarray(x0)
     rng_h = np.asarray(rng_b)
@@ -271,10 +321,19 @@ def compress_snapshot(fp: BinaryIO,
                       spec: SnapshotSpec,
                       num_blocks: int,
                       seed: int = 0,
-                      accel: int = 1) -> dict:
+                      accel: int = 1,
+                      scale_mode: str = "div") -> dict:
     """Compress a snapshot into ``fp`` as ``num_blocks`` chained standard
     segments.  Arrays: pos/vel (3, n) f32, ids (n,) u64; n must divide by
-    num_blocks.  Returns stats (bytes, depths)."""
+    num_blocks.  Returns stats (bytes, depths).
+
+    ``scale_mode``: 'div' (default) uses the C-exact division bin map;
+    'recip' uses the reciprocal map (kernels.uniform_bin_index_recip) --
+    same error bound class, wire-compatible streams (decode is
+    identical), and the whole encode pass fuses into one Pallas kernel
+    on TPU (~1.7x)."""
+    if scale_mode not in ("div", "recip"):
+        raise ValueError(f"unknown scale_mode {scale_mode!r}")
     from ..utils import native_order
     pos = native_order(pos)
     vel = native_order(vel)
@@ -302,14 +361,16 @@ def compress_snapshot(fp: BinaryIO,
 
     if pos is not None:
         field_blocks, depth = _encode_pos_batch(pos, B, nb, spec.pos, seed,
-                                                accel)
+                                                accel,
+                                                scale_mode=scale_mode)
         stats["pos_depth"] = depth
         for b in range(B):
             add_field(b, FieldCode.POSN, field_blocks[b])
 
     if vel is not None:
         field_blocks, depth = _encode_vel_batch(vel, B, nb, spec.vel, seed,
-                                                accel)
+                                                accel,
+                                                scale_mode=scale_mode)
         stats["vel_depth"] = depth
         for b in range(B):
             add_field(b, FieldCode.VELC, field_blocks[b])
@@ -343,7 +404,8 @@ def compress_snapshot(fp: BinaryIO,
 
 def compress_snapshot_streaming(fp: BinaryIO, blocks_iter, spec: SnapshotSpec,
                                 seed: int = 0, accel: int = 1,
-                                depths: Optional[dict] = None) -> dict:
+                                depths: Optional[dict] = None,
+                                scale_mode: str = "div") -> dict:
     """Memory-bounded snapshot encode: stream particle blocks through the
     device in waves, writing each finished segment before the next block
     is pulled.  Peak host+device memory is one block regardless of
@@ -362,6 +424,8 @@ def compress_snapshot_streaming(fp: BinaryIO, blocks_iter, spec: SnapshotSpec,
     file; chained files concatenate by client convention (L5 duty,
     doc/separation_of_duties.md:7-12).
     """
+    if scale_mode not in ("div", "recip"):
+        raise ValueError(f"unknown scale_mode {scale_mode!r}")
     from ..utils import native_order
 
     stats = {"bytes": 0, "num_blocks": 0}
@@ -377,7 +441,8 @@ def compress_snapshot_streaming(fp: BinaryIO, blocks_iter, spec: SnapshotSpec,
             geometry = None
             if pos is not None:
                 fb, d = _encode_pos_batch(pos, 1, nb, spec.pos, seed,
-                                          accel, depth=depths.get("pos"))
+                                          accel, depth=depths.get("pos"),
+                                          scale_mode=scale_mode)
                 fields.append(wire.WireField(
                     int(FieldCode.POSN), int(AlgoCode.TRIM), TRIM_VERSION,
                     fb[0]))
@@ -387,7 +452,8 @@ def compress_snapshot_streaming(fp: BinaryIO, blocks_iter, spec: SnapshotSpec,
                             tuple(float(h - l) for h, l in zip(hi, lo)))
             if vel is not None:
                 fb, d = _encode_vel_batch(vel, 1, nb, spec.vel, seed,
-                                          accel, depth=depths.get("vel"))
+                                          accel, depth=depths.get("vel"),
+                                          scale_mode=scale_mode)
                 fields.append(wire.WireField(
                     int(FieldCode.VELC), int(AlgoCode.TRIM), TRIM_VERSION,
                     fb[0]))

@@ -174,6 +174,17 @@ def dims_bins_uniform(xu, x0, dx, depth: int):
         lambda xd, o: kernels.uniform_bin_index(xd, depth, o, dx))(xu, x0)
 
 
+@functools.partial(jax.jit, static_argnames=("depth",))
+def dims_bins_uniform_recip(xu, x0, dx, depth: int):
+    """Recip-scale-mode variant of ``dims_bins_uniform``
+    (kernels.uniform_bin_index_recip): same error class, different
+    (encoder-side) bin map; bit-identical to the fused TPU encode
+    kernels."""
+    return jax.vmap(
+        lambda xd, o: kernels.uniform_bin_index_recip(xd, depth, o, dx))(
+            xu, x0)
+
+
 @jax.jit
 def dims_bins_var(xu, x0, dx, depths):
     return jax.vmap(
@@ -228,20 +239,27 @@ def undo_float_var(bins, x0, x1, depths, key):
 # quant.c:135-155)
 # ---------------------------------------------------------------------------
 
-def quantize(field: Field, seed: int = 0) -> QField:
+def quantize(field: Field, seed: int = 0,
+             scale_mode: str = "div") -> QField:
+    """Quantize one field.  ``scale_mode``: 'div' (default) is the
+    C-exact division bin map; 'recip' multiplies by the exactly-rounded
+    reciprocal (kernels.uniform_bin_index_recip) -- the encoder-side map
+    the fused TPU kernels use; wire-compatible, same error class."""
+    if scale_mode not in ("div", "recip"):
+        raise ValueError(f"unknown scale_mode {scale_mode!r}")
     from ..utils import native_order
     data = native_order(field.data)
     if data is not field.data:  # never mutate the caller's Field
         field = Field(hd=field.hd, data=data, acc=field.acc)
     code = field.hd.field_code
     if code == FieldCode.POSN:
-        return _quantize_position(field, seed)
+        return _quantize_position(field, seed, scale_mode)
     if code == FieldCode.VELC:
-        return _quantize_velocity(field, seed)
+        return _quantize_velocity(field, seed, scale_mode)
     if code == FieldCode.PTID:
         return _quantize_id(field)
     if code == FieldCode.UNSF:
-        return _quantize_ufloat(field, seed)
+        return _quantize_ufloat(field, seed, scale_mode)
     if code == FieldCode.UNSI:
         return _quantize_uint(field)
     raise ValueError(f"unrecognized field code {code:#x}")
@@ -262,16 +280,23 @@ def dequantize(qf: QField, field_index: int = 0) -> Field:
     raise ValueError(f"unrecognized field code {code:#x}")
 
 
-def _dims_quantize(xm, x0, x1, delta, deltas):
+def _dims_quantize(xm, x0, x1, delta, deltas, scale_mode: str = "div"):
     """Shared 3-dim float quantize core (position/velocity both follow
     quant.c:161-289: per-dim x0, shared max_diff range, one depth or
-    per-element depths).  Returns (bins, depth, depths, x0_h, x1_h)."""
+    per-element depths).  Returns (bins, depth, depths, x0_h, x1_h).
+
+    ``scale_mode`` 'recip' swaps the uniform bin map for
+    kernels.uniform_bin_index_recip (Deltas mode always uses the div
+    map; the per-element path is host/scatter-bound, not
+    division-bound)."""
     x0_h = np.asarray(x0)
     x1_h = np.asarray(x1)
     max_diff = float(np.float32(np.max(x1_h - x0_h)))
     if deltas is None:
         depth = delta_to_depth(delta, x0_h[0], x0_h[0] + max_diff)
-        bins = dims_bins_uniform(xm, x0, jnp.float32(max_diff), depth)
+        fn = dims_bins_uniform_recip if scale_mode == "recip" \
+            else dims_bins_uniform
+        bins = fn(xm, x0, jnp.float32(max_diff), depth)
         return bins, depth, None, x0_h, x1_h
     depths = deltas_to_depths(deltas, x0_h[0], x0_h[0] + max_diff)
     bins = dims_bins_var(xm, x0, jnp.float32(max_diff),
@@ -301,12 +326,13 @@ def _dims_dequantize(q, data, field_index, post):
     return jnp.stack(dims), max_diff, x0
 
 
-def _quantize_position(field: Field, seed: int) -> QField:
+def _quantize_position(field: Field, seed: int,
+                       scale_mode: str = "div") -> QField:
     acc: PositionAccuracy = field.acc
     x = jnp.asarray(field.data, dtype=jnp.float32).reshape(3, -1)
     xu, x0, x1 = pos_prepare(x, float(acc.width))
     bins, depth, depths, x0_h, x1_h = _dims_quantize(
-        xu, x0, x1, acc.delta, acc.deltas)
+        xu, x0, x1, acc.delta, acc.deltas, scale_mode)
     if depths is None:
         _dbg(lambda: int(jnp.max(bins)) < (1 << depth),
              "position bin index exceeds 2^depth")
@@ -333,7 +359,8 @@ def _dequantize_position(qf: QField, field_index: int) -> Field:
     return Field(hd=qf.hd, data=data, acc=acc)
 
 
-def _quantize_velocity(field: Field, seed: int) -> QField:
+def _quantize_velocity(field: Field, seed: int,
+                       scale_mode: str = "div") -> QField:
     acc: VelocityAccuracy = field.acc
     # The reference treats ANY nonzero SymLog10Scaled as symlog10
     # (quant.c:248); velocities are signed, so plain log10 (flag 1)
@@ -342,7 +369,7 @@ def _quantize_velocity(field: Field, seed: int) -> QField:
     x = jnp.asarray(field.data, dtype=jnp.float32).reshape(3, -1)
     xm, x0, x1 = vel_prepare(x, sym, float(acc.sym_log10_threshold))
     bins, depth, depths, x0_h, x1_h = _dims_quantize(
-        xm, x0, x1, acc.delta, acc.deltas)
+        xm, x0, x1, acc.delta, acc.deltas, scale_mode)
 
     quant = VelocityQuantization(
         x0=tuple(float(v) for v in x0_h), x1=tuple(float(v) for v in x1_h),
@@ -395,7 +422,8 @@ def _dequantize_id(qf: QField) -> Field:
     return Field(hd=qf.hd, data=ids, acc=IDAccuracy(width=q.width))
 
 
-def _quantize_ufloat(field: Field, seed: int) -> QField:
+def _quantize_ufloat(field: Field, seed: int,
+                     scale_mode: str = "div") -> QField:
     acc: FloatAccuracy = field.acc
     x = jnp.asarray(field.data, dtype=jnp.float32).reshape(-1)
     xm, x0, x1 = ufloat_prepare(x, int(acc.log10_scaled),
@@ -405,7 +433,9 @@ def _quantize_ufloat(field: Field, seed: int) -> QField:
 
     if acc.deltas is None:
         depth = delta_to_depth(acc.delta, x0_h, x1_h)
-        bins = kernels.uniform_bin_index(
+        bin_fn = kernels.uniform_bin_index_recip if scale_mode == "recip" \
+            else kernels.uniform_bin_index
+        bins = bin_fn(
             xm, depth, x0_h, np.float32(x1_h) - np.float32(x0_h))
         depths = None
     else:

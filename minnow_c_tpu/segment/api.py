@@ -24,11 +24,16 @@ from . import format as wire
 from .stream import Reader, Writer
 
 
-def quantize(s: Seg, seed: int = 0) -> QSeg:
+def quantize(s: Seg, seed: int = 0, scale_mode: str = "div") -> QSeg:
     """Quantize every field (Quantize, funcs.c:13-23).  ``seed`` is the
     segment's dither seed, carried into the stream for deterministic
-    decode."""
-    return QSeg(fields=[engine.quantize(f, seed) for f in s.fields])
+    decode.  ``scale_mode`` picks the float bin map ('div' = C-exact
+    division, 'recip' = reciprocal multiply -- the fused-TPU-kernel map;
+    wire-compatible, see quant.engine.quantize)."""
+    if scale_mode not in ("div", "recip"):
+        raise ValueError(f"unknown scale_mode {scale_mode!r}")
+    return QSeg(fields=[engine.quantize(f, seed, scale_mode=scale_mode)
+                        for f in s.fields])
 
 
 def undo_quantize(qs: QSeg, field_indices=None) -> Seg:
@@ -200,14 +205,17 @@ def transcode_segment(data: bytes, algo: int,
     return seg_to_wire(cs2, parsed.particle_num)
 
 
-def compress_segment(s: Seg, seed: int = 0) -> bytes:
-    """Full encode: Seg -> spec segment bytes."""
+def compress_segment(s: Seg, seed: int = 0,
+                     scale_mode: str = "div") -> bytes:
+    """Full encode: Seg -> spec segment bytes.  ``scale_mode``: see
+    :func:`quantize` (decode needs no flag -- the bin map is the
+    encoder's choice and the stream is self-describing either way)."""
     lens = {f.hd.particle_len for f in s.fields}
     if len(lens) > 1:
         raise ValueError(
             f"all fields in a segment must share particle_len; got {lens}")
     particle_num = lens.pop() if lens else 0
-    qs = quantize(s, seed)
+    qs = quantize(s, seed, scale_mode=scale_mode)
     cs = compress(qs)
     return seg_to_wire(cs, particle_num)
 
