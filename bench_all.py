@@ -144,6 +144,23 @@ def config2():
 
     res = harness.run(lambda s: enc(x, s), bytes_per_iter=n * 4 * CHAIN)
 
+    @jax.jit
+    def enc_recip(xin, salt):
+        s = salt
+        w = None
+        for i in range(CHAIN):
+            box = jnp.float32(W) * (jnp.float32(1.0) +
+                                    s.astype(jnp.float32) *
+                                    jnp.float32(1e-45))
+            w, _, _ = fastpath.fast_uniform_encode(xin, depth,
+                                                   periodic_width=box,
+                                                   scale_mode="recip")
+            s = w[0] ^ jnp.uint32(i)
+        return s, w
+
+    res_r = harness.run(lambda s: enc_recip(x, s),
+                        bytes_per_iter=n * 4 * CHAIN)
+
     bins = jax.block_until_ready(jax.jit(
         lambda xx: kernels.uniform_bin_index(
             xx, depth, jnp.min(xx), jnp.max(xx) - jnp.min(xx)))(x))
@@ -172,11 +189,16 @@ def config2():
                         bytes_per_iter=n * 4 * CHAIN)
     results["config2_encode_kernel"] = {
         "GBps": round(res.gb_per_second, 2),
+        "recip_mode_GBps": round(res_r.gb_per_second, 2),
         "pack_only_GBps": round(res_p.gb_per_second, 2),
         "pack_only_note": "includes a non-fusable salt XOR pass "
                           "(+8 B/elem); understates the bare kernel",
-        "depth": depth, "input_MB": round(n * 4 / 1e6)}
+        "depth": depth, "input_MB": round(n * 4 / 1e6),
+        "note": "GBps = default div map (C-exact IEEE division, 3 HBM "
+                "passes); recip_mode_GBps = scale_mode='recip' "
+                "single-kernel encode (doc/wire_format.md section 6)"}
     log(f"config2: encode {res.gb_per_second:.2f} GB/s, "
+        f"recip {res_r.gb_per_second:.2f} GB/s, "
         f"pack {res_p.gb_per_second:.2f} GB/s")
 
 
@@ -295,6 +317,24 @@ def config4_100m():
                         bytes_per_iter=raw * CHAIN)
     log(f"config4_100M encode: {res_e.gb_per_second:.1f} GB/s")
 
+    codec_r = ShardedPositionCodec(mesh=mesh, width=W, depth=depth,
+                                   scale_mode="recip")
+
+    @jax.jit
+    def enc_chain_recip(xin, salt):
+        s = salt
+        words = None
+        for i in range(CHAIN):
+            xs = salt_perturb(xin, [(0, s & m),
+                                    (1, (s >> jnp.uint32(10)) & m)])
+            words, x0b, rng_b = codec_r._encode(xs)
+            s = words[0, 0, 0] ^ jnp.uint32(i)
+        return words
+
+    res_er = harness.run(lambda s: enc_chain_recip(xd, s),
+                         bytes_per_iter=raw * CHAIN)
+    log(f"config4_100M encode (recip): {res_er.gb_per_second:.1f} GB/s")
+
     @jax.jit
     def dec_chain(wd, salt):
         s = salt
@@ -313,6 +353,7 @@ def config4_100m():
     results["config4_100M_single_pass"] = {
         "particles": n, "blocks": B, "depth": depth,
         "encode_GBps": round(res_e.gb_per_second, 2),
+        "encode_recip_GBps": round(res_er.gb_per_second, 2),
         "decode_GBps": round(res_d.gb_per_second, 2),
         "max_err_full_array": err,
         "delta_requested": 1e-3,

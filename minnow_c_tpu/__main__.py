@@ -68,6 +68,12 @@ def main(argv=None):
     c.add_argument("--vel-delta", type=float, default=1.0)
     c.add_argument("--blocks", type=int, default=None)
     c.add_argument("--seed", type=int, default=0)
+    c.add_argument("--scale-mode", choices=("div", "recip"),
+                   default="div", dest="scale_mode",
+                   help="float bin map: 'div' = C-exact division "
+                        "(default), 'recip' = reciprocal multiply (the "
+                        "single-kernel TPU encode; wire-compatible, see "
+                        "doc/wire_format.md section 6)")
 
     d = sub.add_parser("decompress",
                        help=".g2.min -> Gadget-2 / .il.min -> HDF5")
@@ -111,11 +117,13 @@ def main(argv=None):
                 if len(args.input) == 1:
                     stats = illustris.compress(
                         args.input[0], fout, pos_delta=args.pos_delta,
-                        vel_delta=args.vel_delta, seed=args.seed)
+                        vel_delta=args.vel_delta, seed=args.seed,
+                        scale_mode=args.scale_mode)
                 else:
                     stats = illustris.compress_multi(
                         args.input, fout, pos_delta=args.pos_delta,
-                        vel_delta=args.vel_delta, seed=args.seed)
+                        vel_delta=args.vel_delta, seed=args.seed,
+                        scale_mode=args.scale_mode)
             n = sum(e["n"] for e in stats["meta"]["part_types"])
             types = ", ".join(e["name"] for e in stats["meta"]["part_types"])
         else:
@@ -128,7 +136,8 @@ def main(argv=None):
                 stats = gadget2.compress(
                     fin, fout, pos_delta=args.pos_delta,
                     vel_delta=args.vel_delta,
-                    num_blocks=args.blocks, seed=args.seed)
+                    num_blocks=args.blocks, seed=args.seed,
+                    scale_mode=args.scale_mode)
             n = stats["n"]
             types = f"{stats['num_blocks']} segments"
         raw = sum(os.path.getsize(path) for path in args.input)

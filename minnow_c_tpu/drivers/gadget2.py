@@ -119,7 +119,8 @@ def compress(in_fp: BinaryIO, out_fp: BinaryIO,
              vel_delta: float = 1.0,
              id_grid_width: Optional[int] = None,
              num_blocks: Optional[int] = None,
-             seed: int = 0) -> dict:
+             seed: int = 0,
+             scale_mode: str = "div") -> dict:
     """Gadget-2 snapshot -> .g2.min: the raw header is written first as one
     Fortran-style record, then the chained compressed segments."""
     hdr, pos, vel, ids = read_snapshot(in_fp)
@@ -158,7 +159,8 @@ def compress(in_fp: BinaryIO, out_fp: BinaryIO,
         ids=IDAccuracy(width=id_grid_width))
     _write_record(out_fp, hdr.pack())
     stats = snapshot.compress_snapshot(out_fp, pos, vel, ids, spec,
-                                       num_blocks, seed)
+                                       num_blocks, seed,
+                                       scale_mode=scale_mode)
     stats["n"] = n
     return stats
 

@@ -51,7 +51,8 @@ def compress(h5_path: str, out_fp: BinaryIO,
              pos_delta: float = 1e-3,
              vel_delta: float = 1.0,
              part_types: Optional[list] = None,
-             seed: int = 0) -> dict:
+             seed: int = 0,
+             scale_mode: str = "div") -> dict:
     """Illustris HDF5 snapshot -> .il.min."""
     import h5py
 
@@ -91,13 +92,14 @@ def compress(h5_path: str, out_fp: BinaryIO,
         # One type at a time: peak memory is a single type's arrays.
         for entry in meta["part_types"]:
             st = _compress_group(out_fp, f[entry["name"]], entry, box,
-                                 pos_delta, vel_delta, seed)
+                                 pos_delta, vel_delta, seed, scale_mode)
             stats["types"][entry["name"]] = st
     stats["meta"] = meta
     return stats
 
 
-def _compress_group(out_fp, g, entry, box, pos_delta, vel_delta, seed):
+def _compress_group(out_fp, g, entry, box, pos_delta, vel_delta, seed,
+                    scale_mode: str = "div"):
     """Compress one HDF5 particle-type group as one segment chain,
     following ``entry`` (an element of meta['part_types'] or of a
     chunked entry's 'chunks' list)."""
@@ -127,7 +129,8 @@ def _compress_group(out_fp, g, entry, box, pos_delta, vel_delta, seed):
         else None,
         ids=IDAccuracy(width=grid) if ids is not None else None)
     return snapshot.compress_snapshot(out_fp, pos, vel, ids, spec,
-                                      entry["blocks"], seed)
+                                      entry["blocks"], seed,
+                                      scale_mode=scale_mode)
 
 
 def _chunk_entry(g, box) -> Optional[dict]:
@@ -150,7 +153,8 @@ def compress_multi(h5_paths, out_fp: BinaryIO,
                    pos_delta: float = 1e-3,
                    vel_delta: float = 1.0,
                    part_types: Optional[list] = None,
-                   seed: int = 0) -> dict:
+                   seed: int = 0,
+                   scale_mode: str = "div") -> dict:
     """Chunked Illustris snapshot (``snap_X.0.hdf5 ... snap_X.(N-1).hdf5``)
     -> one ``.il.min`` holding the merged logical snapshot.
 
@@ -201,7 +205,7 @@ def compress_multi(h5_paths, out_fp: BinaryIO,
             with h5py.File(h5_paths[ch["file"]], "r") as f:
                 sts.append(_compress_group(out_fp, f[entry["name"]], ch,
                                            box, pos_delta, vel_delta,
-                                           seed))
+                                           seed, scale_mode))
         stats["types"][entry["name"]] = sts
     stats["meta"] = meta
     return stats

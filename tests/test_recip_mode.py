@@ -204,6 +204,37 @@ class TestSnapshotWriter:
         assert len(s1) > 0 and len(s2) > 0
 
 
+class TestDrivers:
+    def test_gadget2_recip_roundtrip(self, tmp_path):
+        from minnow_c_tpu.drivers import gadget2
+        rng = np.random.default_rng(11)
+        n = 3000
+        hdr = gadget2.Gadget2Header(
+            npart=(0, n, 0, 0, 0, 0), mass=(0.0, 1.0, 0.0, 0.0, 0.0, 0.0),
+            time=0.5, redshift=1.5, box_size=W, omega0=0.3,
+            omega_lambda=0.7, hubble_param=0.7)
+        pos = rng.uniform(0, W, (3, n)).astype(np.float32)
+        vel = rng.normal(0, 100, (3, n)).astype(np.float32)
+        ids = rng.permutation(n).astype(np.uint64)
+        raw = tmp_path / "snap.g2"
+        with open(raw, "wb") as f:
+            gadget2.write_snapshot(f, hdr, pos, vel, ids)
+        out = tmp_path / "snap.g2.min"
+        with open(raw, "rb") as fi, open(out, "wb") as fo:
+            gadget2.compress(fi, fo, pos_delta=1e-3, vel_delta=1.0,
+                             scale_mode="recip")
+        back = tmp_path / "back.g2"
+        with open(out, "rb") as fi, open(back, "wb") as fo:
+            gadget2.decompress(fi, fo)
+        with open(back, "rb") as f:
+            hdr2, p2, v2, i2 = gadget2.read_snapshot(f)
+        e = np.abs(np.asarray(p2) - pos)
+        e = np.minimum(e, W - e)
+        assert e.max() <= 1e-3
+        assert np.abs(np.asarray(v2) - vel).max() <= 1.0
+        assert np.array_equal(i2, ids)
+
+
 class TestShardedCodecs:
     def test_position_codec_recip_roundtrip(self):
         mesh = make_mesh(8)
