@@ -102,12 +102,12 @@ def make_decode(**flags):
             kernel,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((1, 4 * WIDTH, M), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 4 * WIDTH, M), lambda i: (i, i * 0, i * 0),
                              memory_space=space),
-                pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM),
-                pl.BlockSpec((3,), lambda i: (0,), memory_space=pltpu.SMEM),
+                pl.BlockSpec((2,), lambda i: (i * 0,), memory_space=pltpu.SMEM),
+                pl.BlockSpec((3,), lambda i: (i * 0,), memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((1, M, 128), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((1, M, 128), lambda i: (i, i * 0, i * 0),
                                    memory_space=space),
             out_shape=jax.ShapeDtypeStruct((n_tiles, M, 128), jnp.float32),
             interpret=INTERPRET,

@@ -129,6 +129,23 @@ class TestSegmentAPI:
         with pytest.raises(ValueError, match="scale_mode"):
             api.compress_segment(mnw.Seg(fields=[]), scale_mode="exp")
 
+    def test_compressed_size_matches_div_mode(self):
+        """The recip map changes at most boundary bins (values, not
+        counts or widths): packed plane sizes are identical by
+        construction, and the LZ4 stage sees near-identical bytes -- so
+        the 'compressed size <= C reference' target carries over.
+        Allow a tiny LZ4 wiggle."""
+        rng = np.random.default_rng(12)
+        n = 40_000
+        steps = rng.normal(0, 0.01, (3, n)).astype(np.float32)
+        pos = (np.cumsum(steps, axis=1) + W / 2).astype(np.float32) % W
+        f = _pos_field(pos, n)
+        a = len(api.compress_segment(mnw.Seg(fields=[f]), seed=1,
+                                     scale_mode="div"))
+        b = len(api.compress_segment(mnw.Seg(fields=[f]), seed=1,
+                                     scale_mode="recip"))
+        assert abs(a - b) <= max(64, a // 1000), (a, b)
+
 
 class TestSnapshotWriter:
     @pytest.mark.parametrize("nb_total,blocks", [(4096 * 4, 4),
