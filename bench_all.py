@@ -576,8 +576,27 @@ def main():
         "the carried array every iteration and the while-loop adds",
         "per-step overhead): chains are now Python-unrolled inside one",
         "jit (exp/decode_chain_variants.py: 134 -> 291 GB/s for",
-        "identical decode work).  Current honest kernel numbers: decode",
-        "~291 GB/s, full fused encode ~178 GB/s per chip.", "",
+        "identical decode work).  Two elision holes that unrolling",
+        "opens for pure-XLA bodies are closed in bench_kernels.py:",
+        "additive salts are algebraically factorable (XLA hoists",
+        "min(x+c)=min(x)+c out of the chain) -> salts inject as a",
+        "mantissa-LSB xor; and element-[0] salt derivation lets a",
+        "slice-rooted fusion DCE an elementwise chain to one lane ->",
+        "next-salts derive from a full reduction.  Pallas custom calls",
+        "are opaque and immune to both.  A 100 MB working set also fits",
+        "v5e's 128 MB VMEM, so chained XLA-kernel rows can legitimately",
+        "exceed the ~819 GB/s HBM rate (see bench_kernels.json meta).",
+        "Current honest kernel numbers: decode ~291 GB/s, full fused",
+        "encode ~182 GB/s (div) / ~309 GB/s (recip scale mode) per",
+        "chip.", "",
+        "## TPU-tunnel availability", "",
+        "The axon TPU tunnel has had multi-hour outages (trivial",
+        "programs hang in jax.devices()).  bench.py carries a 2100 s",
+        "SIGALRM watchdog: if the chip is unreachable when the driver",
+        "runs it, it prints its one JSON line with value 0.0 and an",
+        "error field naming the cause instead of hanging.  A recorded",
+        "error line means the tunnel was down at collection time, not",
+        "that the codec regressed.", "",
         "## On the BASELINE target \"decode bit-exact vs minnow_c\"", "",
         "This target is unmeetable as literally stated: the reference's",
         "decode dither RNG is seeded from `clock()` at call time",
