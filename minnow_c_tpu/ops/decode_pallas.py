@@ -54,6 +54,24 @@ ROW_CHUNK = 1024  # max streams per rows-kernel call: the per-row key and
 # concatenated.
 
 
+def _rows_per_step(rows: int, tile: int) -> int:
+    """Rows per grid step for the rows kernels.
+
+    v5e grid steps are latency-bound at ~3 us regardless of block size
+    (exp/rows_breakdown.py: 48 steps of 2 MB and 192 steps of 0.5 MB
+    take the same per-step time), so short rows are grouped until each
+    step moves ~TILE elements again.  The group size is the largest
+    divisor of ``rows`` within the cap: no row padding, so the kernel
+    math and wire bits are untouched (snapshot float paths have
+    rows = 3*B, so at least 3x grouping whenever the cap allows)."""
+    cap = min(max(1, TILE // tile), rows)
+    g = 1
+    for d in range(1, cap + 1):
+        if rows % d == 0:
+            g = d
+    return g
+
+
 def rows_kernel_eligible(width: int, n: int) -> bool:
     """Shared gate for dispatching to the rows kernels
     (decode_pallas_rows / unpack_pallas_rows): they require a positive
@@ -240,8 +258,9 @@ def _rows_tiling(words, width: int, n: int):
     return w4, rows, n_tiles, M, tile
 
 
-def _unpack_rows_kernel(words_ref, out_ref, *, width: int):
-    out_ref[0, 0] = _unpack_128(words_ref[0, 0], width).T
+def _unpack_rows_kernel(words_ref, out_ref, *, width: int, group: int):
+    for j in range(group):
+        out_ref[j, 0] = _unpack_128(words_ref[j, 0], width).T
 
 
 @functools.partial(jax.jit,
@@ -260,17 +279,18 @@ def unpack_pallas_rows(words, width: int, n: int, interpret: bool = False):
                                 interpret=interpret)
              for i in range(0, words.shape[0], ROW_CHUNK)])
     w4, rows, n_tiles, M, tile = _rows_tiling(words, width, n)
-    kernel = functools.partial(_unpack_rows_kernel, width=width)
+    G = _rows_per_step(rows, tile)
+    kernel = functools.partial(_unpack_rows_kernel, width=width, group=G)
     space = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
         kernel,
-        grid=(rows, n_tiles),
+        grid=(rows // G, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, 4 * width, M),
+            pl.BlockSpec((G, 1, 4 * width, M),
                          lambda r, i: (r, i, r * 0, r * 0),
                          memory_space=space),
         ],
-        out_specs=pl.BlockSpec((1, 1, M, 128),
+        out_specs=pl.BlockSpec((G, 1, M, 128),
                                lambda r, i: (r, i, r * 0, r * 0),
                                memory_space=space),
         out_shape=jax.ShapeDtypeStruct((rows, n_tiles, M, 128),
@@ -281,22 +301,25 @@ def unpack_pallas_rows(words, width: int, n: int, interpret: bool = False):
 
 
 def _decode_rows_kernel(words_ref, key_ref, scal_ref, out_ref, *,
-                        width: int, periodic: bool, tile_elems: int):
-    """One (row, tile) grid step: words (1, 1, 4*width, M) ->
-    out (1, 1, M, 128).  Each row is an independent stream whose dither
+                        width: int, periodic: bool, tile_elems: int,
+                        group: int):
+    """One (row-group, tile) grid step: words (G, 1, 4*width, M) ->
+    out (G, 1, M, 128).  Each row is an independent stream whose dither
     counter restarts at 0.
 
     The per-row key/scalar tables ride whole in SMEM and are indexed by
-    the row program id: Mosaic's block-shape rule (last two dims
-    divisible by (8, 128) or equal to the array's) rejects a (1, 2)
-    SMEM window, and SMEM scalars support dynamic indexing anyway."""
-    r = pl.program_id(0)
+    the row id: Mosaic's block-shape rule (last two dims divisible by
+    (8, 128) or equal to the array's) rejects a (1, 2) SMEM window, and
+    SMEM scalars support dynamic indexing anyway."""
+    g = pl.program_id(0)
     tile = pl.program_id(1)
     tile0 = tile.astype(jnp.uint32) * jnp.uint32(tile_elems // 4)
-    out_ref[0, 0] = _decode_body(
-        words_ref[0, 0], key_ref[r, 0], key_ref[r, 1], scal_ref[r, 0],
-        scal_ref[r, 1], scal_ref[r, 2], tile0, width=width,
-        periodic=periodic)
+    for j in range(group):
+        r = g * group + j
+        out_ref[j, 0] = _decode_body(
+            words_ref[j, 0], key_ref[r, 0], key_ref[r, 1], scal_ref[r, 0],
+            scal_ref[r, 1], scal_ref[r, 2], tile0, width=width,
+            periodic=periodic)
 
 
 @functools.partial(jax.jit,
@@ -337,14 +360,16 @@ def decode_pallas_rows(words, keys, width: int, n: int, x0, dx, box=0.0,
     scal = jnp.stack(
         [x0.astype(jnp.float32), dx_bin,
          jnp.full((rows,), box, jnp.float32)], axis=1)  # (R, 3)
+    G = _rows_per_step(rows, tile)
     kernel = functools.partial(_decode_rows_kernel, width=width,
-                               periodic=periodic, tile_elems=tile)
+                               periodic=periodic, tile_elems=tile,
+                               group=G)
     space = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
         kernel,
-        grid=(rows, n_tiles),
+        grid=(rows // G, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, 4 * width, M),
+            pl.BlockSpec((G, 1, 4 * width, M),
                          lambda r, i: (r, i, r * 0, r * 0),
                          memory_space=space),
             pl.BlockSpec((rows, 2), lambda r, i: (r * 0, r * 0),
@@ -352,7 +377,7 @@ def decode_pallas_rows(words, keys, width: int, n: int, x0, dx, box=0.0,
             pl.BlockSpec((rows, 3), lambda r, i: (r * 0, r * 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, M, 128),
+        out_specs=pl.BlockSpec((G, 1, M, 128),
                                lambda r, i: (r, i, r * 0, r * 0),
                                memory_space=space),
         out_shape=jax.ShapeDtypeStruct((rows, n_tiles, M, 128),

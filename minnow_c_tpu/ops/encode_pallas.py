@@ -135,9 +135,11 @@ def pack_pallas(vals, width: int, n: int, from_f32: bool = False,
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
-def _pack_rows_kernel(in_ref, out_ref, *, width: int, from_f32: bool):
-    out_ref[0, 0] = _pack_body(in_ref[0, 0].T, width=width,
-                               from_f32=from_f32)
+def _pack_rows_kernel(in_ref, out_ref, *, width: int, from_f32: bool,
+                      group: int):
+    for j in range(group):
+        out_ref[j, 0] = _pack_body(in_ref[j, 0].T, width=width,
+                                   from_f32=from_f32)
 
 
 @functools.partial(jax.jit,
@@ -172,16 +174,18 @@ def pack_pallas_rows(vals, width: int, from_f32: bool = False,
     if pad:
         vals = jnp.pad(vals, ((0, 0), (0, pad)))
     v4 = vals.reshape(rows, n_tiles, M, 128)
+    from .decode_pallas import _rows_per_step
+    G = _rows_per_step(rows, tile)
     kernel = functools.partial(_pack_rows_kernel, width=width,
-                               from_f32=from_f32)
+                               from_f32=from_f32, group=G)
     space = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
         kernel,
-        grid=(rows, n_tiles),
-        in_specs=[pl.BlockSpec((1, 1, M, 128),
+        grid=(rows // G, n_tiles),
+        in_specs=[pl.BlockSpec((G, 1, M, 128),
                                lambda r, i: (r, i, r * 0, r * 0),
                                memory_space=space)],
-        out_specs=pl.BlockSpec((1, 1, M, 4 * width),
+        out_specs=pl.BlockSpec((G, 1, M, 4 * width),
                                lambda r, i: (r, i, r * 0, r * 0),
                                memory_space=space),
         out_shape=jax.ShapeDtypeStruct((rows, n_tiles, M, 4 * width),
@@ -372,16 +376,18 @@ def encode_pallas_recip(x, width: int, periodic_width=None,
 
 
 def _encode_recip_rows_kernel(x_ref, scal_ref, out_ref, *, width: int,
-                              periodic: bool):
-    """One (row, tile) grid step: x (1, 1, M, 128) -> words
-    (1, 1, M, 4*width); per-row scalars (R, 4) ride whole in SMEM,
-    indexed by the row program id (same pattern as
+                              periodic: bool, group: int):
+    """One (row-group, tile) grid step: x (G, 1, M, 128) -> words
+    (G, 1, M, 4*width); per-row scalars (R, 4) ride whole in SMEM,
+    indexed by the row id (same pattern as
     decode_pallas._decode_rows_kernel)."""
-    r = pl.program_id(0)
-    scaled = _recip_body(x_ref[0, 0].T, scal_ref[r, 0], scal_ref[r, 1],
-                         scal_ref[r, 2], scal_ref[r, 3], width=width,
-                         periodic=periodic)
-    out_ref[0, 0] = _pack_body(scaled, width=width, from_f32=True)
+    g = pl.program_id(0)
+    for j in range(group):
+        r = g * group + j
+        scaled = _recip_body(x_ref[j, 0].T, scal_ref[r, 0], scal_ref[r, 1],
+                             scal_ref[r, 2], scal_ref[r, 3], width=width,
+                             periodic=periodic)
+        out_ref[j, 0] = _pack_body(scaled, width=width, from_f32=True)
 
 
 @functools.partial(jax.jit,
@@ -423,20 +429,22 @@ def encode_pallas_recip_rows(x, x0, recip, box, anchor, width: int,
     scal = jnp.stack([x0.astype(jnp.float32), recip.astype(jnp.float32),
                       box.astype(jnp.float32),
                       anchor.astype(jnp.float32)], axis=1)  # (R, 4)
+    from .decode_pallas import _rows_per_step
+    G = _rows_per_step(rows, tile)
     kernel = functools.partial(_encode_recip_rows_kernel, width=width,
-                               periodic=periodic)
+                               periodic=periodic, group=G)
     space = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
         kernel,
-        grid=(rows, n_tiles),
+        grid=(rows // G, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, M, 128),
+            pl.BlockSpec((G, 1, M, 128),
                          lambda r, i: (r, i, r * 0, r * 0),
                          memory_space=space),
             pl.BlockSpec((rows, 4), lambda r, i: (r * 0, r * 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, M, 4 * width),
+        out_specs=pl.BlockSpec((G, 1, M, 4 * width),
                                lambda r, i: (r, i, r * 0, r * 0),
                                memory_space=space),
         out_shape=jax.ShapeDtypeStruct((rows, n_tiles, M, 4 * width),
