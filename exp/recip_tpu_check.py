@@ -74,6 +74,18 @@ def main():
     print(f"rows: bad={bad}", flush=True)
     assert bad == 0
 
+    # 2b. Pallas rows stats parity (the batched writers' stats pass)
+    from minnow_c_tpu.parallel.sharding import _float_rows_stats
+    xs = jax.device_put(jnp.asarray(
+        rng.uniform(0, W, (16, 3, (1 << 16) + 1000)).astype(np.float32)))
+    for box in (W, None):
+        x0p, rp = _float_rows_stats(xs, box, True, False)
+        x0x, rx = _float_rows_stats(xs, box, False, False)
+        badm = int(jnp.sum((x0p != x0x).astype(jnp.int32))
+                   + jnp.sum((rp != rx).astype(jnp.int32)))
+        print(f"stats periodic={box is not None}: bad={badm}", flush=True)
+        assert badm == 0
+
     # 3. sharded codec roundtrip on the 1-device TPU mesh
     mesh = make_mesh()
     depth = spmd_depth_for(1e-3, W)

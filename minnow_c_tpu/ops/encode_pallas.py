@@ -452,3 +452,98 @@ def encode_pallas_recip_rows(x, x0, recip, box, anchor, width: int,
         interpret=interpret,
     )(x4, scal)
     return out.reshape(rows, n_tiles * tile * width // 32)[:, :out_words]
+
+
+def _stats_rows_kernel(x_ref, scal_ref, out_ref, *, periodic: bool,
+                       group: int, n: int, tile: int):
+    """One (row-group, tile) grid step of the rows stats pass: x
+    (G, 1, M, 128) raw floats -> lane-partial min/max (G, 2, 128),
+    accumulated across the tile grid dim (the out block revisits).
+
+    Math is kernels.undo_periodic verbatim (anchored unwrap around the
+    row's element 0, ``half = box * 0.5`` == XLA's ``box / 2`` exactly);
+    f32 min/max are order-independent, so the result is bit-identical to
+    the vmapped XLA stats whatever the reduction tree."""
+    i = pl.program_id(1)
+    g = pl.program_id(0)
+    M = tile // 128
+    # Elements past each row's true length (tile padding) are masked out
+    # of the reduction; only the last tile can carry padding.
+    lim = jnp.int32(n) - i * jnp.int32(tile)
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (M, 128), 0) * 128
+           + jax.lax.broadcasted_iota(jnp.int32, (M, 128), 1))
+    mask = idx < lim
+    inf = jnp.float32(np.inf)
+    for j in range(group):
+        r = g * group + j
+        xv = x_ref[j, 0]                               # (M, 128)
+        if periodic:
+            box = scal_ref[r, 0]
+            anchor = scal_ref[r, 1]
+            half = box * jnp.float32(0.5)
+            xv = jnp.where(xv - anchor >= half, xv - box, xv)
+            xv = jnp.where(xv - anchor < -half, xv + box, xv)
+        mn = jnp.min(jnp.where(mask, xv, inf), axis=0)     # (128,)
+        mx = jnp.max(jnp.where(mask, xv, -inf), axis=0)
+
+        @pl.when(i == 0)
+        def _init():
+            out_ref[j, 0] = mn
+            out_ref[j, 1] = mx
+
+        @pl.when(i > 0)
+        def _acc():
+            out_ref[j, 0] = jnp.minimum(out_ref[j, 0], mn)
+            out_ref[j, 1] = jnp.maximum(out_ref[j, 1], mx)
+
+
+@functools.partial(jax.jit, static_argnames=("periodic", "interpret"))
+def stats_pallas_rows(x, box, anchor, periodic: bool,
+                      interpret: bool = False):
+    """Batched stats of R independent streams: x (R, n) raw floats +
+    per-row box/anchor (R,) -> (min (R,), max (R,)) of the periodically
+    unwrapped values (kernels.undo_periodic), in one HBM read.
+
+    Replaces the vmapped-XLA stats pass ahead of
+    ``encode_pallas_recip_rows`` (the batched snapshot/SPMD writers);
+    bit-identical to ``jnp.min/max(undo_periodic(row))`` per row."""
+    from .decode_pallas import ROW_CHUNK, _rows_per_step
+    rows, n = x.shape
+    if rows > ROW_CHUNK:
+        parts = [stats_pallas_rows(
+            x[i:i + ROW_CHUNK], box[i:i + ROW_CHUNK],
+            anchor[i:i + ROW_CHUNK], periodic, interpret=interpret)
+            for i in range(0, rows, ROW_CHUNK)]
+        return (jnp.concatenate([p[0] for p in parts]),
+                jnp.concatenate([p[1] for p in parts]))
+    tile = TILE
+    while tile > 1 << 14 and tile // 2 >= n:
+        tile //= 2
+    M = tile // 128
+    n_tiles = -(-n // tile)
+    pad = n_tiles * tile - n
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))  # masked out of the reduce
+    x4 = x.reshape(rows, n_tiles, M, 128)
+    scal = jnp.stack([box.astype(jnp.float32),
+                      anchor.astype(jnp.float32)], axis=1)       # (R, 2)
+    G = _rows_per_step(rows, tile)
+    kernel = functools.partial(_stats_rows_kernel, periodic=periodic,
+                               group=G, n=n, tile=tile)
+    space = pl.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows // G, n_tiles),
+        in_specs=[
+            pl.BlockSpec((G, 1, M, 128),
+                         lambda r, i: (r, i, r * 0, r * 0),
+                         memory_space=space),
+            pl.BlockSpec((rows, 2), lambda r, i: (r * 0, r * 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((G, 2, 128), lambda r, i: (r, r * 0, r * 0),
+                               memory_space=space),
+        out_shape=jax.ShapeDtypeStruct((rows, 2, 128), jnp.float32),
+        interpret=interpret,
+    )(x4, scal)
+    return jnp.min(out[:, 0, :], axis=1), jnp.max(out[:, 1, :], axis=1)

@@ -68,6 +68,11 @@ def _batched_stats_pos(x, width):
     Module-level jit: wrapping these in fresh ``jax.jit(lambda ...)`` per
     call forced an executable reload every invocation (~30-60 s each on
     this runtime)."""
+    if jax.default_backend() == "tpu":
+        # One fused HBM read (bit-identical; see sharding._float_rows_stats).
+        from .sharding import _float_rows_stats
+        return _float_rows_stats(x, width, True, False)
+
     def one(xb):
         xu = jax.vmap(lambda d: kernels.undo_periodic(d, width))(xb)
         x0 = jnp.min(xu, axis=1)
@@ -84,6 +89,12 @@ def _batched_stats_vel(x, sym_log10_scaled: int = 0,
     plane only; the (deterministic) symlog/identity map is recomputed by
     the pack phase."""
     from ..quant.engine import map_float
+    if not sym_log10_scaled and jax.default_backend() == "tpu":
+        # Identity map: one fused HBM read (bit-identical; see
+        # sharding._float_rows_stats).  The symlog map is transcendental
+        # (Mosaic-approximate), so that path stays in XLA.
+        from .sharding import _float_rows_stats
+        return _float_rows_stats(x, None, True, False)
 
     def one(xb):
         xm = map_float(xb, 2 if sym_log10_scaled else 0, threshold)

@@ -238,3 +238,48 @@ def test_decode_rows_rejects_width_over_24():
         decode_pallas.decode_pallas(jnp.zeros((32,), jnp.uint32),
                                     jnp.zeros((2,), jnp.uint32), 25, 32,
                                     0.0, 1.0, interpret=True)
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+@pytest.mark.parametrize("n", [SMALL + 64, 1000, 96])
+def test_stats_rows_matches_xla(periodic, n):
+    """stats_pallas_rows == vmapped XLA stats bit-for-bit, including
+    non-tile-multiple (masked-pad) and non-32-aligned row lengths and
+    wrapped periodic clusters."""
+    import jax
+    from minnow_c_tpu.ops import encode_pallas
+    from minnow_c_tpu.parallel.sharding import _float_block_stats
+
+    R, box = 6, 64.0
+    rng = np.random.default_rng(n + periodic)
+    # Tight clusters that straddle the periodic boundary exercise the
+    # anchored unwrap (values land outside [0, box) after unwrapping).
+    centers = rng.uniform(0, box, (R, 1))
+    x = ((centers + rng.normal(0, 3.0, (R, n))) % box).astype(np.float32)
+    xj = jnp.asarray(x)
+    mn, mx = encode_pallas.stats_pallas_rows(
+        xj, jnp.full((R,), np.float32(box)), xj[:, 0], periodic,
+        interpret=True)
+    xb = xj.reshape(R // 3, 3, n)
+    x0_ref, rng_ref = jax.vmap(
+        lambda b: _float_block_stats(b, box if periodic else None))(xb)
+    np.testing.assert_array_equal(np.asarray(mn).reshape(R // 3, 3),
+                                  np.asarray(x0_ref))
+    rng_rows = (np.asarray(mx) - np.asarray(mn)).reshape(R // 3, 3)
+    np.testing.assert_array_equal(rng_rows.max(axis=1),
+                                  np.asarray(rng_ref))
+
+
+def test_float_rows_stats_dispatch_parity():
+    """_float_rows_stats Pallas path (interpret) == XLA fallback."""
+    from minnow_c_tpu.parallel.sharding import (_float_rows_stats,
+                                                _float_block_stats)
+    import jax
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 64.0, (4, 3, 1 << 10)).astype(np.float32))
+    for box in (64.0, None):
+        x0_p, rng_p = _float_rows_stats(x, box, True, True)
+        x0_x, rng_x = _float_rows_stats(x, box, False, False)
+        np.testing.assert_array_equal(np.asarray(x0_p), np.asarray(x0_x))
+        np.testing.assert_array_equal(np.asarray(rng_p), np.asarray(rng_x))
