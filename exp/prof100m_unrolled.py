@@ -1,0 +1,246 @@
+"""Round-4: phase-by-phase profile of the 100M sharded decode/encode
+(config4_100m) with PYTHON-UNROLLED salt chains — the same chain shape
+the production bench uses (fori_loop chains under-report; see
+exp/decode_chain_variants.py, 134 vs 291 GB/s).
+
+Decode phases (each timed as its own unrolled chain via bench.harness):
+
+  perturb    salt_perturb(words) alone, materialized      (0.6r+0.6w GB)
+  transpose  perturb + pad + reshape + swapaxes           (+0.6r+0.63w)
+  kernel     pallas rows kernel on pre-transposed w4      (0.63r+1.26w)
+  kernslice  kernel + the [:, :n] slice copy              (+1.26r+1.2w)
+  full       codec._decode (production)                   (everything)
+
+Encode phases:
+
+  estats     vmapped div-mode stats (unwrap+min/max)      (0.6r x2)
+  ebins      stats + bin (no pack)
+  efull      codec._encode div (production)
+  erecip     codec._encode recip (production)
+
+Run:  python exp/prof100m_unrolled.py [phase...]
+Env:  PROF_NB (block size, default 12_500_000), PROF_CHAIN (default 8)
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/minnow_jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.stdout.reconfigure(line_buffering=True)
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from minnow_c_tpu.bench import harness
+from minnow_c_tpu.ops import decode_pallas
+from minnow_c_tpu.parallel.sharding import (ShardedPositionCodec, make_mesh,
+                                            spmd_depth_for,
+                                            _float_block_encode)
+
+W = 64.0
+B, nb = 8, int(os.environ.get("PROF_NB", 12_500_000))
+CHAIN = int(os.environ.get("PROF_CHAIN", 8))
+depth = spmd_depth_for(1e-3, W)  # 16
+ROWS = B * 3
+n_words = nb * depth // 32
+TILE = decode_pallas.TILE
+n_tiles = -(-nb // TILE)
+wpt = TILE * depth // 32
+M = TILE // 128
+pad_words = n_tiles * wpt - n_words
+raw = B * 3 * nb * 4
+
+print(f"nb={nb} depth={depth} rows={ROWS} n_words={n_words} "
+      f"n_tiles={n_tiles} pad_words={pad_words} chain={CHAIN}")
+
+rng = np.random.default_rng(7)
+mesh = make_mesh()
+codec = ShardedPositionCodec(mesh=mesh, width=W, depth=depth)
+codec_r = ShardedPositionCodec(mesh=mesh, width=W, depth=depth,
+                               scale_mode="recip")
+xd = jax.device_put(
+    jnp.asarray(rng.uniform(0, W, (B, 3, nb)).astype(np.float32)),
+    codec._in_shardings())
+enc = codec.encode(xd)
+words_d, x0_d, rng_d = enc
+jax.block_until_ready(words_d)
+seed_arr = jnp.asarray([4], dtype=jnp.uint32)
+zero_blk = jnp.zeros((1,), jnp.int32)
+del enc
+
+
+def perturb_nd(a, s):
+    """XOR s into element [0,...,0], elementwise form."""
+    hit = None
+    for d in range(a.ndim):
+        i = jax.lax.broadcasted_iota(jnp.uint32, a.shape, d)
+        hit = (i == 0) if hit is None else (hit & (i == 0))
+    return jnp.where(hit, a ^ s, a)
+
+
+def first_u32(a):
+    v = a
+    for _ in range(a.ndim):
+        v = v[0]
+    if v.dtype == jnp.float32:
+        v = jax.lax.bitcast_convert_type(v, jnp.uint32)
+    return v
+
+
+def chain(step):
+    """Unrolled salt chain around a words->result step."""
+    @jax.jit
+    def f(salt, *args):
+        s = salt
+        out = None
+        for i in range(CHAIN):
+            out = step(s, *args)
+            s = first_u32(out) ^ jnp.uint32(i)
+        return s, out
+    return f
+
+
+# ---- decode phases ---------------------------------------------------------
+
+def mk_perturb():
+    return chain(lambda s, w: perturb_nd(w, s)), (words_d,)
+
+
+def mk_transpose():
+    def step(s, w):
+        wp = perturb_nd(w, s).reshape(ROWS, n_words)
+        wp = jnp.pad(wp, ((0, 0), (0, pad_words)))
+        return jnp.swapaxes(wp.reshape(ROWS, n_tiles, M, 4 * depth), 2, 3)
+    return chain(step), (words_d,)
+
+
+keys = jnp.zeros((ROWS, 2), jnp.uint32) + jnp.uint32(7)
+scal = jnp.stack([jnp.zeros((ROWS,), jnp.float32),
+                  jnp.full((ROWS,), 1e-3, jnp.float32),
+                  jnp.full((ROWS,), W, jnp.float32)], axis=1)
+G = decode_pallas._rows_per_step(ROWS, TILE)
+kern = functools.partial(decode_pallas._decode_rows_kernel, width=depth,
+                         periodic=True, tile_elems=TILE, group=G)
+
+
+def run_kernel(w4):
+    return pl.pallas_call(
+        kern,
+        grid=(ROWS // G, n_tiles),
+        in_specs=[
+            pl.BlockSpec((G, 1, 4 * depth, M),
+                         lambda r, i: (r, i, r * 0, r * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, 2), lambda r, i: (r * 0, r * 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROWS, 3), lambda r, i: (r * 0, r * 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((G, 1, M, 128),
+                               lambda r, i: (r, i, r * 0, r * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ROWS, n_tiles, M, 128),
+                                       jnp.float32),
+    )(w4, keys, scal)
+
+
+def pre_transposed():
+    w24 = jnp.reshape(words_d, (ROWS, n_words))
+    w4 = jnp.swapaxes(
+        jnp.pad(w24, ((0, 0), (0, pad_words))).reshape(
+            ROWS, n_tiles, M, 4 * depth), 2, 3)
+    return jax.block_until_ready(w4)
+
+
+def mk_kernel():
+    return chain(lambda s, w4: run_kernel(perturb_nd(w4, s))), \
+        (pre_transposed(),)
+
+
+def mk_kernslice():
+    def step(s, w4):
+        out = run_kernel(perturb_nd(w4, s))
+        return out.reshape(ROWS, n_tiles * TILE)[:, :nb]
+    return chain(step), (pre_transposed(),)
+
+
+def mk_full():
+    def step(s, w):
+        return codec._decode(perturb_nd(w, s), x0_d, rng_d, seed_arr,
+                             zero_blk)
+    return chain(step), (words_d,)
+
+
+# ---- encode phases ---------------------------------------------------------
+
+def salt_box(s):
+    return jnp.float32(W) * (jnp.float32(1.0) +
+                             s.astype(jnp.float32) * jnp.float32(1e-45))
+
+
+def mk_estats():
+    def step(s, x):
+        box = salt_box(s)
+
+        def one(xb):
+            from minnow_c_tpu.ops import kernels
+            u = jax.vmap(lambda d: kernels.undo_periodic(d, box))(
+                jax.lax.optimization_barrier(xb))
+            return jnp.min(u, axis=1), jnp.max(jnp.max(u, axis=1) -
+                                               jnp.min(u, axis=1))
+        return jax.vmap(one)(x)[0]
+    return chain(step), (xd,)
+
+
+def mk_ebins():
+    def step(s, x):
+        box = salt_box(s)
+        bins, x0, rb = jax.vmap(
+            lambda xb: _float_block_encode(xb, depth, box))(x)
+        return bins
+    return chain(step), (xd,)
+
+
+def mk_efull():
+    m = jnp.uint32(0x3FFFFF)
+
+    def step(s, x):
+        xs = perturb_nd(x, s & m)
+        return codec._encode(xs)[0]
+    return chain(step), (xd,)
+
+
+def mk_erecip():
+    m = jnp.uint32(0x3FFFFF)
+
+    def step(s, x):
+        xs = perturb_nd(x, s & m)
+        return codec_r._encode(xs)[0]
+    return chain(step), (xd,)
+
+
+PHASES = {
+    "perturb": mk_perturb, "transpose": mk_transpose, "kernel": mk_kernel,
+    "kernslice": mk_kernslice, "full": mk_full,
+    "estats": mk_estats, "ebins": mk_ebins, "efull": mk_efull,
+    "erecip": mk_erecip,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(PHASES)
+    for name in names:
+        f, args = PHASES[name]()
+        r = harness.run(lambda s: f(s, *args),
+                        bytes_per_iter=raw * CHAIN)
+        per_ms = raw * CHAIN / r.bytes_per_second / CHAIN * 1e3
+        print(f"{name:>10}: {r.gb_per_second:7.2f} GB/s of decoded-f32 "
+              f"equiv   ({per_ms:6.2f} ms/step)", flush=True)
+
+
+main()

@@ -91,10 +91,28 @@ def _write_record(fp: BinaryIO, payload: bytes) -> None:
     fp.write(struct.pack("<I", len(payload)))
 
 
+def _variable_mass_types(hdr: Gadget2Header):
+    """Particle types whose masses live in a per-particle MASS record:
+    mass-table entry 0 with npart > 0 (the Gadget-2 convention)."""
+    return [i for i in range(6) if hdr.npart[i] and hdr.mass[i] == 0.0]
+
+
 def read_snapshot(fp: BinaryIO
                   ) -> Tuple[Gadget2Header, np.ndarray, np.ndarray,
                              np.ndarray]:
     """Read header, positions (3, n), velocities (3, n), IDs (n,)."""
+    hdr, pos, vel, ids, _ = read_snapshot_ext(fp)
+    return hdr, pos, vel, ids
+
+
+def read_snapshot_ext(fp: BinaryIO
+                      ) -> Tuple[Gadget2Header, np.ndarray, np.ndarray,
+                                 np.ndarray, Optional[np.ndarray]]:
+    """``read_snapshot`` plus the per-particle MASS record, expanded to a
+    full (n,) array (types with table masses are filled from the header's
+    mass table; variable-mass types consume the MASS record in type
+    order).  The 5th element is None when no type uses per-particle
+    masses."""
     hdr = Gadget2Header.unpack(_read_record(fp))
     n = sum(hdr.npart)
     pos = np.frombuffer(_read_record(fp), dtype="<f4").reshape(n, 3).T
@@ -102,16 +120,64 @@ def read_snapshot(fp: BinaryIO
     id_rec = _read_record(fp)
     id_dtype = "<u8" if len(id_rec) == 8 * n else "<u4"
     ids = np.frombuffer(id_rec, dtype=id_dtype).astype(np.uint64)
-    return hdr, np.ascontiguousarray(pos), np.ascontiguousarray(vel), ids
+    mass = None
+    var_types = _variable_mass_types(hdr)
+    if var_types:
+        nm = sum(hdr.npart[i] for i in var_types)
+        rec = np.frombuffer(_read_record(fp), dtype="<f4")
+        if rec.shape[0] != nm:
+            raise ValueError(
+                f"MASS record has {rec.shape[0]} entries; header implies "
+                f"{nm} (types {var_types})")
+        mass = np.empty(n, dtype=np.float32)
+        off = 0       # offset into the snapshot's particle ordering
+        moff = 0      # offset into the MASS record
+        for i in range(6):
+            cnt = hdr.npart[i]
+            if not cnt:
+                continue
+            if i in var_types:
+                mass[off:off + cnt] = rec[moff:moff + cnt]
+                moff += cnt
+            else:
+                mass[off:off + cnt] = np.float32(hdr.mass[i])
+            off += cnt
+    return (hdr, np.ascontiguousarray(pos), np.ascontiguousarray(vel),
+            ids, mass)
+
+
+def _extract_mass_record(hdr: Gadget2Header,
+                         mass: np.ndarray) -> np.ndarray:
+    """Inverse of the expansion in ``read_snapshot_ext``: the (nm,)
+    MASS-record entries for variable-mass types, in type order."""
+    parts = []
+    off = 0
+    for i in range(6):
+        cnt = hdr.npart[i]
+        if cnt and hdr.mass[i] == 0.0:
+            parts.append(mass[off:off + cnt])
+        off += cnt
+    return np.concatenate(parts) if parts else np.empty(0, np.float32)
 
 
 def write_snapshot(fp: BinaryIO, hdr: Gadget2Header, pos: np.ndarray,
-                   vel: np.ndarray, ids: np.ndarray) -> None:
-    """Write a format-1 Gadget-2 snapshot (inverse of read_snapshot)."""
+                   vel: np.ndarray, ids: np.ndarray,
+                   mass: Optional[np.ndarray] = None) -> None:
+    """Write a format-1 Gadget-2 snapshot (inverse of read_snapshot).
+    ``mass``: optional full (n,) per-particle array; the MASS record is
+    emitted (variable-mass types only, in type order) when the header
+    declares per-particle masses."""
     _write_record(fp, hdr.pack())
     _write_record(fp, np.ascontiguousarray(pos.T, dtype="<f4").tobytes())
     _write_record(fp, np.ascontiguousarray(vel.T, dtype="<f4").tobytes())
     _write_record(fp, ids.astype("<u8").tobytes())
+    if _variable_mass_types(hdr):
+        if mass is None:
+            raise ValueError(
+                "header declares per-particle masses (mass table 0 with "
+                "npart > 0) but no mass array was given")
+        rec = _extract_mass_record(hdr, np.asarray(mass, dtype=np.float32))
+        _write_record(fp, rec.astype("<f4").tobytes())
 
 
 def compress(in_fp: BinaryIO, out_fp: BinaryIO,
@@ -120,19 +186,20 @@ def compress(in_fp: BinaryIO, out_fp: BinaryIO,
              id_grid_width: Optional[int] = None,
              num_blocks: Optional[int] = None,
              seed: int = 0,
-             scale_mode: str = "div") -> dict:
+             scale_mode: str = "div",
+             mass_rel_delta: float = 1e-4) -> dict:
     """Gadget-2 snapshot -> .g2.min: the raw header is written first as one
-    Fortran-style record, then the chained compressed segments."""
-    hdr, pos, vel, ids = read_snapshot(in_fp)
+    Fortran-style record, then the chained compressed segments.
+
+    Per-particle MASS records (mass table 0 with npart > 0,
+    header_format.tex:44-68 makes full-snapshot handling the client
+    driver's duty) are compressed as a UNSF field: log10-mapped when all
+    masses are positive (``mass_rel_delta`` is then the relative
+    accuracy), else linear with an absolute delta of
+    ``mass_rel_delta * max|m|``."""
+    hdr, pos, vel, ids, mass = read_snapshot_ext(in_fp)
     n = ids.shape[0]
     import warnings
-    for i in range(6):
-        if hdr.npart[i] and hdr.mass[i] == 0.0:
-            warnings.warn(
-                f"particle type {i} uses a per-particle MASS record "
-                "(mass table 0 with npart > 0); this driver compresses "
-                "POS/VEL/ID only -- the MASS data will be dropped")
-            break
     if in_fp.read(1):
         warnings.warn("trailing Gadget-2 records beyond POS/VEL/ID are "
                       "not compressed and will be dropped")
@@ -153,14 +220,27 @@ def compress(in_fp: BinaryIO, out_fp: BinaryIO,
                 "num_blocks explicitly or pad the input")
     if id_grid_width is None:
         id_grid_width = int(np.ceil((float(ids.max()) + 1) ** (1 / 3)))
+    mass_acc = None
+    if mass is not None:
+        from ..types import FloatAccuracy
+        if (mass > 0).all():
+            # log10 map: quantize log10(m) so the accuracy is relative;
+            # delta on the mapped axis = log10(1 + rel) ~= rel / ln(10).
+            mass_acc = FloatAccuracy(
+                delta=float(np.log10(1.0 + mass_rel_delta)),
+                log10_scaled=1)
+        else:
+            mass_acc = FloatAccuracy(
+                delta=float(mass_rel_delta * np.abs(mass).max()))
     spec = snapshot.SnapshotSpec(
         pos=PositionAccuracy(delta=pos_delta, width=hdr.box_size),
         vel=VelocityAccuracy(delta=vel_delta),
-        ids=IDAccuracy(width=id_grid_width))
+        ids=IDAccuracy(width=id_grid_width),
+        mass=mass_acc)
     _write_record(out_fp, hdr.pack())
     stats = snapshot.compress_snapshot(out_fp, pos, vel, ids, spec,
                                        num_blocks, seed,
-                                       scale_mode=scale_mode)
+                                       scale_mode=scale_mode, mass=mass)
     stats["n"] = n
     return stats
 
@@ -169,5 +249,6 @@ def decompress(in_fp: BinaryIO, out_fp: BinaryIO) -> Gadget2Header:
     """.g2.min -> Gadget-2 snapshot."""
     hdr = Gadget2Header.unpack(_read_record(in_fp))
     fields = snapshot.decompress_snapshot(in_fp)
-    write_snapshot(out_fp, hdr, fields["pos"], fields["vel"], fields["ids"])
+    write_snapshot(out_fp, hdr, fields["pos"], fields["vel"],
+                   fields["ids"], mass=fields.get("mass"))
     return hdr

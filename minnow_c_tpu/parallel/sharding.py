@@ -139,8 +139,8 @@ def _float_rows_stats(x, box, prefer_pallas, interpret: bool):
 
 def _float_rows_encode_recip(x, x0, rng_b, depth: int, box,
                              prefer_pallas, interpret: bool):
-    """Recip-scale-mode encode of (B_local, 3, n_b) RAW floats straight to
-    (B_local, 3, words): unwrap + scale + bin + pack fused into one
+    """Recip-scale-mode encode of (B_local, D, n_b) RAW floats straight to
+    (B_local, D, words): unwrap + scale + bin + pack fused into one
     Pallas rows kernel on TPU (ops/encode_pallas.encode_pallas_recip_rows;
     measured 1.7x the div-mode pipeline on v5e), with an op-identical XLA
     fallback (same bits, parity-tested).  Requires 32 | n_b.
@@ -148,22 +148,22 @@ def _float_rows_encode_recip(x, x0, rng_b, depth: int, box,
     The bin map is kernels.uniform_bin_index_recip after the per-dim
     anchored unwrap; per-block recip = rn(1 / rng_b) is computed here in
     XLA (exact IEEE) and rides into the kernel as a scalar."""
-    b_l, _, n_b = x.shape
+    b_l, nd, n_b = x.shape
     periodic = box is not None
     boxf = jnp.float32(box if periodic else 0.0)
     recip = jnp.float32(1.0) / rng_b                    # (B_local,)
-    rows = x.reshape(b_l * 3, n_b)
-    x0r = x0.reshape(b_l * 3)
-    recipr = jnp.repeat(recip, 3)
+    rows = x.reshape(b_l * nd, n_b)
+    x0r = x0.reshape(b_l * nd)
+    recipr = jnp.repeat(recip, nd)
     anchors = rows[:, 0]
     from ..ops import decode_pallas as _dp
     from ..ops import encode_pallas as _ep
     if prefer_pallas and _dp.rows_kernel_eligible(depth, n_b) \
             and 1 <= depth <= 24:
         words = _ep.encode_pallas_recip_rows(
-            rows, x0r, recipr, jnp.full((b_l * 3,), boxf), anchors,
+            rows, x0r, recipr, jnp.full((b_l * nd,), boxf), anchors,
             depth, periodic, interpret=interpret)
-        return words.reshape(b_l, 3, -1)
+        return words.reshape(b_l, nd, -1)
     bins = jax.vmap(lambda r, o, rc, a: _ep._recip_bins_xla(
         r, o, rc, boxf, a, depth, periodic))(rows, x0r, recipr, anchors)
     # Barrier: the bin->pack fusion compiles ~1000x slow (see
@@ -171,7 +171,7 @@ def _float_rows_encode_recip(x, x0, rng_b, depth: int, box,
     bins = jax.lax.optimization_barrier(bins)
     words = bitpack.uniform_pack_rows(bins, depth,
                                       prefer_pallas=prefer_pallas)
-    return words.reshape(b_l, 3, -1)
+    return words.reshape(b_l, nd, -1)
 
 
 def _pack_rows_folded(bins, width: int, prefer_pallas):

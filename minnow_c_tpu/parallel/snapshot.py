@@ -39,17 +39,20 @@ from ..segment import format as wire
 from ..segment import io as seg_io
 from ..segment.api import decompress_segment
 from ..segment.stream import Writer
-from ..types import AlgoCode, FieldCode, IDAccuracy, PositionAccuracy, \
-    VelocityAccuracy
+from ..types import AlgoCode, FieldCode, FloatAccuracy, IDAccuracy, \
+    PositionAccuracy, VelocityAccuracy
 
 
 @dataclass(frozen=True)
 class SnapshotSpec:
-    """Accuracy requests for the three standard snapshot fields."""
+    """Accuracy requests for the standard snapshot fields.  ``mass`` is
+    an optional scalar per-particle float field (stored as UNSF) -- e.g.
+    the Gadget-2 per-particle MASS block."""
 
     pos: Optional[PositionAccuracy] = None
     vel: Optional[VelocityAccuracy] = None
     ids: Optional[IDAccuracy] = None
+    mass: Optional[FloatAccuracy] = None
 
 
 import functools
@@ -117,14 +120,14 @@ def _batched_id_pack(rel, w: int):
 
 
 def _pack_bins_rows(bins, depth: int):
-    """(B, 3, nb) u32 bins -> (B, 3, words) packed streams."""
-    b_l, _, n_b = bins.shape
+    """(B, D, nb) u32 bins -> (B, D, words) packed streams."""
+    b_l, d, n_b = bins.shape
     if n_b % 32 == 0:
-        # fold (B, 3) into the pack matmul's rows (layout hazard: a
+        # fold (B, D) into the pack matmul's rows (layout hazard: a
         # vmapped pack is a batched matmul with a ~21x-padded TPU layout,
         # see ops/bitpack.uniform_pack_rows)
         return bitpack.uniform_pack_rows(
-            bins.reshape(b_l * 3, n_b), depth).reshape(b_l, 3, -1)
+            bins.reshape(b_l * d, n_b), depth).reshape(b_l, d, -1)
     return jax.vmap(jax.vmap(
         lambda b: bitpack.uniform_pack(b, depth)))(bins)
 
@@ -287,6 +290,91 @@ def _encode_vel_batch(vel: np.ndarray, B: int, nb: int, acc, seed: int,
     return out, depth
 
 
+@functools.partial(jax.jit, static_argnames=("mode", "threshold"))
+def _batched_stats_scalar(x, mode: int = 0, threshold: float = 0.0):
+    """(B, nb) scalar float field -> per-block (x0 (B,), x1 (B,)) of the
+    mapped plane.  Raw min AND max are returned (not min+range): the UNSF
+    decode derives its bin width as f32(x1) - f32(x0)
+    (engine._quantize_ufloat / _dequantize_ufloat), so the stored x1 must
+    be the true max for encode and decode to agree bit-for-bit."""
+    from ..quant.engine import map_float
+    if not mode and jax.default_backend() == "tpu":
+        # One fused HBM read (see sharding._float_rows_stats); the log10
+        # maps are transcendental (Mosaic-approximate) and stay in XLA.
+        from ..ops import encode_pallas as _ep
+        b = x.shape[0]
+        mn, mx = _ep.stats_pallas_rows(
+            x, jnp.zeros((b,), jnp.float32), x[:, 0], False,
+            interpret=False)
+        return mn, mx
+
+    def one(xb):
+        xm = map_float(xb, mode, threshold)
+        return jnp.min(xm), jnp.max(xm)
+    return jax.vmap(one)(x)
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "mode", "threshold"))
+def _batched_bin_pack_scalar(x, x0, rng_b, depth: int, mode: int = 0,
+                             threshold: float = 0.0):
+    """(B, nb) scalar floats -> (B, 1, words) packed bins (div map)."""
+    from ..quant.engine import map_float
+
+    def one(xb, x0b, rb):
+        xm = map_float(xb, mode, threshold)
+        bins = kernels.uniform_bin_index(xm, depth, x0b, rb)
+        return jax.lax.optimization_barrier(bins)
+    return _pack_bins_rows(jax.vmap(one)(x, x0, rng_b)[:, None, :], depth)
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "mode", "threshold"))
+def _batched_bin_pack_scalar_recip(x, x0, rng_b, depth: int, mode: int = 0,
+                                   threshold: float = 0.0):
+    if mode:
+        from ..quant.engine import map_float
+        x = jax.vmap(lambda xb: map_float(xb, mode, threshold))(x)
+    return _recip_rows_or_fallback(x[:, None, :], x0[:, None], rng_b,
+                                   depth, None)
+
+
+def _encode_scalar_float_batch(vals: np.ndarray, B: int, nb: int, acc,
+                               seed: int, accel: int,
+                               depth: Optional[int] = None,
+                               scale_mode: str = "div"):
+    """Batched device encode of a scalar per-particle float field (n,) ->
+    per-block UNSF wire block lists (Trim v1.0 layout,
+    algo_trim_v1_0._compress_ufloat) + the shared depth.  Used for
+    Gadget-2 per-particle MASS and any other auxiliary scalar field."""
+    mode = int(getattr(acc, "log10_scaled", 0))
+    threshold = float(getattr(acc, "sym_log10_threshold", 0.0))
+    xb = jnp.asarray(vals.reshape(B, nb))
+    x0, x1 = _batched_stats_scalar(xb, mode, threshold)
+    x0_h = np.asarray(x0)
+    x1_h = np.asarray(x1)
+    rng_h = x1_h.astype(np.float32) - x0_h.astype(np.float32)  # (B,)
+    if depth is None:
+        g = float(rng_h.max())
+        depth = engine.delta_to_depth(acc.delta, 0.0, g)
+    pack = _batched_bin_pack_scalar_recip if scale_mode == "recip" \
+        else _batched_bin_pack_scalar
+    words = pack(xb, x0, jnp.asarray(rng_h), depth, mode, threshold)
+    words_h = np.asarray(words)  # (B, 1, wpb)
+    comp = entropy.encode_blocks(
+        [np.ascontiguousarray(words_h[b, 0]) for b in range(B)], accel)
+    out = []
+    for b in range(B):
+        meta = Writer()
+        meta.f32(float(x0_h[b])).f32(float(x1_h[b]))
+        meta.u8(depth).u8(0)
+        meta.u8(mode).u8(0)
+        meta.f32(threshold)
+        meta.u64(seed)
+        blocks = [encode_block(meta.data, 0, True, accel),
+                  _wrap_precompressed(words_h[b, 0], comp[b], depth)]
+        out.append(blocks)
+    return out, depth
+
+
 def _encode_id_batch(ids: np.ndarray, B: int, nb: int, acc, accel: int):
     qdims, x0g, _ = engine.id_decompose(
         jnp.asarray(ids, dtype=jnp.uint64), int(acc.width))
@@ -333,10 +421,12 @@ def compress_snapshot(fp: BinaryIO,
                       num_blocks: int,
                       seed: int = 0,
                       accel: int = 1,
-                      scale_mode: str = "div") -> dict:
+                      scale_mode: str = "div",
+                      mass: Optional[np.ndarray] = None) -> dict:
     """Compress a snapshot into ``fp`` as ``num_blocks`` chained standard
-    segments.  Arrays: pos/vel (3, n) f32, ids (n,) u64; n must divide by
-    num_blocks.  Returns stats (bytes, depths).
+    segments.  Arrays: pos/vel (3, n) f32, ids (n,) u64, mass (n,) f32
+    (optional scalar field, stored as UNSF; requires ``spec.mass``);
+    n must divide by num_blocks.  Returns stats (bytes, depths).
 
     ``scale_mode``: 'div' (default) uses the C-exact division bin map;
     'recip' uses the reciprocal map (kernels.uniform_bin_index_recip) --
@@ -349,8 +439,11 @@ def compress_snapshot(fp: BinaryIO,
     pos = native_order(pos)
     vel = native_order(vel)
     ids = native_order(ids)
+    mass = native_order(mass)
+    if mass is not None and spec.mass is None:
+        raise ValueError("mass array given without spec.mass accuracy")
     n = None
-    for a in (pos, vel, ids):
+    for a in (pos, vel, ids, mass):
         if a is not None:
             n = a.shape[-1]
             break
@@ -391,6 +484,13 @@ def compress_snapshot(fp: BinaryIO,
         stats["id_widths"] = widths
         for b in range(B):
             add_field(b, FieldCode.PTID, field_blocks[b])
+
+    if mass is not None:
+        field_blocks, depth = _encode_scalar_float_batch(
+            mass, B, nb, spec.mass, seed, accel, scale_mode=scale_mode)
+        stats["mass_depth"] = depth
+        for b in range(B):
+            add_field(b, FieldCode.UNSF, field_blocks[b])
 
     # ---- serialize + chain -----------------------------------------------
     segments = [wire.serialize(fields, nb) for fields in per_block_fields]
@@ -473,6 +573,14 @@ def compress_snapshot_streaming(fp: BinaryIO, blocks_iter, spec: SnapshotSpec,
                 fields.append(wire.WireField(
                     int(FieldCode.PTID), int(AlgoCode.TRIM), TRIM_VERSION,
                     fb[0]))
+            mass = native_order(blk.get("mass"))
+            if mass is not None:
+                fb, _ = _encode_scalar_float_batch(
+                    mass, 1, nb, spec.mass, seed, accel,
+                    depth=depths.get("mass"), scale_mode=scale_mode)
+                fields.append(wire.WireField(
+                    int(FieldCode.UNSF), int(AlgoCode.TRIM), TRIM_VERSION,
+                    fb[0]))
             seg = wire.serialize(fields, nb)
             stats["bytes"] += len(seg) + seg_io.IO_HEADER_BYTES
             stats["num_blocks"] += 1
@@ -506,7 +614,8 @@ def _wrap_precompressed(raw_words: np.ndarray, comp: bytes,
 
 
 _FIELD_BY_NAME = {"pos": int(FieldCode.POSN), "vel": int(FieldCode.VELC),
-                  "ids": int(FieldCode.PTID)}
+                  "ids": int(FieldCode.PTID),
+                  "mass": int(FieldCode.UNSF)}
 
 
 def decompress_snapshot(fp: BinaryIO, batched: bool = True,
@@ -553,7 +662,7 @@ def decompress_snapshot(fp: BinaryIO, batched: bool = True,
         out = _decompress_snapshot_batched(segments, want)
         if out is not None:
             return out
-    pos_parts, vel_parts, id_parts = [], [], []
+    pos_parts, vel_parts, id_parts, mass_parts = [], [], [], []
     for seg_bytes in segments:
         seg = decompress_segment(seg_bytes, fused=True, fields=want)
         for f in seg.fields:
@@ -566,6 +675,8 @@ def decompress_snapshot(fp: BinaryIO, batched: bool = True,
                 vel_parts.append(arr)
             elif f.hd.field_code == FieldCode.PTID:
                 id_parts.append(arr)
+            elif f.hd.field_code == FieldCode.UNSF:
+                mass_parts.append(arr)
     out = {}
     if pos_parts:
         out["pos"] = np.concatenate(pos_parts, axis=1)
@@ -573,6 +684,8 @@ def decompress_snapshot(fp: BinaryIO, batched: bool = True,
         out["vel"] = np.concatenate(vel_parts, axis=1)
     if id_parts:
         out["ids"] = np.concatenate(id_parts)
+    if mass_parts:
+        out["mass"] = np.concatenate(mass_parts)
     return out
 
 
@@ -734,6 +847,50 @@ def _decompress_snapshot_batched(segments, want=None) -> Optional[dict]:
             arr = np.asarray(data)
             out["pos" if is_pos else "vel"] = np.concatenate(
                 [arr[b] for b in range(B)], axis=1)
+        elif code == int(FieldCode.UNSF):
+            metas = []
+            for b in range(B):
+                meta, _, _ = decode_block(blocks_by_seg[b][0])
+                r = Reader(meta.tobytes())
+                x0 = r.f32()
+                x1 = r.f32()
+                depth = r.u8()
+                if r.u8():
+                    return None  # per-particle depths: fall back
+                log10_scaled = r.u8()
+                r.u8()
+                threshold = r.f32()
+                seed = r.u64()
+                metas.append((x0, x1, depth, seed, log10_scaled,
+                              threshold))
+            depth, seed = metas[0][2], metas[0][3]
+            log10_scaled, threshold = metas[0][4], metas[0][5]
+            if any(m[2:] != metas[0][2:] for m in metas):
+                return None
+            if depth < 1 or depth > 24:
+                return None
+            words = []
+            for b in range(B):
+                payload, w, _ = decode_block(blocks_by_seg[b][1])
+                if w != depth:
+                    return None
+                words.append(np.frombuffer(payload.tobytes(), dtype="<u4"))
+            words = jnp.asarray(np.stack(words))[:, None, :]  # (B, 1, wpb)
+            x0_np = np.array([m[0] for m in metas], dtype=np.float32)
+            # UNSF bin range is f32(x1) - f32(x0) directly (the scalar
+            # engine path, engine._dequantize_ufloat), unlike the 3-dim
+            # fields' canonical f32(x0 + maxDiff) - f32(x0) form.
+            dx_np = (np.array([m[1] for m in metas], dtype=np.float32)
+                     - x0_np)
+            key = jnp.asarray(_rng.field_key(seed, fi, 0),
+                              dtype=jnp.uint32)
+            res = _batched_float_decode(
+                words, jnp.asarray(x0_np)[:, None], jnp.asarray(dx_np),
+                key, depth, nb, False, jnp.float32(0.0))
+            data = res[:, 0]                               # (B, nb)
+            if log10_scaled:
+                data = _batched_unmap(data, log10_scaled, float(threshold))
+            out["mass"] = np.asarray(data).reshape(-1)
         elif code == int(FieldCode.PTID):
             metas = []
             for b in range(B):

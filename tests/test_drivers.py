@@ -12,23 +12,30 @@ import pytest
 from minnow_c_tpu.drivers import gadget2
 
 
-def make_gadget2_file(n=8192, box=64.0, seed=0):
+def make_gadget2_file(n=8192, box=64.0, seed=0, per_particle_mass=False):
     rng = np.random.default_rng(seed)
     steps = rng.normal(0, 0.05, (3, n)).astype(np.float32)
     pos = (np.cumsum(steps, axis=1) + box / 2).astype(np.float32) % box
     vel = rng.normal(0, 150, (3, n)).astype(np.float32)
     ids = rng.permutation(64 ** 3)[:n].astype(np.uint64)
+    # Per the Gadget-2 convention a mass-table 0 with npart > 0 means a
+    # per-particle MASS record follows; use a table mass otherwise.
+    mass_table = (0.0,) * 6 if per_particle_mass else \
+        (0.0, 1.0, 0.0, 0.0, 0.0, 0.0)
     hdr = gadget2.Gadget2Header(
-        npart=(0, n, 0, 0, 0, 0), mass=(0.0,) * 6, time=1.0, redshift=0.0,
+        npart=(0, n, 0, 0, 0, 0), mass=mass_table, time=1.0, redshift=0.0,
         box_size=box, omega0=0.3, omega_lambda=0.7, hubble_param=0.7)
+    mass = None
+    if per_particle_mass:
+        mass = (10.0 ** rng.uniform(-2, 2, n)).astype(np.float32)
     buf = _io.BytesIO()
-    gadget2.write_snapshot(buf, hdr, pos, vel, ids)
-    return buf.getvalue(), pos, vel, ids
+    gadget2.write_snapshot(buf, hdr, pos, vel, ids, mass=mass)
+    return buf.getvalue(), pos, vel, ids, mass
 
 
 class TestGadget2:
     def test_read_write_roundtrip(self):
-        raw, pos, vel, ids = make_gadget2_file()
+        raw, pos, vel, ids, _ = make_gadget2_file()
         hdr, p2, v2, i2 = gadget2.read_snapshot(_io.BytesIO(raw))
         assert hdr.box_size == 64.0
         np.testing.assert_array_equal(p2, pos)
@@ -36,7 +43,7 @@ class TestGadget2:
         np.testing.assert_array_equal(i2, ids)
 
     def test_compress_decompress(self):
-        raw, pos, vel, ids = make_gadget2_file()
+        raw, pos, vel, ids, _ = make_gadget2_file()
         comp = _io.BytesIO()
         stats = gadget2.compress(_io.BytesIO(raw), comp, pos_delta=1e-3,
                                  vel_delta=1.0, id_grid_width=64,
@@ -53,8 +60,84 @@ class TestGadget2:
         assert np.abs(v2 - vel).max() <= 1.0
         np.testing.assert_array_equal(i2, ids)
 
+    def test_per_particle_mass_roundtrip(self):
+        """MASS records (mass table 0, npart > 0) are compressed as a
+        UNSF field and restored within relative accuracy -- the client
+        driver duty of header_format.tex:44-68."""
+        raw, pos, vel, ids, mass = make_gadget2_file(
+            per_particle_mass=True)
+        assert mass is not None
+        comp = _io.BytesIO()
+        rel = 1e-4
+        gadget2.compress(_io.BytesIO(raw), comp, pos_delta=1e-3,
+                         vel_delta=1.0, id_grid_width=64, num_blocks=4,
+                         mass_rel_delta=rel)
+        comp.seek(0)
+        out = _io.BytesIO()
+        gadget2.decompress(comp, out)
+        hdr2, p2, v2, i2, m2 = gadget2.read_snapshot_ext(
+            _io.BytesIO(out.getvalue()))
+        assert m2 is not None
+        rel_err = np.abs(m2 - mass) / mass
+        assert rel_err.max() <= 1.5 * rel
+        np.testing.assert_array_equal(i2, ids)
+
+    def test_mixed_table_and_variable_mass_types(self):
+        """Two particle types: type 1 with a table mass, type 2 with
+        per-particle masses -- the MASS record covers only type 2 and
+        the expansion/extraction keeps type order."""
+        n1, n2 = 3000, 5000
+        n = n1 + n2
+        rng = np.random.default_rng(3)
+        pos = rng.uniform(0, 64.0, (3, n)).astype(np.float32)
+        vel = rng.normal(0, 100, (3, n)).astype(np.float32)
+        ids = rng.permutation(64 ** 3)[:n].astype(np.uint64)
+        hdr = gadget2.Gadget2Header(
+            npart=(0, n1, n2, 0, 0, 0),
+            mass=(0.0, 2.5, 0.0, 0.0, 0.0, 0.0),
+            time=1.0, redshift=0.0, box_size=64.0, omega0=0.3,
+            omega_lambda=0.7, hubble_param=0.7)
+        m_var = rng.uniform(0.5, 4.0, n2).astype(np.float32)
+        full = np.concatenate(
+            [np.full(n1, 2.5, np.float32), m_var])
+        buf = _io.BytesIO()
+        gadget2.write_snapshot(buf, hdr, pos, vel, ids, mass=full)
+        # the record on disk holds only the variable-type entries
+        buf.seek(0)
+        h2, _, _, _, m2 = gadget2.read_snapshot_ext(buf)
+        np.testing.assert_array_equal(m2[:n1],
+                                      np.full(n1, 2.5, np.float32))
+        np.testing.assert_array_equal(m2[n1:], m_var)
+        # full compress/decompress keeps both populations
+        buf.seek(0)
+        comp = _io.BytesIO()
+        gadget2.compress(buf, comp, pos_delta=1e-3, vel_delta=1.0,
+                         id_grid_width=64, num_blocks=4,
+                         mass_rel_delta=1e-4)
+        comp.seek(0)
+        out = _io.BytesIO()
+        gadget2.decompress(comp, out)
+        _, _, _, _, m3 = gadget2.read_snapshot_ext(
+            _io.BytesIO(out.getvalue()))
+        # table-mass particles re-read exactly (filled from the header's
+        # mass table, not the lossy stream)
+        np.testing.assert_array_equal(m3[:n1],
+                                      np.full(n1, 2.5, np.float32))
+        assert (np.abs(m3[n1:] - m_var) / m_var).max() <= 1.5e-4
+
+    def test_missing_mass_record_raises(self):
+        hdr = gadget2.Gadget2Header(
+            npart=(0, 8, 0, 0, 0, 0), mass=(0.0,) * 6, time=1.0,
+            redshift=0.0, box_size=1.0, omega0=0.3, omega_lambda=0.7,
+            hubble_param=0.7)
+        pos = np.zeros((3, 8), np.float32)
+        vel = np.zeros((3, 8), np.float32)
+        ids = np.arange(8, dtype=np.uint64)
+        with pytest.raises(ValueError, match="per-particle masses"):
+            gadget2.write_snapshot(_io.BytesIO(), hdr, pos, vel, ids)
+
     def test_cli_end_to_end(self, tmp_path):
-        raw, pos, vel, ids = make_gadget2_file(n=4096)
+        raw, pos, vel, ids, _ = make_gadget2_file(n=4096)
         src = tmp_path / "snap.g2"
         comp = tmp_path / "snap.g2.min"
         back = tmp_path / "snap_out.g2"

@@ -265,3 +265,115 @@ def test_snapshot_field_filter_selectors():
     buf.seek(0)
     with pytest.raises(ValueError, match="pos"):
         snapshot.decompress_snapshot(buf, fields={"positions"})
+
+
+class TestMassField:
+    """Scalar per-particle float fields (UNSF) through the snapshot
+    writer -- the Gadget-2 MASS client duty
+    (header_format.tex:44-68)."""
+
+    def _spec(self, mass_acc):
+        return snapshot.SnapshotSpec(
+            pos=mnw.PositionAccuracy(delta=1e-3, width=64.0),
+            vel=mnw.VelocityAccuracy(delta=1.0),
+            ids=mnw.IDAccuracy(width=1024),
+            mass=mass_acc)
+
+    def test_mass_roundtrip_linear(self):
+        pos, vel, ids = make_snapshot(n=16384)
+        rng = np.random.default_rng(5)
+        mass = rng.uniform(0.5, 3.0, 16384).astype(np.float32)
+        spec = self._spec(mnw.FloatAccuracy(delta=1e-4))
+        buf = _io.BytesIO()
+        stats = snapshot.compress_snapshot(buf, pos, vel, ids, spec,
+                                           num_blocks=4, seed=3,
+                                           mass=mass)
+        assert "mass_depth" in stats
+        buf.seek(0)
+        out = snapshot.decompress_snapshot(buf)
+        assert out["mass"].shape == (16384,)
+        assert np.abs(out["mass"] - mass).max() <= 1e-4
+
+    def test_mass_batched_matches_per_segment(self):
+        """Batched UNSF decode is bit-identical to the per-segment
+        path."""
+        pos, vel, ids = make_snapshot(n=8192)
+        rng = np.random.default_rng(6)
+        mass = rng.uniform(0.1, 10.0, 8192).astype(np.float32)
+        spec = self._spec(mnw.FloatAccuracy(delta=1e-4))
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot(buf, pos, vel, ids, spec,
+                                   num_blocks=4, seed=9, mass=mass)
+        buf.seek(0)
+        out_b = snapshot.decompress_snapshot(buf, batched=True)
+        buf.seek(0)
+        out_s = snapshot.decompress_snapshot(buf, batched=False)
+        np.testing.assert_array_equal(out_b["mass"], out_s["mass"])
+
+    def test_mass_log10_relative(self):
+        """log10-mapped masses give relative accuracy across orders of
+        magnitude."""
+        n = 8192
+        pos, vel, ids = make_snapshot(n=n)
+        rng = np.random.default_rng(7)
+        mass = (10.0 ** rng.uniform(-3, 3, n)).astype(np.float32)
+        rel = 1e-4
+        spec = self._spec(mnw.FloatAccuracy(
+            delta=float(np.log10(1.0 + rel)), log10_scaled=1))
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot(buf, pos, vel, ids, spec,
+                                   num_blocks=2, seed=1, mass=mass)
+        buf.seek(0)
+        out = snapshot.decompress_snapshot(buf)
+        rel_err = np.abs(out["mass"] - mass) / mass
+        assert rel_err.max() <= 1.5 * rel
+
+    def test_mass_recip_mode(self):
+        pos, vel, ids = make_snapshot(n=4096)
+        rng = np.random.default_rng(8)
+        mass = rng.uniform(0.5, 2.0, 4096).astype(np.float32)
+        spec = self._spec(mnw.FloatAccuracy(delta=1e-4))
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot(buf, pos, vel, ids, spec,
+                                   num_blocks=2, seed=4, mass=mass,
+                                   scale_mode="recip")
+        buf.seek(0)
+        out = snapshot.decompress_snapshot(buf)
+        assert np.abs(out["mass"] - mass).max() <= 1e-4
+
+    def test_mass_selective_decode(self):
+        pos, vel, ids = make_snapshot(n=4096)
+        mass = np.linspace(1.0, 2.0, 4096).astype(np.float32)
+        spec = self._spec(mnw.FloatAccuracy(delta=1e-4))
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot(buf, pos, vel, ids, spec,
+                                   num_blocks=2, seed=2, mass=mass)
+        buf.seek(0)
+        got = snapshot.decompress_snapshot(buf, fields={"mass"})
+        assert set(got) == {"mass"}
+        assert np.abs(got["mass"] - mass).max() <= 1e-4
+
+    def test_mass_streaming_writer(self):
+        rng = np.random.default_rng(11)
+        waves = []
+        for _ in range(3):
+            p, v, i = make_snapshot(n=2048, seed=int(rng.integers(1e6)))
+            m = rng.uniform(0.5, 2.0, 2048).astype(np.float32)
+            waves.append({"pos": p, "vel": v, "ids": i, "mass": m})
+        spec = self._spec(mnw.FloatAccuracy(delta=1e-4))
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot_streaming(buf, iter(waves), spec,
+                                             seed=5)
+        buf.seek(0)
+        out = snapshot.decompress_snapshot(buf)
+        mass_all = np.concatenate([w["mass"] for w in waves])
+        assert np.abs(out["mass"] - mass_all).max() <= 1e-4
+
+    def test_mass_without_spec_raises(self):
+        pos, vel, ids = make_snapshot(n=1024)
+        mass = np.ones(1024, np.float32)
+        buf = _io.BytesIO()
+        import pytest
+        with pytest.raises(ValueError, match="spec.mass"):
+            snapshot.compress_snapshot(buf, pos, vel, ids, SPEC,
+                                       num_blocks=1, mass=mass)
