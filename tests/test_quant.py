@@ -241,3 +241,91 @@ def test_quantize_does_not_mutate_caller_field():
     quantize(f, seed=1)
     assert f.data is pos
     assert f.data.dtype.str == ">f4"
+
+
+class TestUnmapPrecision:
+    """Property tests bounding the transcendental unmap error against
+    f64 host references over adversarial ranges (quant.c:735-757
+    analog).  The decode side computes ``exp2(y * log2 10)`` in f32;
+    these pin its error envelope so a backend/XLA change that degrades
+    the transcendental shows up as a failure, not a silent accuracy
+    loss."""
+
+    # Measured envelope (CPU XLA): |log10(unmap(y)) - y| peaks at
+    # 3.49e-6 at |y| ~ 38; the |y|-proportional term is the f32
+    # rounding of y * log2(10), the constant is exp2's own ULPs.
+    ENV_SLOPE = 8e-8
+    ENV_CONST = 1.2e-6
+
+    def _mapped_err(self, y, mode, threshold):
+        import jax.numpy as jnp
+        from minnow_c_tpu.quant.engine import unmap_float
+        got = np.asarray(unmap_float(jnp.asarray(y), mode, threshold)
+                         ).astype(np.float64)
+        ok = np.isfinite(got)
+        if mode == 1:
+            ok &= got > 0
+            remapped = np.full_like(got, np.nan)
+            remapped[ok] = np.log10(got[ok])
+        else:
+            t = float(threshold)
+            remapped = np.sign(got) * np.log10(1.0 + np.abs(got) / t)
+        return np.abs(remapped[ok] - y[ok].astype(np.float64)), y[ok]
+
+    def test_log10_unmap_error_envelope(self):
+        rng = np.random.default_rng(0)
+        y = np.concatenate([
+            rng.uniform(-38, 38, 100_000),
+            np.linspace(-37.9, 37.9, 50_000),
+            np.array([0.0, 1.0, -1.0, 1e-30, 37.9, -37.9]),
+        ]).astype(np.float32)
+        err, yy = self._mapped_err(y, 1, 0.0)
+        bound = np.abs(yy) * self.ENV_SLOPE + self.ENV_CONST
+        assert (err <= bound).all(), \
+            (err / bound).max()
+
+    def test_symlog_unmap_error_envelope(self):
+        rng = np.random.default_rng(1)
+        for t in (1e-6, 1.0, 1e4):
+            ylim = float(np.log10(1 + 3.0e38 / t))
+            y = np.concatenate([
+                rng.uniform(-ylim, ylim, 100_000),
+                np.linspace(-ylim, ylim, 50_000),
+            ]).astype(np.float32)
+            err, yy = self._mapped_err(y, 2, t)
+            bound = np.abs(yy) * self.ENV_SLOPE + self.ENV_CONST
+            assert (err <= bound).all(), \
+                (t, (err / bound).max())
+
+    def test_unmap_error_within_reported_accuracy(self):
+        """End-to-end: a symlog velocity decode's total error (bin +
+        dither + unmap) stays within the reported Accuracy for the
+        canonical use case (delta in mapped space, realistic depths)."""
+        import minnow_c_tpu as mnw
+        from minnow_c_tpu.quant import engine
+        rng = np.random.default_rng(5)
+        n = 30_000
+        vel = np.concatenate([
+            rng.normal(0, 300, (3, n // 2)),
+            np.sign(rng.normal(size=(3, n - n // 2))) *
+            10.0 ** rng.uniform(-3, 7, (3, n - n // 2)),
+        ], axis=1).astype(np.float32)
+        delta = 1e-3   # mapped-space accuracy request
+        f = mnw.Field(
+            hd=mnw.FieldHeader(mnw.FieldCode.VELC, mnw.AlgoCode.TRIM, 0,
+                               n),
+            data=vel, acc=mnw.VelocityAccuracy(
+                delta=delta, sym_log10_scaled=2,
+                sym_log10_threshold=20.0))
+        qf = engine.quantize(f, seed=9)
+        out = engine.dequantize(qf, field_index=0)
+        t = 20.0
+        m = lambda v: np.sign(v) * np.log10(1.0 + np.abs(v) / t)
+        merr = np.abs(m(np.asarray(out.data).astype(np.float64)) -
+                      m(vel.astype(np.float64)))
+        # reported accuracy is the achieved bin width; the unmap adds
+        # its (much smaller) envelope on top
+        rep = out.acc.delta
+        assert rep <= delta
+        assert merr.max() <= rep + self.ENV_CONST + \
+            np.abs(m(vel.astype(np.float64))).max() * self.ENV_SLOPE
