@@ -215,24 +215,34 @@ def _encode_pos_batch(pos: np.ndarray, B: int, nb: int, acc, seed: int,
                       scale_mode: str = "div"):
     """Batched device encode of positions (3, B*nb) -> per-block wire
     block lists (Trim v1.0 layout) + the shared depth.  ``depth=None``
-    derives it from the observed global range."""
-    xb = jnp.asarray(np.moveaxis(pos.reshape(3, B, nb), 1, 0))
-    x0, rng_b = _batched_stats_pos(xb, float(acc.width))
-    if depth is None:
-        g = float(np.asarray(jnp.max(rng_b)))
-        depth = engine.delta_to_depth(acc.delta, 0.0, g)
-    if scale_mode == "recip":
-        words = _batched_bin_pack_pos_recip(xb, x0, rng_b, depth,
-                                            float(acc.width))
-    else:
-        words = _batched_bin_pack_pos(xb, x0, rng_b, depth,
-                                      float(acc.width))
-    words_h = np.asarray(words)
-    x0_h = np.asarray(x0)
-    rng_h = np.asarray(rng_b)
+    derives it from the observed global range.
+
+    Pipeline phases carry ``profiling.phase`` spans (MINNOW_PROFILE=1
+    prints per-phase wall time; profiler traces show the same names).
+    Device dispatches are async -- the H2D/stats span includes the depth
+    sync when ``depth=None``; the gather span absorbs device completion."""
+    from ..utils.profiling import phase as _phase
+    with _phase("pos.h2d+stats", nbytes=pos.nbytes):
+        xb = jnp.asarray(np.moveaxis(pos.reshape(3, B, nb), 1, 0))
+        x0, rng_b = _batched_stats_pos(xb, float(acc.width))
+        if depth is None:
+            g = float(np.asarray(jnp.max(rng_b)))
+            depth = engine.delta_to_depth(acc.delta, 0.0, g)
+    with _phase("pos.binpack"):
+        if scale_mode == "recip":
+            words = _batched_bin_pack_pos_recip(xb, x0, rng_b, depth,
+                                                float(acc.width))
+        else:
+            words = _batched_bin_pack_pos(xb, x0, rng_b, depth,
+                                          float(acc.width))
+    with _phase("pos.gather"):
+        words_h = np.asarray(words)
+        x0_h = np.asarray(x0)
+        rng_h = np.asarray(rng_b)
     payloads = [words_h[b, i] for b in range(B) for i in range(3)]
-    comp = entropy.encode_blocks(
-        [np.ascontiguousarray(p) for p in payloads], accel)
+    with _phase("pos.entropy", nbytes=words_h.nbytes):
+        comp = entropy.encode_blocks(
+            [np.ascontiguousarray(p) for p in payloads], accel)
     out = []
     for b in range(B):
         meta = Writer()
@@ -254,23 +264,28 @@ def _encode_pos_batch(pos: np.ndarray, B: int, nb: int, acc, seed: int,
 def _encode_vel_batch(vel: np.ndarray, B: int, nb: int, acc, seed: int,
                       accel: int, depth: Optional[int] = None,
                       scale_mode: str = "div"):
-    xb = jnp.asarray(np.moveaxis(vel.reshape(3, B, nb), 1, 0))
-    x0, rng_b = _batched_stats_vel(
-        xb, int(acc.sym_log10_scaled), float(acc.sym_log10_threshold))
-    if depth is None:
-        g = float(np.asarray(jnp.max(rng_b)))
-        depth = engine.delta_to_depth(acc.delta, 0.0, g)
+    from ..utils.profiling import phase as _phase
+    with _phase("vel.h2d+stats", nbytes=vel.nbytes):
+        xb = jnp.asarray(np.moveaxis(vel.reshape(3, B, nb), 1, 0))
+        x0, rng_b = _batched_stats_vel(
+            xb, int(acc.sym_log10_scaled), float(acc.sym_log10_threshold))
+        if depth is None:
+            g = float(np.asarray(jnp.max(rng_b)))
+            depth = engine.delta_to_depth(acc.delta, 0.0, g)
     pack = _batched_bin_pack_vel_recip if scale_mode == "recip" \
         else _batched_bin_pack_vel
-    words = pack(xb, x0, rng_b, depth,
-                 int(acc.sym_log10_scaled),
-                 float(acc.sym_log10_threshold))
-    words_h = np.asarray(words)
-    x0_h = np.asarray(x0)
-    rng_h = np.asarray(rng_b)
+    with _phase("vel.binpack"):
+        words = pack(xb, x0, rng_b, depth,
+                     int(acc.sym_log10_scaled),
+                     float(acc.sym_log10_threshold))
+    with _phase("vel.gather"):
+        words_h = np.asarray(words)
+        x0_h = np.asarray(x0)
+        rng_h = np.asarray(rng_b)
     payloads = [words_h[b, i] for b in range(B) for i in range(3)]
-    comp = entropy.encode_blocks(
-        [np.ascontiguousarray(p) for p in payloads], accel)
+    with _phase("vel.entropy", nbytes=words_h.nbytes):
+        comp = entropy.encode_blocks(
+            [np.ascontiguousarray(p) for p in payloads], accel)
     out = []
     for b in range(B):
         meta = Writer()
@@ -357,10 +372,14 @@ def _encode_scalar_float_batch(vals: np.ndarray, B: int, nb: int, acc,
         depth = engine.delta_to_depth(acc.delta, 0.0, g)
     pack = _batched_bin_pack_scalar_recip if scale_mode == "recip" \
         else _batched_bin_pack_scalar
-    words = pack(xb, x0, jnp.asarray(rng_h), depth, mode, threshold)
-    words_h = np.asarray(words)  # (B, 1, wpb)
-    comp = entropy.encode_blocks(
-        [np.ascontiguousarray(words_h[b, 0]) for b in range(B)], accel)
+    from ..utils.profiling import phase as _phase
+    with _phase("mass.binpack"):
+        words = pack(xb, x0, jnp.asarray(rng_h), depth, mode, threshold)
+    with _phase("mass.gather"):
+        words_h = np.asarray(words)  # (B, 1, wpb)
+    with _phase("mass.entropy", nbytes=words_h.nbytes):
+        comp = entropy.encode_blocks(
+            [np.ascontiguousarray(words_h[b, 0]) for b in range(B)], accel)
     out = []
     for b in range(B):
         meta = Writer()
@@ -376,27 +395,31 @@ def _encode_scalar_float_batch(vals: np.ndarray, B: int, nb: int, acc,
 
 
 def _encode_id_batch(ids: np.ndarray, B: int, nb: int, acc, accel: int):
-    qdims, x0g, _ = engine.id_decompose(
-        jnp.asarray(ids, dtype=jnp.uint64), int(acc.width))
-    x0g = np.asarray(x0g).astype(np.uint64)  # global per-dim offset
-    qd = np.asarray(qdims.astype(jnp.uint32)).reshape(3, B, nb)
+    from ..utils.profiling import phase as _phase
+    with _phase("ids.decompose", nbytes=ids.nbytes):
+        qdims, x0g, _ = engine.id_decompose(
+            jnp.asarray(ids, dtype=jnp.uint64), int(acc.width))
+        x0g = np.asarray(x0g).astype(np.uint64)  # global per-dim offset
+        qd = np.asarray(qdims.astype(jnp.uint32)).reshape(3, B, nb)
     # per-block min-subtract, shared per-dim width across blocks; the
     # stored per-block origin must include the global decompose offset
     # so undoID's re-wrap sees true unwrapped coordinates.
-    x0_rel = qd.min(axis=2)  # (3, B), relative to global offset
-    rel = qd - x0_rel[:, :, None]
-    x0_blocks = x0_rel.astype(np.uint64) + x0g[:, None]
-    widths = [int(rel[i].max()).bit_length() for i in range(3)]
-    packed = []
-    for i in range(3):
-        w = max(widths[i], 1)
-        # per-block pack (vmapped): each block's stream is padded
-        # independently, so any (nb, width) combination is valid
-        pw = np.asarray(_batched_id_pack(jnp.asarray(rel[i]), w))
-        packed.append(pw)
+    with _phase("ids.pack"):
+        x0_rel = qd.min(axis=2)  # (3, B), relative to global offset
+        rel = qd - x0_rel[:, :, None]
+        x0_blocks = x0_rel.astype(np.uint64) + x0g[:, None]
+        widths = [int(rel[i].max()).bit_length() for i in range(3)]
+        packed = []
+        for i in range(3):
+            w = max(widths[i], 1)
+            # per-block pack (vmapped): each block's stream is padded
+            # independently, so any (nb, width) combination is valid
+            pw = np.asarray(_batched_id_pack(jnp.asarray(rel[i]), w))
+            packed.append(pw)
     payloads = [np.ascontiguousarray(packed[i][b])
                 for b in range(B) for i in range(3)]
-    comp = entropy.encode_blocks(payloads, accel)
+    with _phase("ids.entropy"):
+        comp = entropy.encode_blocks(payloads, accel)
     out = []
     for b in range(B):
         meta = Writer()
@@ -493,7 +516,10 @@ def compress_snapshot(fp: BinaryIO,
             add_field(b, FieldCode.UNSF, field_blocks[b])
 
     # ---- serialize + chain -----------------------------------------------
-    segments = [wire.serialize(fields, nb) for fields in per_block_fields]
+    from ..utils.profiling import phase as _phase
+    with _phase("serialize"):
+        segments = [wire.serialize(fields, nb)
+                    for fields in per_block_fields]
     geometry = None
     if pos is not None:
         # IOHeader Origin/Width (header_format.tex:206-218): per-block
@@ -756,9 +782,11 @@ def _decompress_snapshot_batched(segments, want=None) -> Optional[dict]:
     from ..algos.blocks import decode_block
     from ..ops import rng as _rng
     from ..segment.stream import Reader
+    from ..utils.profiling import phase as _phase
 
     try:
-        parsed = [wire.deserialize(s) for s in segments]
+        with _phase("decode.parse"):
+            parsed = [wire.deserialize(s) for s in segments]
     except ValueError:
         return None
     if not parsed:
@@ -835,17 +863,20 @@ def _decompress_snapshot_batched(segments, want=None) -> Optional[dict]:
             # NB: per-segment decode derives a key per dim; replicate that
             keys = [jnp.asarray(_rng.field_key(seed, fi, d),
                                 dtype=jnp.uint32) for d in range(3)]
-            dims = []
-            for d in range(3):
-                res = _batched_float_decode(
-                    words[:, d:d + 1], x0[:, d:d + 1], dx_eff[:, d],
-                    keys[d], depth, nb, is_pos, jnp.float32(box))
-                dims.append(res[:, 0])
-            data = jnp.stack(dims, axis=1)  # (B, 3, nb)
-            if symlog:
-                data = _batched_unmap(data, symlog, float(threshold))
-            arr = np.asarray(data)
-            out["pos" if is_pos else "vel"] = np.concatenate(
+            name = "pos" if is_pos else "vel"
+            with _phase(f"decode.{name}"):
+                dims = []
+                for d in range(3):
+                    res = _batched_float_decode(
+                        words[:, d:d + 1], x0[:, d:d + 1], dx_eff[:, d],
+                        keys[d], depth, nb, is_pos, jnp.float32(box))
+                    dims.append(res[:, 0])
+                data = jnp.stack(dims, axis=1)  # (B, 3, nb)
+                if symlog:
+                    data = _batched_unmap(data, symlog, float(threshold))
+            with _phase(f"decode.{name}.fetch", nbytes=B * 3 * nb * 4):
+                arr = np.asarray(data)
+            out[name] = np.concatenate(
                 [arr[b] for b in range(B)], axis=1)
         elif code == int(FieldCode.UNSF):
             metas = []

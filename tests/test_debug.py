@@ -69,3 +69,47 @@ def test_debug_flag_nonzero_integers_enable():
     from minnow_c_tpu.utils.debug import _parse_flag
     assert _parse_flag("2") and _parse_flag("-1") and _parse_flag(" 3 ")
     assert not _parse_flag("00")
+
+
+class TestProfilingSpans:
+    """utils/profiling is load-bearing: the snapshot pipeline wraps its
+    phases in ``phase()`` spans, printed under MINNOW_PROFILE=1."""
+
+    def test_phase_prints_under_env(self, monkeypatch):
+        from minnow_c_tpu.utils import profiling
+        lines = []
+        monkeypatch.setenv("MINNOW_PROFILE", "1")
+        with profiling.phase("unit", sink=lines.append, nbytes=10 ** 9):
+            pass
+        assert len(lines) == 1 and "unit" in lines[0] \
+            and "GB/s" in lines[0]
+        monkeypatch.delenv("MINNOW_PROFILE")
+        with profiling.phase("quiet", sink=lines.append):
+            pass
+        assert len(lines) == 1  # silent without the env var
+
+    def test_snapshot_pipeline_emits_phases(self, monkeypatch, capsys):
+        import io as _io
+
+        import numpy as np
+
+        import minnow_c_tpu as mnw
+        from minnow_c_tpu.parallel import snapshot
+        monkeypatch.setenv("MINNOW_PROFILE", "1")
+        n = 4096
+        rng = np.random.default_rng(0)
+        pos = rng.uniform(0, 64.0, (3, n)).astype(np.float32)
+        ids = rng.permutation(64 ** 3)[:n].astype(np.uint64)
+        spec = snapshot.SnapshotSpec(
+            pos=mnw.PositionAccuracy(delta=1e-3, width=64.0),
+            ids=mnw.IDAccuracy(width=64))
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot(buf, pos, None, ids, spec,
+                                   num_blocks=2)
+        buf.seek(0)
+        snapshot.decompress_snapshot(buf)
+        outp = capsys.readouterr().out
+        for span in ("pos.h2d+stats", "pos.binpack", "pos.gather",
+                     "pos.entropy", "ids.decompose", "serialize",
+                     "decode.parse", "decode.pos"):
+            assert f"[minnow] {span}:" in outp, span
