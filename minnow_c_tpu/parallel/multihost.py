@@ -68,3 +68,54 @@ def local_block_slice(global_out, mesh):
               if s.replica_id == 0]
     shards.sort(key=lambda s: s.index[0].start or 0)
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def allgather_max_f32(x: float) -> float:
+    """All-reduce max of a host-side f32 scalar across processes (the
+    one sync the shared-depth policy needs; quant.c:195 analog)."""
+    import jax
+    if jax.process_count() <= 1:
+        return float(np.float32(x))
+    from jax.experimental import multihost_utils
+    g = multihost_utils.process_allgather(
+        np.asarray([x], dtype=np.float32))
+    return float(np.float32(np.max(g)))
+
+
+def allgather_bytes(blobs):
+    """All-gather per-process byte-string lists: every process passes an
+    equal-length list; returns the rank-major concatenation (process 0's
+    blobs first).  Implemented with one length gather + one padded u8
+    gather over jax.distributed."""
+    import jax
+    if jax.process_count() <= 1:
+        return list(blobs)
+    from jax.experimental import multihost_utils
+    lens = np.asarray([len(b) for b in blobs], dtype=np.int64)
+    all_lens = multihost_utils.process_allgather(lens)  # (P, k)
+    if all_lens.ndim == 1:
+        all_lens = all_lens.reshape(jax.process_count(), -1)
+    if all_lens.shape[1] != len(blobs):
+        raise ValueError("allgather_bytes requires equal blob counts on "
+                         "every process")
+    lmax = int(all_lens.max())
+    pad = np.zeros((len(blobs), lmax), dtype=np.uint8)
+    for i, b in enumerate(blobs):
+        pad[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    allb = multihost_utils.process_allgather(pad)  # (P, k, lmax)
+    if allb.ndim == 2:
+        allb = allb.reshape(jax.process_count(), len(blobs), lmax)
+    out = []
+    for p in range(all_lens.shape[0]):
+        for i in range(all_lens.shape[1]):
+            out.append(allb[p, i, : all_lens[p, i]].tobytes())
+    return out
+
+
+def barrier(name: str = "minnow") -> None:
+    """Cross-process barrier (file-visibility fence around writes)."""
+    import jax
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)

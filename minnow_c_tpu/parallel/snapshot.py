@@ -616,6 +616,145 @@ def compress_snapshot_streaming(fp: BinaryIO, blocks_iter, spec: SnapshotSpec,
     return stats
 
 
+def compress_snapshot_multihost(fp: Optional[BinaryIO],
+                                pos: Optional[np.ndarray],
+                                vel: Optional[np.ndarray],
+                                ids: Optional[np.ndarray],
+                                spec: SnapshotSpec,
+                                num_blocks_local: int,
+                                seed: int = 0,
+                                accel: int = 1,
+                                scale_mode: str = "div",
+                                mass: Optional[np.ndarray] = None) -> dict:
+    """Distributed-client snapshot write: every process compresses its
+    own contiguous slab of particles (``num_blocks_local`` blocks) and
+    the segments land in ONE chained file in global block order
+    (rank-major) -- the ordered-gather contract the spec assigns to the
+    distributed client (doc/separation_of_duties.md:7-12).
+
+    ``fp`` is written by process 0 only (other processes may pass None).
+    Returns the same stats dict on every process.
+
+    Depth policy: one scalar all-gather per float field syncs the global
+    range, so every host derives the SAME shared bit depth the
+    single-host writer would -- POSN/VELC/UNSF streams are byte-identical
+    to a single-host ``compress_snapshot`` of the concatenated data.
+    PTID streams stay per-host-anchored (the u64 unwrap anchors at the
+    local element 0, util.c:115-143): decoded IDs are identical, stream
+    bytes may differ, and the batched reader falls back to the
+    per-segment path when per-dim widths differ between hosts."""
+    if scale_mode not in ("div", "recip"):
+        raise ValueError(f"unknown scale_mode {scale_mode!r}")
+    from ..utils import native_order
+    from . import multihost as mh
+    pos = native_order(pos)
+    vel = native_order(vel)
+    ids = native_order(ids)
+    mass = native_order(mass)
+    if mass is not None and spec.mass is None:
+        raise ValueError("mass array given without spec.mass accuracy")
+    n = None
+    for a in (pos, vel, ids, mass):
+        if a is not None:
+            n = a.shape[-1]
+            break
+    if n is None:
+        raise ValueError("no fields given")
+    B = num_blocks_local
+    if n % B:
+        raise ValueError(f"{n} local particles do not divide into {B} "
+                         "blocks; pad the tail (client duty)")
+    nb = n // B
+    stats = {}
+    per_block_fields: List[List[wire.WireField]] = [[] for _ in range(B)]
+
+    def add_field(bi, code, blocks):
+        per_block_fields[bi].append(
+            wire.WireField(int(code), int(AlgoCode.TRIM), TRIM_VERSION,
+                           blocks))
+
+    if pos is not None:
+        xb = jnp.asarray(np.moveaxis(pos.reshape(3, B, nb), 1, 0))
+        _, rng_b = _batched_stats_pos(xb, float(spec.pos.width))
+        g = mh.allgather_max_f32(float(np.asarray(jnp.max(rng_b))))
+        depth = engine.delta_to_depth(spec.pos.delta, 0.0, g)
+        fb, _ = _encode_pos_batch(pos, B, nb, spec.pos, seed, accel,
+                                  depth=depth, scale_mode=scale_mode)
+        stats["pos_depth"] = depth
+        for b in range(B):
+            add_field(b, FieldCode.POSN, fb[b])
+
+    if vel is not None:
+        xb = jnp.asarray(np.moveaxis(vel.reshape(3, B, nb), 1, 0))
+        _, rng_b = _batched_stats_vel(
+            xb, int(spec.vel.sym_log10_scaled),
+            float(spec.vel.sym_log10_threshold))
+        g = mh.allgather_max_f32(float(np.asarray(jnp.max(rng_b))))
+        depth = engine.delta_to_depth(spec.vel.delta, 0.0, g)
+        fb, _ = _encode_vel_batch(vel, B, nb, spec.vel, seed, accel,
+                                  depth=depth, scale_mode=scale_mode)
+        stats["vel_depth"] = depth
+        for b in range(B):
+            add_field(b, FieldCode.VELC, fb[b])
+
+    if ids is not None:
+        fb, widths = _encode_id_batch(ids, B, nb, spec.ids, accel)
+        stats["id_widths"] = widths
+        for b in range(B):
+            add_field(b, FieldCode.PTID, fb[b])
+
+    if mass is not None:
+        xb = jnp.asarray(mass.reshape(B, nb))
+        mode = int(getattr(spec.mass, "log10_scaled", 0))
+        thr = float(getattr(spec.mass, "sym_log10_threshold", 0.0))
+        x0, x1 = _batched_stats_scalar(xb, mode, thr)
+        local_g = float((np.asarray(x1).astype(np.float32) -
+                         np.asarray(x0).astype(np.float32)).max())
+        g = mh.allgather_max_f32(local_g)
+        depth = engine.delta_to_depth(spec.mass.delta, 0.0, g)
+        fb, _ = _encode_scalar_float_batch(mass, B, nb, spec.mass, seed,
+                                           accel, depth=depth,
+                                           scale_mode=scale_mode)
+        stats["mass_depth"] = depth
+        for b in range(B):
+            add_field(b, FieldCode.UNSF, fb[b])
+
+    segments = [wire.serialize(fields, nb) for fields in per_block_fields]
+    geo_blobs = []
+    if pos is not None:
+        import struct as _struct
+        pb = pos.reshape(3, B, nb)
+        lo = pb.min(axis=2)
+        hi = pb.max(axis=2)
+        for b in range(B):
+            geo_blobs.append(_struct.pack(
+                "<6d", *(float(lo[d, b]) for d in range(3)),
+                *(float(hi[d, b] - lo[d, b]) for d in range(3))))
+    else:
+        geo_blobs = [b""] * B
+
+    all_segs = mh.allgather_bytes(segments)
+    all_geos = mh.allgather_bytes(geo_blobs)
+    import jax as _jax
+    if _jax.process_index() == 0:
+        if fp is None:
+            raise ValueError("process 0 must pass a writable fp")
+        geometry = None
+        if pos is not None:
+            import struct as _struct
+            geometry = []
+            for gblob in all_geos:
+                vals = _struct.unpack("<6d", gblob)
+                geometry.append((vals[:3], vals[3:]))
+        seg_io.write_segments(fp, all_segs, geometry)
+        fp.flush()  # visible to other processes before the barrier lifts
+    mh.barrier("minnow_snapshot_write")
+    stats["bytes"] = sum(len(s) for s in all_segs) + \
+        seg_io.IO_HEADER_BYTES * len(all_segs)
+    stats["num_blocks"] = len(all_segs)
+    return stats
+
+
 def _wrap_precompressed(raw_words: np.ndarray, comp: bytes,
                         width: int) -> bytes:
     """Build a block from an already-entropy-coded payload, choosing the

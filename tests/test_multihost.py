@@ -75,6 +75,68 @@ mids = multihost.local_block_slice(dids, mesh)
 assert np.array_equal(mids, gi[proc_id * 4:(proc_id + 1) * 4])
 # position bits must equal the position-only codec's (shared streams)
 assert np.array_equal(mpos, mine)
+
+# ---- distributed file write (doc/separation_of_duties.md:7-12): each
+# process compresses its OWN blocks; segments land in one chained file
+# in global block order, readable by the scalar path.
+import io
+import minnow_c_tpu as mnw
+from minnow_c_tpu.parallel import snapshot as snap_mod
+
+def slab(blocks):   # (B_local, d, nb) -> (d, B_local*nb) / (B_local, nb)->(n,)
+    if blocks.ndim == 3:
+        return np.concatenate([blocks[b] for b in range(blocks.shape[0])],
+                              axis=1)
+    return blocks.reshape(-1)
+
+spec = snap_mod.SnapshotSpec(
+    pos=mnw.PositionAccuracy(delta=1e-3, width=W),
+    vel=mnw.VelocityAccuracy(delta=1.0),
+    ids=mnw.IDAccuracy(width=1024))
+lo, hi = proc_id * 4, (proc_id + 1) * 4
+path = os.path.join(tmp, "multi.min")
+fp = open(path, "wb") if proc_id == 0 else None
+st = snap_mod.compress_snapshot_multihost(
+    fp, slab(gx[lo:hi]), slab(gv[lo:hi]), slab(gi[lo:hi]), spec,
+    num_blocks_local=4, seed=5)
+if fp is not None:
+    fp.close()
+assert st["num_blocks"] == 8, st
+# every process reads the one file back and sees the full snapshot in
+# global block order
+with open(path, "rb") as f:
+    full = snap_mod.decompress_snapshot(f)
+gpos = np.concatenate([gx[b] for b in range(8)], axis=1)
+gids = gi.reshape(-1)
+ferr = np.abs(full["pos"] - gpos); ferr = np.minimum(ferr, W - ferr)
+assert ferr.max() <= 1e-3, ferr.max()
+assert np.abs(full["vel"] -
+              np.concatenate([gv[b] for b in range(8)], axis=1)).max() <= 1.0
+assert np.array_equal(full["ids"], gids)
+if proc_id == 0:
+    # POSN/VELC streams must be byte-identical to a single-host write of
+    # the concatenated data (the synced-depth guarantee); PTID may differ
+    # (per-host u64 unwrap anchor) but decoded IDs matched above.
+    from minnow_c_tpu.segment import format as wire_fmt
+    from minnow_c_tpu.segment import io as seg_io_mod
+    buf = io.BytesIO()
+    snap_mod.compress_snapshot(buf, gpos,
+                               np.concatenate([gv[b] for b in range(8)],
+                                              axis=1),
+                               gids, spec, num_blocks=8, seed=5)
+    buf.seek(0)
+    ref_segs = [s for _, s in seg_io_mod.iter_segments(buf)]
+    with open(path, "rb") as f:
+        got_segs = [s for _, s in seg_io_mod.iter_segments(f)]
+    assert len(ref_segs) == len(got_segs) == 8
+    POSN, VELC = int(mnw.FieldCode.POSN), int(mnw.FieldCode.VELC)
+    for rs, gs in zip(ref_segs, got_segs):
+        rf = {f.field_code: f.blocks for f in wire_fmt.deserialize(rs).fields}
+        gf = {f.field_code: f.blocks for f in wire_fmt.deserialize(gs).fields}
+        assert rf[POSN] == gf[POSN]
+        assert rf[VELC] == gf[VELC]
+    print("FILE_PARITY_OK", flush=True)
+
 with open(os.path.join(tmp, f"ok{proc_id}"), "w") as f:
     f.write(f"{g:.6f}")
 print("WORKER_OK", proc_id, flush=True)

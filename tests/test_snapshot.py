@@ -377,3 +377,23 @@ class TestMassField:
         with pytest.raises(ValueError, match="spec.mass"):
             snapshot.compress_snapshot(buf, pos, vel, ids, SPEC,
                                        num_blocks=1, mass=mass)
+
+
+def test_multihost_writer_single_process_byte_parity(tmp_path):
+    """compress_snapshot_multihost degenerates to the single-host writer
+    bit-for-bit when process_count == 1 (same depths, same streams, same
+    chained file bytes)."""
+    pos, vel, ids = make_snapshot(n=8192)
+    f1 = tmp_path / "single.min"
+    with open(f1, "wb") as f:
+        snapshot.compress_snapshot(f, pos, vel, ids, SPEC, num_blocks=4,
+                                   seed=3)
+    f2 = tmp_path / "multi.min"
+    with open(f2, "wb") as f:
+        st = snapshot.compress_snapshot_multihost(
+            f, pos, vel, ids, SPEC, num_blocks_local=4, seed=3)
+    assert f1.read_bytes() == f2.read_bytes()
+    assert st["num_blocks"] == 4
+    with open(f2, "rb") as f:
+        out = snapshot.decompress_snapshot(f)
+    np.testing.assert_array_equal(out["ids"], ids)
