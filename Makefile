@@ -1,6 +1,6 @@
 # Build/test entry points (reference Makefile:83-116 equivalents).
 
-.PHONY: all native test bench clean
+.PHONY: all native test tpu-test bench clean
 
 all: native
 
@@ -9,6 +9,11 @@ native:
 
 test: native
 	python -m pytest tests/ -q
+
+# On-chip parity gate (XLA-vs-Pallas bits, frozen digests, dither
+# vector); writes TPU_SMOKE.json.  Never run two TPU processes at once.
+tpu-test: native
+	python tpu_smoke.py
 
 bench: native
 	python bench.py

@@ -72,8 +72,8 @@ _cache = {}
 def get_xd():
     if "xd" not in _cache:
         _cache["xd"] = jax.device_put(
-            jnp.asarray(rng.uniform(0, W, (B, 3, nb)).astype(np.float32)),
-            codec._in_shardings())
+            jnp.asarray(rng.uniform(0, W, (B * 3, nb)).astype(np.float32)),
+            codec._in_shardings())  # ROWS boundary (see sharding.py)
     return _cache["xd"]
 
 
@@ -167,6 +167,12 @@ def pre_transposed():
     w4 = jnp.swapaxes(
         jnp.pad(w24, ((0, 0), (0, pad_words))).reshape(
             ROWS, n_tiles, M, 4 * depth), 2, 3)
+    # Strip the mesh NamedSharding: a committed-sharded operand turns the
+    # bare pallas_call's refs into sharded refs, which reject the
+    # kernel's integer SMEM indexing ("sharded ref can only be indexed
+    # by slices").  The production path is inside shard_map, where refs
+    # are per-shard; this ad-hoc call is not.
+    w4 = jax.device_put(w4, jax.devices()[0])
     return jax.block_until_ready(w4)
 
 
@@ -190,6 +196,51 @@ def mk_full():
     return chain(step), (words_d,)
 
 
+def mk_rows():
+    """Production decode_pallas_rows straight on the 2D words (the
+    shard_map body's hot call): transpose + kernel + slice, no
+    shard_map wrapper."""
+    words_d, x0_d, rng_d = get_words()
+    w2 = jax.device_put(jnp.reshape(words_d, (ROWS, n_words)),
+                        jax.devices()[0])
+    keys2 = jnp.zeros((ROWS, 2), jnp.uint32) + jnp.uint32(7)
+    x0r = jnp.zeros((ROWS,), jnp.float32)
+    dxr = jnp.full((ROWS,), W, jnp.float32)
+
+    def step(s, w):
+        return decode_pallas.decode_pallas_rows(
+            perturb_nd(w, s), keys2, depth, nb, x0r, dxr, box=W,
+            periodic=True)
+    return chain(step), (jax.block_until_ready(w2),)
+
+
+def mk_slice():
+    """The [:, :nb] tail-trim copy alone on a padded-size u32 array."""
+    big = jax.block_until_ready(
+        jnp.ones((ROWS, n_tiles * TILE), jnp.uint32))
+
+    def step(s, a):
+        return perturb_nd(a, s)[:, :nb]
+    return chain(step), (big,)
+
+
+def mk_rows_nt():
+    """decode_pallas_rows with the in-kernel transpose (natural words
+    layout; round-4 variant)."""
+    words_d, x0_d, rng_d = get_words()
+    w2 = jax.device_put(jnp.reshape(words_d, (ROWS, n_words)),
+                        jax.devices()[0])
+    keys2 = jnp.zeros((ROWS, 2), jnp.uint32) + jnp.uint32(7)
+    x0r = jnp.zeros((ROWS,), jnp.float32)
+    dxr = jnp.full((ROWS,), W, jnp.float32)
+
+    def step(s, w):
+        return decode_pallas.decode_pallas_rows(
+            perturb_nd(w, s), keys2, depth, nb, x0r, dxr, box=W,
+            periodic=True, pretranspose=False)
+    return chain(step), (jax.block_until_ready(w2),)
+
+
 # ---- encode phases ---------------------------------------------------------
 
 def salt_box(s):
@@ -198,8 +249,9 @@ def salt_box(s):
 
 
 def mk_estats():
-    def step(s, x):
+    def step(s, xf):
         box = salt_box(s)
+        x = xf.reshape(B, 3, nb)
 
         def one(xb):
             from minnow_c_tpu.ops import kernels
@@ -212,10 +264,11 @@ def mk_estats():
 
 
 def mk_ebins():
-    def step(s, x):
+    def step(s, xf):
         box = salt_box(s)
         bins, x0, rb = jax.vmap(
-            lambda xb: _float_block_encode(xb, depth, box))(x)
+            lambda xb: _float_block_encode(xb, depth, box))(
+                xf.reshape(B, 3, nb))
         return bins
     return chain(step), (get_xd(),)
 
@@ -240,7 +293,8 @@ def mk_erecip():
 
 PHASES = {
     "perturb": mk_perturb, "transpose": mk_transpose, "kernel": mk_kernel,
-    "kernslice": mk_kernslice, "full": mk_full,
+    "kernslice": mk_kernslice, "rows": mk_rows, "rows_nt": mk_rows_nt, "slice": mk_slice,
+    "full": mk_full,
     "estats": mk_estats, "ebins": mk_ebins, "efull": mk_efull,
     "erecip": mk_erecip,
 }
@@ -249,12 +303,110 @@ PHASES = {
 def main():
     names = sys.argv[1:] or list(PHASES)
     for name in names:
-        f, args = PHASES[name]()
-        r = harness.run(lambda s: f(s, *args),
-                        bytes_per_iter=raw * CHAIN)
-        per_ms = raw * CHAIN / r.bytes_per_second / CHAIN * 1e3
-        print(f"{name:>10}: {r.gb_per_second:7.2f} GB/s of decoded-f32 "
-              f"equiv   ({per_ms:6.2f} ms/step)", flush=True)
+        try:
+            f, args = PHASES[name]()
+            r = harness.run(lambda s: f(s, *args),
+                            bytes_per_iter=raw * CHAIN)
+            per_ms = raw * CHAIN / r.bytes_per_second / CHAIN * 1e3
+            print(f"{name:>10}: {r.gb_per_second:7.2f} GB/s of "
+                  f"decoded-f32 equiv   ({per_ms:6.2f} ms/step)",
+                  flush=True)
+        except Exception as e:
+            print(f"{name:>10}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
 
 
 main()
+
+
+# A/B the production shard_map decode under both layouts in one process:
+#   python exp/prof100m_unrolled.py ab
+def run_ab():
+    words_d, x0_d, rng_d = get_words()
+    w2 = jax.device_put(jnp.reshape(words_d, (ROWS, n_words)),
+                        jax.devices()[0])
+    w2 = jax.block_until_ready(w2)
+    keys2 = jnp.zeros((ROWS, 2), jnp.uint32) + jnp.uint32(7)
+    x0r = jnp.zeros((ROWS,), jnp.float32)
+    dxr = jnp.full((ROWS,), W, jnp.float32)
+
+    import minnow_c_tpu.ops.decode_pallas as dp
+
+    def measure(name, f, args):
+        r = harness.run(lambda s: f(s, *args), bytes_per_iter=raw * CHAIN)
+        per_ms = raw / r.bytes_per_second * 1e3
+        print(f"{name:>14}: {r.gb_per_second:7.2f} GB/s ({per_ms:6.2f} "
+              f"ms/step)", flush=True)
+
+    for mode in (True, False):
+        dp._PRETRANSPOSE_OVERRIDE = mode
+        tag = "pre" if mode else "nat"
+        codec_ab = ShardedPositionCodec(mesh=mesh, width=W, depth=depth)
+
+        def step_full(s, w, c=codec_ab):
+            return c._decode(perturb_nd(w, s), x0_d, rng_d, seed_arr,
+                             zero_blk)
+
+        def step_rows(s, w, m=mode):
+            return decode_pallas.decode_pallas_rows(
+                perturb_nd(w, s), keys2, depth, nb, x0r, dxr, box=W,
+                periodic=True, pretranspose=m)
+
+        measure(f"rows_{tag}", chain(step_rows), (w2,))
+        measure(f"full_{tag}", chain(step_full), (words_d,))
+    dp._PRETRANSPOSE_OVERRIDE = None
+
+
+if sys.argv[1:] == ["ab"]:
+    run_ab()
+
+
+def run_body():
+    """The decode_local BODY in plain jit (no shard_map): isolates the
+    wrapper's cost.  python exp/prof100m_unrolled.py body"""
+    from minnow_c_tpu.parallel.sharding import (_block_keys,
+                                                _float_rows_decode)
+    words_d, x0_d, rng_d = get_words()
+    w1 = jax.device_put(words_d, jax.devices()[0])
+    x01 = jax.device_put(x0_d, jax.devices()[0])
+    rng1 = jax.device_put(rng_d, jax.devices()[0])
+    w1 = jax.block_until_ready(w1)
+
+    def step(s, w):
+        wp = perturb_nd(w, s)
+        keys2 = _block_keys(seed_arr, jnp.arange(B))
+        return _float_rows_decode(wp, x01, rng1, keys2, depth, nb, W,
+                                  True, True, False)
+
+    f = chain(step)
+    r = harness.run(lambda s: f(s, w1), bytes_per_iter=raw * CHAIN)
+    print(f"body_nosm: {r.gb_per_second:7.2f} GB/s "
+          f"({raw / r.bytes_per_second * 1e3:6.2f} ms/step)", flush=True)
+
+
+if sys.argv[1:] == ["body"]:
+    run_body()
+
+
+def run_single():
+    """One flat 300M-element stream through decode_pallas (the bench.py
+    kernel) at this depth: python exp/prof100m_unrolled.py single"""
+    from minnow_c_tpu.ops import rng as _rng
+    words_d, _, _ = get_words()
+    ntot = B * 3 * nb
+    wflat = jax.device_put(jnp.reshape(words_d, (-1,)), jax.devices()[0])
+    wflat = jax.block_until_ready(wflat)
+    key = _rng.field_key_arr(1234, 0, 0)
+
+    def step(s, w):
+        return decode_pallas.decode_pallas(
+            perturb_nd(w, s), key, depth, ntot, 0.0, W, W, periodic=True)
+
+    f = chain(step)
+    r = harness.run(lambda s: f(s, wflat), bytes_per_iter=raw * CHAIN)
+    print(f"single300M: {r.gb_per_second:7.2f} GB/s "
+          f"({raw / r.bytes_per_second * 1e3:6.2f} ms/step)", flush=True)
+
+
+if sys.argv[1:] == ["single"]:
+    run_single()

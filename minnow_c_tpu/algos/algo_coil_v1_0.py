@@ -52,11 +52,11 @@ class CoilV1_0(TrimV1_0):
         if n == 0:
             return np.zeros(2, dtype=np.uint32), 0
         first = np.uint32(np.asarray(bins[0]))
-        z = np.array(kernels.u32_delta_zigzag(bins), copy=True)
-        z[0] = 0  # element 0 is carried raw; keep its slot width-neutral
-        zc, widths = chunked.chunk_widths(z)
+        # element 0 is carried raw; keep its slot width-neutral
+        z = kernels.u32_delta_zigzag(bins).at[0].set(jnp.uint32(0))
+        zc, widths = chunked.chunk_widths_auto(z)
         n_chunks = zc.shape[0]
-        body = chunked.pack_chunks(zc, widths)
+        body = chunked.pack_chunks_auto(zc, widths)
 
         head = np.array([n_chunks, first], dtype=np.uint32)
         wtab_pad = (-n_chunks) % 4
@@ -77,7 +77,7 @@ class CoilV1_0(TrimV1_0):
         widths = raw[8:8 + n_chunks].astype(np.uint8)
         body = raw[8 + n_chunks + wtab_pad:].view(np.uint32)
 
-        z = chunked.unpack_chunks(body, widths).reshape(-1)[:n]
+        z = chunked.unpack_chunks_auto(body, widths).reshape(-1)[:n]
         # logical-shift unzigzag; the int32 form corrupts |delta| >= 2^30
         d = kernels.u32_unzigzag(jnp.asarray(z))
         d = d.at[0].set(0)

@@ -80,13 +80,12 @@ class SortV1_0(TrimV1_0):
         ranks = jnp.zeros(n, dtype=jnp.uint32).at[order].set(
             jnp.arange(n, dtype=jnp.uint32))
         prev = jnp.concatenate([sorted_vals[:1] * 0, sorted_vals[:-1]])
-        deltas = np.array(sorted_vals - prev, copy=True)
-        first = np.uint32(deltas[0])
-        deltas[0] = 0
+        first = np.uint32(np.asarray(sorted_vals[0]))
+        deltas = (sorted_vals - prev).at[0].set(jnp.uint32(0))
 
-        dc, widths = chunked.chunk_widths(deltas)
+        dc, widths = chunked.chunk_widths_auto(deltas)
         n_chunks = dc.shape[0]
-        body = chunked.pack_chunks(dc, widths)
+        body = chunked.pack_chunks_auto(dc, widths)
 
         rank_width = _bits_for(n - 1)
         rank_words = np.asarray(bitpack.uniform_pack(ranks, rank_width))
@@ -113,14 +112,15 @@ class SortV1_0(TrimV1_0):
         body = raw[16 + n_chunks + wtab_pad:].view(np.uint32)
 
         total_delta_words = chunked.total_words(widths)
-        deltas = chunked.unpack_chunks(body, widths).reshape(-1)[:n].copy()
-        deltas[0] = first
+        deltas = jnp.asarray(
+            chunked.unpack_chunks_auto(body[:total_delta_words], widths)
+        ).reshape(-1)[:n].at[0].set(jnp.uint32(first))
 
         rank_width = _bits_for(n - 1)
         rank_body = body[total_delta_words:total_delta_words + n_rank_words]
         # cumsum + rank unpack + un-permute run on device; bins stay
         # device-resident through dequantization.
-        return _sort_undo_device(jnp.asarray(deltas),
+        return _sort_undo_device(deltas,
                                  jnp.asarray(rank_body), rank_width, n)
 
 

@@ -72,17 +72,15 @@ class SortV1_1(TrimV1_0):
         ranks = jnp.zeros(n, dtype=jnp.uint32).at[order].set(
             jnp.arange(n, dtype=jnp.uint32))
         prev = jnp.concatenate([sorted_vals[:1] * 0, sorted_vals[:-1]])
-        deltas = np.array(sorted_vals - prev, copy=True)
-        first = np.uint32(deltas[0])
-        deltas[0] = 0
-        dc, widths = chunked.chunk_widths(deltas)
-        body = chunked.pack_chunks(dc, widths)
+        first = np.uint32(np.asarray(sorted_vals[0]))
+        deltas = (sorted_vals - prev).at[0].set(jnp.uint32(0))
+        dc, widths = chunked.chunk_widths_auto(deltas)
+        body = chunked.pack_chunks_auto(dc, widths)
 
-        rz = np.array(kernels.u32_delta_zigzag(ranks), copy=True)
         rank_first = np.uint32(np.asarray(ranks[0]))
-        rz = rz[1:]  # element 0 carried raw
-        rc, rwidths = chunked.chunk_widths(rz)
-        rbody = chunked.pack_chunks(rc, rwidths)
+        rz = kernels.u32_delta_zigzag(ranks)[1:]  # element 0 carried raw
+        rc, rwidths = chunked.chunk_widths_auto(rz)
+        rbody = chunked.pack_chunks_auto(rc, rwidths)
 
         head = np.array([dc.shape[0], first, rank_first, rc.shape[0]],
                         dtype=np.uint32)
@@ -113,13 +111,13 @@ class SortV1_1(TrimV1_0):
         body = raw[off:].view(np.uint32)
 
         dw = chunked.total_words(widths)
-        deltas = chunked.unpack_chunks(body[:dw], widths).reshape(-1)[:n]
-        deltas = deltas.copy()
-        deltas[0] = first
-        rz = chunked.unpack_chunks(body[dw:], rwidths).reshape(-1)[:n - 1]
+        deltas = jnp.asarray(
+            chunked.unpack_chunks_auto(body[:dw], widths)
+        ).reshape(-1)[:n].at[0].set(jnp.uint32(first))
+        rz = jnp.asarray(chunked.unpack_chunks_auto(body[dw:], rwidths)
+                         ).reshape(-1)[:n - 1]
         # device tail (integer-exact, digests enforce bit-identity)
-        return _sort11_undo_device(jnp.asarray(deltas), jnp.asarray(rz),
-                                   int(rank_first))
+        return _sort11_undo_device(deltas, rz, int(rank_first))
 
 
 registry.register(SortV1_1())

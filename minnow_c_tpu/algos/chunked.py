@@ -119,3 +119,196 @@ def unpack_chunks(body: np.ndarray, widths: np.ndarray) -> np.ndarray:
 
 def total_words(widths: np.ndarray) -> int:
     return int(((CHUNK * widths.astype(np.int64)) // 32).sum())
+
+
+# ---------------------------------------------------------------------------
+# Device-resident bucketed machinery (round 4)
+# ---------------------------------------------------------------------------
+# The numpy paths above loop per distinct width with host gathers and an
+# O(n_chunks) per-chunk tobytes join -- host-bound at snapshot scale.
+# The device versions below keep the stream on device end to end:
+#   * one barriered device gather per distinct width (typically <= 8 on
+#     coherent data) groups same-width chunk bodies contiguously;
+#   * each bucket unpacks/packs as ONE flat uniform stream (chunks are
+#     word-aligned, so the concatenation of same-width chunk bodies IS a
+#     valid uniform stream) through the Pallas rows kernels on TPU;
+#   * chunk order is restored with a single row-granular inverse-
+#     permutation take.
+# Wire bytes are identical to the numpy path (frozen digests enforce);
+# tests/test_algos.py asserts value-parity of both paths directly.
+
+_FORCE_DEVICE = False  # test hook: exercise the device path on CPU
+
+
+def _use_device() -> bool:
+    import jax
+    return _FORCE_DEVICE or jax.default_backend() == "tpu"
+
+
+def _bit_widths_device(maxes):
+    """ceil(log2(m + 1)) per element, exact for all u32 (compare against
+    the 33 powers of two; no float round-trip)."""
+    import jax.numpy as jnp
+    # bit_length(m) = #{k in 0..31 : m > 2^k - 1}; thresholds 0,1,3,...,
+    # 2^31-1 all fit u32.
+    pows = np.uint64(1) << np.arange(0, 32, dtype=np.uint64)
+    thresh = jnp.asarray((pows - 1).astype(np.uint32))
+    return jnp.sum(maxes[:, None] > thresh[None, :], axis=1).astype(
+        jnp.uint8)
+
+
+def chunk_widths_device(z):
+    """Device analog of ``chunk_widths``: z (n,) u32 device array ->
+    (zc (n_chunks, CHUNK) device, widths (n_chunks,) host u8).  One small
+    D2H fetch (the width table -- it goes in the wire payload anyway)."""
+    import jax.numpy as jnp
+    n = int(z.shape[0])
+    n_chunks = -(-n // CHUNK)
+    pad = n_chunks * CHUNK - n
+    if pad:
+        z = jnp.pad(z, (0, pad))
+    zc = z.reshape(n_chunks, CHUNK)
+    widths = np.asarray(_bit_widths_device(jnp.max(zc, axis=1)))
+    return zc, widths
+
+
+def _flat_unpack(words, width: int, n: int):
+    """Unpack one flat uniform stream on the current backend (Pallas rows
+    kernel on TPU, XLA fold elsewhere)."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops import decode_pallas
+    if jax.default_backend() == "tpu" and \
+            decode_pallas.rows_kernel_eligible(width, n):
+        return decode_pallas.unpack_pallas_rows(
+            words.reshape(1, -1), width, n)[0]
+    return bitpack.uniform_unpack(words, width, n)
+
+
+def _flat_pack(vals, width: int):
+    """Pack one flat uniform stream (32 | len) on the current backend."""
+    import jax
+    import jax.numpy as jnp
+    n = int(vals.shape[0])
+    if jax.default_backend() == "tpu" and n % 32 == 0 and \
+            1 <= width <= 32:
+        from ..ops import encode_pallas
+        return encode_pallas.pack_pallas_rows(
+            vals.reshape(1, -1), width)[0]
+    return bitpack.uniform_pack(vals, width)
+
+
+def chunk_widths_auto(z):
+    """Dispatch ``chunk_widths``: device path on TPU (z may be a device
+    array; one small width-table fetch), numpy elsewhere."""
+    if _use_device():
+        import jax.numpy as jnp
+        return chunk_widths_device(jnp.asarray(z))
+    return chunk_widths(np.asarray(z))
+
+
+def pack_chunks_auto(zc, widths: np.ndarray) -> bytes:
+    """Dispatch ``pack_chunks`` by backend; identical bytes either way."""
+    if _use_device():
+        import jax.numpy as jnp
+        return pack_chunks_device(jnp.asarray(zc), widths)
+    return pack_chunks(np.asarray(zc), widths)
+
+
+def unpack_chunks_auto(body, widths: np.ndarray):
+    """Dispatch ``unpack_chunks``; the device path returns a DEVICE
+    (n_chunks, CHUNK) array (value-identical), the host path numpy."""
+    if _use_device():
+        return unpack_chunks_device(body, widths)
+    return unpack_chunks(np.asarray(body), widths)
+
+
+def unpack_chunks_device(body, widths: np.ndarray):
+    """Device-resident ``unpack_chunks``: ``body`` u32 words (device or
+    host), ``widths`` host u8 table.  Returns a DEVICE (n_chunks, CHUNK)
+    u32 array, value-identical to ``unpack_chunks``."""
+    import jax
+    import jax.numpy as jnp
+    n_chunks = widths.shape[0]
+    if n_chunks == 0:
+        return jnp.zeros((0, CHUNK), jnp.uint32)
+    if int(widths.max()) > 32:
+        raise ValueError(
+            f"chunk width {int(widths.max())} > 32 in stream width table")
+    words_per_chunk = (CHUNK * widths.astype(np.int64)) // 32
+    offsets = np.concatenate([[0], np.cumsum(words_per_chunk)])
+    body_d = jnp.asarray(body)
+    outs = []
+    order = []
+    for wv in np.unique(widths):
+        idx = np.nonzero(widths == wv)[0]
+        order.append(idx)
+        m = len(idx)
+        if wv == 0:
+            outs.append(jnp.zeros((m, CHUNK), jnp.uint32))
+            continue
+        wpc = CHUNK * int(wv) // 32
+        mp = _next_pow2(m)
+        off = np.zeros(mp, dtype=np.int32)
+        off[:m] = offsets[idx]
+        # (mp, wpc) gather indices built on device from the (mp,) offsets
+        gi = (jnp.asarray(off)[:, None] +
+              jnp.arange(wpc, dtype=jnp.int32)[None, :]).reshape(-1)
+        rows = jnp.take(body_d, gi, mode="clip")
+        # Barrier: a gather fused into its consumer is ~100x slow on this
+        # backend (see ops/fastpath.py).
+        rows = jax.lax.optimization_barrier(rows)
+        vals = _flat_unpack(rows, int(wv), mp * CHUNK)
+        outs.append(vals.reshape(mp, CHUNK)[:m])
+    cat = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+    src = np.concatenate(order)
+    if np.array_equal(src, np.arange(n_chunks)):
+        return cat
+    inv = np.empty(n_chunks, dtype=np.int32)
+    inv[src] = np.arange(n_chunks, dtype=np.int32)
+    return jax.lax.optimization_barrier(
+        jnp.take(cat, jnp.asarray(inv), axis=0))
+
+
+def pack_chunks_device(zc, widths: np.ndarray) -> bytes:
+    """Device-resident ``pack_chunks``: zc (n_chunks, CHUNK) u32 device
+    array, widths host u8.  Byte-identical output."""
+    import jax
+    import jax.numpy as jnp
+    n_chunks = int(zc.shape[0])
+    if n_chunks == 0:
+        return b""
+    words_per_chunk = (CHUNK * widths.astype(np.int64)) // 32
+    offsets = np.concatenate([[0], np.cumsum(words_per_chunk)])
+    nw = int(offsets[-1])
+    if nw == 0:
+        return b""
+    # bucket-major packed words + their destination word offsets
+    parts = []
+    dest = []
+    for wv in np.unique(widths):
+        if wv == 0:
+            continue
+        idx = np.nonzero(widths == wv)[0]
+        m = len(idx)
+        wpc = CHUNK * int(wv) // 32
+        mp = _next_pow2(m)
+        rows = zc[jnp.asarray(idx)]
+        rows = jax.lax.optimization_barrier(rows)  # gather barrier
+        if mp != m:
+            rows = jnp.concatenate(
+                [rows, jnp.zeros((mp - m, CHUNK), jnp.uint32)])
+        packed = _flat_pack(rows.reshape(-1), int(wv))
+        parts.append(packed[: m * wpc])
+        dest.append((offsets[idx][:, None] +
+                     np.arange(wpc)[None, :]).reshape(-1))
+    cat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    dst = np.concatenate(dest)
+    if np.array_equal(dst, np.arange(nw)):
+        body = cat
+    else:
+        inv = np.empty(nw, dtype=np.int32)
+        inv[dst] = np.arange(nw, dtype=np.int32)
+        body = jax.lax.optimization_barrier(
+            jnp.take(cat, jnp.asarray(inv)))
+    return np.asarray(body).astype("<u4", copy=False).tobytes()

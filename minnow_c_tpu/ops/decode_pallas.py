@@ -240,10 +240,12 @@ def _unpack_128(W, width: int):
     return ((J >> offc) | ((J2 << sh2c) & smask)) & mask
 
 
-def _rows_tiling(words, width: int, n: int):
-    """Shared (R, n_words) -> (R, n_tiles, 4*width, M) tile layout for the
-    rows kernels: adaptive tile size, zero-pad to whole tiles, and the XLA
-    pre-transpose into the static-row-pair unpack layout."""
+def _rows_tiling(words, width: int, n: int, pretranspose: bool = True):
+    """Shared (R, n_words) -> tiled layout for the rows kernels: adaptive
+    tile size, zero-pad to whole tiles, and (``pretranspose=True``) the
+    XLA pre-transpose into the (4*width, M) static-row-pair unpack
+    layout, else the natural (M, 4*width) layout (kernel transposes in
+    VMEM)."""
     rows = words.shape[0]
     tile = TILE
     while tile > 1 << 14 and tile // 2 >= n:
@@ -254,18 +256,40 @@ def _rows_tiling(words, width: int, n: int):
     pad_words = n_tiles * words_per_tile - words.shape[1]
     if pad_words:
         words = jnp.pad(words, ((0, 0), (0, pad_words)))
-    w4 = jnp.swapaxes(words.reshape(rows, n_tiles, M, 4 * width), 2, 3)
+    w4 = words.reshape(rows, n_tiles, M, 4 * width)
+    if pretranspose:
+        w4 = jnp.swapaxes(w4, 2, 3)
     return w4, rows, n_tiles, M, tile
 
 
-def _unpack_rows_kernel(words_ref, out_ref, *, width: int, group: int):
+_PRETRANSPOSE_OVERRIDE = None  # experiment hook (exp/prof100m_unrolled)
+
+
+def _rows_pretranspose_default(rows: int, n: int) -> bool:
+    """Layout choice for the rows kernels: the XLA pre-transpose wins in
+    the VMEM-resident regime (~100 MB working sets: 292 vs 261 GB/s,
+    exp/decode_notranspose.py) but becomes the DOMINANT cost in the
+    HBM-bound regime -- at 8x12.5M (1.2 GB decoded) the materialized
+    transpose pass alone measured ~23 ms of a 38.6 ms decode step
+    (exp/prof100m_unrolled.py, round 4).  Past the VMEM scale, transpose
+    in-kernel instead."""
+    if _PRETRANSPOSE_OVERRIDE is not None:
+        return _PRETRANSPOSE_OVERRIDE
+    return rows * n * 4 <= 192 * 1024 * 1024
+
+
+def _unpack_rows_kernel(words_ref, out_ref, *, width: int, group: int,
+                        natural: bool = False):
     for j in range(group):
-        out_ref[j, 0] = _unpack_128(words_ref[j, 0], width).T
+        W = words_ref[j, 0].T if natural else words_ref[j, 0]
+        out_ref[j, 0] = _unpack_128(W, width).T
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("width", "n", "interpret"))
-def unpack_pallas_rows(words, width: int, n: int, interpret: bool = False):
+                   static_argnames=("width", "n", "interpret",
+                                    "pretranspose"))
+def unpack_pallas_rows(words, width: int, n: int, interpret: bool = False,
+                       pretranspose=None):
     """Batched unpack of R independent streams: (R, n_words) packed u32
     -> (R, n) bin values; per row bit-identical to
     ``bitpack.uniform_unpack(words[r], width, n)`` (requires 32 | n).
@@ -273,20 +297,27 @@ def unpack_pallas_rows(words, width: int, n: int, interpret: bool = False):
     float stages -- the IDs-decode hot path."""
     if not rows_kernel_eligible(width, n):
         raise ValueError("unpack_pallas_rows requires width>=1, 32 | n")
+    if pretranspose is None:
+        pretranspose = _rows_pretranspose_default(words.shape[0], n)
     if words.shape[0] > ROW_CHUNK:
         return jnp.concatenate(
             [unpack_pallas_rows(words[i:i + ROW_CHUNK], width, n,
-                                interpret=interpret)
+                                interpret=interpret,
+                                pretranspose=pretranspose)
              for i in range(0, words.shape[0], ROW_CHUNK)])
-    w4, rows, n_tiles, M, tile = _rows_tiling(words, width, n)
+    w4, rows, n_tiles, M, tile = _rows_tiling(words, width, n,
+                                              pretranspose)
     G = _rows_per_step(rows, tile)
-    kernel = functools.partial(_unpack_rows_kernel, width=width, group=G)
+    kernel = functools.partial(_unpack_rows_kernel, width=width, group=G,
+                               natural=not pretranspose)
     space = pl.ANY if interpret else pltpu.VMEM
+    in_block = (G, 1, 4 * width, M) if pretranspose else \
+        (G, 1, M, 4 * width)
     out = pl.pallas_call(
         kernel,
         grid=(rows // G, n_tiles),
         in_specs=[
-            pl.BlockSpec((G, 1, 4 * width, M),
+            pl.BlockSpec(in_block,
                          lambda r, i: (r, i, r * 0, r * 0),
                          memory_space=space),
         ],
@@ -302,8 +333,9 @@ def unpack_pallas_rows(words, width: int, n: int, interpret: bool = False):
 
 def _decode_rows_kernel(words_ref, key_ref, scal_ref, out_ref, *,
                         width: int, periodic: bool, tile_elems: int,
-                        group: int):
-    """One (row-group, tile) grid step: words (G, 1, 4*width, M) ->
+                        group: int, natural: bool = False):
+    """One (row-group, tile) grid step: words (G, 1, 4*width, M) (or the
+    natural (G, 1, M, 4*width) when ``natural`` -- transposed in VMEM) ->
     out (G, 1, M, 128).  Each row is an independent stream whose dither
     counter restarts at 0.
 
@@ -316,16 +348,19 @@ def _decode_rows_kernel(words_ref, key_ref, scal_ref, out_ref, *,
     tile0 = tile.astype(jnp.uint32) * jnp.uint32(tile_elems // 4)
     for j in range(group):
         r = g * group + j
+        W = words_ref[j, 0].T if natural else words_ref[j, 0]
         out_ref[j, 0] = _decode_body(
-            words_ref[j, 0], key_ref[r, 0], key_ref[r, 1], scal_ref[r, 0],
+            W, key_ref[r, 0], key_ref[r, 1], scal_ref[r, 0],
             scal_ref[r, 1], scal_ref[r, 2], tile0, width=width,
             periodic=periodic)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("width", "n", "periodic", "interpret"))
+                   static_argnames=("width", "n", "periodic", "interpret",
+                                    "pretranspose"))
 def decode_pallas_rows(words, keys, width: int, n: int, x0, dx, box=0.0,
-                       periodic: bool = False, interpret: bool = False):
+                       periodic: bool = False, interpret: bool = False,
+                       pretranspose=None):
     """Batched fused decode of R independent streams.
 
     ``words``: (R, n_words) packed streams, one per row (32-aligned
@@ -339,6 +374,9 @@ def decode_pallas_rows(words, keys, width: int, n: int, x0, dx, box=0.0,
     scalars ride SMEM.  The tile size adapts to ``n`` (padding the last
     tile's words with zeros; the padded elements decode to garbage that
     the final slice discards).
+
+    ``pretranspose``: words layout choice (bit-identical either way);
+    None = auto by working-set size (see ``_rows_pretranspose_default``).
     """
     if not rows_kernel_eligible(width, n):
         raise ValueError("decode_pallas_rows requires width>=1, 32 | n")
@@ -346,15 +384,19 @@ def decode_pallas_rows(words, keys, width: int, n: int, x0, dx, box=0.0,
         raise ValueError(
             f"float decode width {width} > 24 (f32 mantissa cap; see "
             "decode_pallas)")
+    if pretranspose is None:
+        pretranspose = _rows_pretranspose_default(words.shape[0], n)
     if words.shape[0] > ROW_CHUNK:
         return jnp.concatenate(
             [decode_pallas_rows(words[i:i + ROW_CHUNK],
                                 keys[i:i + ROW_CHUNK], width, n,
                                 x0[i:i + ROW_CHUNK], dx[i:i + ROW_CHUNK],
                                 box=box, periodic=periodic,
-                                interpret=interpret)
+                                interpret=interpret,
+                                pretranspose=pretranspose)
              for i in range(0, words.shape[0], ROW_CHUNK)])
-    w4, rows, n_tiles, M, tile = _rows_tiling(words, width, n)
+    w4, rows, n_tiles, M, tile = _rows_tiling(words, width, n,
+                                              pretranspose)
     dx_bin = dx.astype(jnp.float32) / np.float32(
         np.exp2(width, dtype=np.float64))
     scal = jnp.stack(
@@ -363,13 +405,15 @@ def decode_pallas_rows(words, keys, width: int, n: int, x0, dx, box=0.0,
     G = _rows_per_step(rows, tile)
     kernel = functools.partial(_decode_rows_kernel, width=width,
                                periodic=periodic, tile_elems=tile,
-                               group=G)
+                               group=G, natural=not pretranspose)
     space = pl.ANY if interpret else pltpu.VMEM
+    in_block = (G, 1, 4 * width, M) if pretranspose else \
+        (G, 1, M, 4 * width)
     out = pl.pallas_call(
         kernel,
         grid=(rows // G, n_tiles),
         in_specs=[
-            pl.BlockSpec((G, 1, 4 * width, M),
+            pl.BlockSpec(in_block,
                          lambda r, i: (r, i, r * 0, r * 0),
                          memory_space=space),
             pl.BlockSpec((rows, 2), lambda r, i: (r * 0, r * 0),

@@ -46,7 +46,14 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
-    return jax.make_mesh((len(devs),), (axis,), devices=np.array(devs))
+    # Auto axis type, NOT jax.make_mesh's Explicit default: this codebase
+    # shards via shard_map (specs given at the call), and an Explicit
+    # mesh makes every array sharded over it carry an explicit
+    # PartitionSpec in its aval -- which then poisons any direct (non-
+    # shard_map) pallas_call on codec outputs ("sharded ref can only be
+    # indexed by slices", jax/_src/state/indexing.py:355).
+    return jax.make_mesh((len(devs),), (axis,), devices=np.array(devs),
+                         axis_types=(jax.sharding.AxisType.Auto,))
 
 
 def block_split(x: np.ndarray, num_blocks: int) -> np.ndarray:
@@ -114,6 +121,25 @@ def _float_block_stats(xb, box):
     return x0, jnp.max(x1 - x0)
 
 
+def _rows_stats_raw(rows, box, prefer_pallas, interpret: bool):
+    """Per-row stats of (R, n) independent streams: (min (R,),
+    max (R,)) of the periodically-unwrapped rows.  Pallas fused HBM read
+    on TPU, op-identical vmapped XLA elsewhere (f32 min/max are
+    reduction-order-independent)."""
+    periodic = box is not None
+    if prefer_pallas:
+        from ..ops import encode_pallas as _ep
+        boxf = jnp.float32(box if periodic else 0.0)
+        return _ep.stats_pallas_rows(
+            rows, jnp.full((rows.shape[0],), boxf), rows[:, 0], periodic,
+            interpret=interpret)
+
+    def one(r):
+        u = kernels.undo_periodic(r, box) if periodic else r
+        return jnp.min(u), jnp.max(u)
+    return jax.vmap(one)(rows)
+
+
 def _float_rows_stats(x, box, prefer_pallas, interpret: bool):
     """Stats pass over all local blocks at once: (B_local, 3, n_b) ->
     x0 (B_local, 3), shared range (B_local,).  On TPU this is one fused
@@ -124,14 +150,9 @@ def _float_rows_stats(x, box, prefer_pallas, interpret: bool):
     reduction-order-independent; the unwrap math is op-identical)."""
     if not prefer_pallas:
         return jax.vmap(lambda xb: _float_block_stats(xb, box))(x)
-    from ..ops import encode_pallas as _ep
     b_l, _, n_b = x.shape
-    periodic = box is not None
-    boxf = jnp.float32(box if periodic else 0.0)
     rows = x.reshape(b_l * 3, n_b)
-    mn, mx = _ep.stats_pallas_rows(
-        rows, jnp.full((b_l * 3,), boxf), rows[:, 0], periodic,
-        interpret=interpret)
+    mn, mx = _rows_stats_raw(rows, box, prefer_pallas, interpret)
     x0 = mn.reshape(b_l, 3)
     rng_b = jnp.max((mx - mn).reshape(b_l, 3), axis=1)
     return x0, rng_b
@@ -172,6 +193,52 @@ def _float_rows_encode_recip(x, x0, rng_b, depth: int, box,
     words = bitpack.uniform_pack_rows(bins, depth,
                                       prefer_pallas=prefer_pallas)
     return words.reshape(b_l, nd, -1)
+
+
+def _rows_encode_recip_raw(rows, x0r, rng_r, depth: int, box,
+                           prefer_pallas, interpret: bool):
+    """Recip-mode encode of (R, n) independent rows with per-row x0 and
+    range: one fused Pallas rows kernel on TPU, op-identical XLA
+    elsewhere.  The rows-native core of ``_float_rows_encode_recip``."""
+    periodic = box is not None
+    boxf = jnp.float32(box if periodic else 0.0)
+    recip_r = jnp.float32(1.0) / rng_r
+    anchors = rows[:, 0]
+    n_b = rows.shape[1]
+    from ..ops import decode_pallas as _dp
+    from ..ops import encode_pallas as _ep
+    if prefer_pallas and _dp.rows_kernel_eligible(depth, n_b) \
+            and 1 <= depth <= 24:
+        return _ep.encode_pallas_recip_rows(
+            rows, x0r, recip_r, jnp.full((rows.shape[0],), boxf), anchors,
+            depth, periodic, interpret=interpret)
+    bins = jax.vmap(lambda r, o, rc, a: _ep._recip_bins_xla(
+        r, o, rc, boxf, a, depth, periodic))(rows, x0r, recip_r, anchors)
+    bins = jax.lax.optimization_barrier(bins)
+    return bitpack.uniform_pack_rows(bins, depth,
+                                     prefer_pallas=prefer_pallas)
+
+
+def _rows_encode_div_raw(rows, x0r, rng_r, depth: int, box,
+                         prefer_pallas):
+    """Div-mode (C-exact) encode of (R, n) rows: recomputed anchored
+    unwrap (barriered, see _float_block_encode) + per-row bin at the
+    block-shared range + rows pack.  Op-identical per row to
+    ``_float_block_encode`` + ``_pack_rows_folded``."""
+    periodic = box is not None
+
+    def unwrap(v):
+        if not periodic:
+            return v
+        return jax.vmap(lambda r: kernels.undo_periodic(r, box))(v)
+
+    u2 = unwrap(jax.lax.optimization_barrier(rows))
+    bins = jax.vmap(
+        lambda rd, o, rg: kernels.uniform_bin_index(rd, depth, o, rg))(
+            u2, x0r, rng_r)
+    bins = jax.lax.optimization_barrier(bins)
+    return bitpack.uniform_pack_rows(bins, depth,
+                                     prefer_pallas=prefer_pallas)
 
 
 def _pack_rows_folded(bins, width: int, prefer_pallas):
@@ -297,19 +364,30 @@ class ShardedPositionCodec(_MeshCodecBase):
     def _encode(self):
         width, depth, axis = self.width, self.depth, self.axis
 
-        def encode_local(x):  # x: (B_local, 3, n_b)
+        def encode_local(rows):  # rows: (B_local*3, n_b), block-major
+            # Device boundary is ROW-MAJOR (B*3, n): any shape whose row
+            # grouping differs from the kernels' ((B,3,n) or (B,3n))
+            # makes XLA lower the regrouping reshape as a while-loop
+            # layout conversion through a linear T(1024) staging buffer
+            # -- measured ~100 ms/step of loop-copies at 8x12.5M
+            # (exp/prof100m_unrolled.py round 4; HLO: while(...)
+            # u32[150000000]{0:T(1024)}).  Rows keep one layout end to
+            # end; only O(B) header arrays reshape.
+            r3 = rows.shape[0]
+            b_l, n_b = r3 // 3, rows.shape[1]
+            prefer = self.fused_rows
+            if prefer is None:
+                prefer = self._on_tpu
+            mn, mx = _rows_stats_raw(rows, width, prefer, self.interpret)
+            x0 = mn.reshape(b_l, 3)
+            rng_b = jnp.max((mx - mn).reshape(b_l, 3), axis=1)
+            rng_r = jnp.repeat(rng_b, 3)
             if self.scale_mode == "recip":
-                prefer = self.fused_rows
-                if prefer is None:
-                    prefer = self._on_tpu
-                x0, rng_b = _float_rows_stats(x, width, prefer,
-                                              self.interpret)
-                words = _float_rows_encode_recip(
-                    x, x0, rng_b, depth, width, prefer, self.interpret)
-                return words, x0, rng_b
-            bins, x0, rng_b = jax.vmap(
-                lambda xb: _float_block_encode(xb, depth, width))(x)
-            words = _pack_rows_folded(bins, depth, self._on_tpu)
+                words = _rows_encode_recip_raw(
+                    rows, mn, rng_r, depth, width, prefer, self.interpret)
+            else:
+                words = _rows_encode_div_raw(
+                    rows, mn, rng_r, depth, width, self._on_tpu)
             return words, x0, rng_b
 
         # check_vma=False: the TPU pack (pack_pallas_rows) is a
@@ -330,14 +408,24 @@ class ShardedPositionCodec(_MeshCodecBase):
         interpret = self.interpret
 
         def decode_local(words, x0, rng_b, seed_arr, block0):
-            # words: (B_local, 3, n_words); block0: local base block index
-            n_words = words.shape[2]
+            # words: (B_local*3, n_words) block-major rows (see
+            # encode_local's layout note); block0: local base block index
+            r3 = words.shape[0]
+            b_l, n_words = r3 // 3, words.shape[1]
             n_b = (n_words * 32) // depth if depth else 0
-            b_l = words.shape[0]
             idx = jax.lax.axis_index(axis) * b_l + jnp.arange(b_l)
             keys = _block_keys(seed_arr, idx)  # (B_local, 3, 2)
-            return _float_rows_decode(words, x0, rng_b, keys, depth, n_b,
-                                      width, True, fused, interpret)
+            if fused:
+                from ..ops import decode_pallas
+                if decode_pallas.rows_kernel_eligible(depth, n_b):
+                    return decode_pallas.decode_pallas_rows(
+                        words, keys.reshape(r3, 2), depth, n_b,
+                        x0.reshape(r3), jnp.repeat(rng_b, 3),
+                        box=width, periodic=True, interpret=interpret)
+            out = _float_rows_decode(
+                words.reshape(b_l, 3, n_words), x0, rng_b, keys, depth,
+                n_b, width, True, False, interpret)
+            return out.reshape(r3, n_b)
 
         # check_vma=False: pallas_call out_shapes carry no varying-mesh-
         # axes annotation; the body is collective-free (axis_index only),
@@ -347,18 +435,36 @@ class ShardedPositionCodec(_MeshCodecBase):
             in_specs=(P(axis), P(axis), P(axis), P(), P()),
             out_specs=P(axis), check_vma=False))
 
+    @staticmethod
+    def _rows(x):
+        """(B, 3, n) -> (B*3, n) block-major rows; rows inputs pass
+        through.  Free for numpy; device arrays should be built in rows
+        form to begin with (a committed-array reshape is a compiled
+        relayout)."""
+        if x.ndim == 3:
+            return x.reshape(x.shape[0] * x.shape[1], x.shape[2])
+        return x
+
     def encode(self, x):
-        """x: (B, 3, n_b) f32, B divisible by mesh size, 32 | n_b.
-        Returns (words (B, 3, W), x0 (B, 3), range (B,)) device arrays,
-        block-sharded."""
-        self._check_aligned(x.shape[2])
+        """x: (B, 3, n_b) f32 (or rows (B*3, n_b)), B divisible by mesh
+        size, 32 | n_b.  Returns (words (B*3, W) block-major rows,
+        x0 (B, 3), range (B,)) device arrays, block-sharded.  The rows
+        boundary is a TPU layout requirement (see ``_encode``); reshape
+        with ``.reshape(B, 3, -1)`` for per-(block, dim) streams."""
+        if x.ndim == 3:
+            self._check_aligned(x.shape[2])
+        else:
+            self._check_aligned(x.shape[1])
         sh = self._in_shardings()
-        x = jax.device_put(x, sh)
+        x = jax.device_put(self._rows(x), sh)
         return self._encode(x)
 
     def decode(self, words, x0, rng_b, seed: int = 0):
+        """Inverse of :meth:`encode`; returns (B*3, n_b) block-major
+        rows of block-sharded floats (reshape to (B, 3, n_b) as
+        needed)."""
         seed_arr = jnp.asarray([seed], dtype=jnp.uint32)
-        return self._decode(words, x0, rng_b, seed_arr,
+        return self._decode(self._rows(words), x0, rng_b, seed_arr,
                             jnp.zeros((1,), jnp.int32))
 
     # -- adaptive profile helpers ------------------------------------------
@@ -367,7 +473,11 @@ class ShardedPositionCodec(_MeshCodecBase):
     def _stats(self):
         width, axis = self.width, self.axis
 
-        def stats_local(x):
+        def stats_local(xf):
+            # rows (B_local*3, n) or (B_local, 3, n)
+            x = xf.reshape(xf.shape[0] // 3, 3, xf.shape[1]) \
+                if xf.ndim == 2 else xf
+
             def one_block(xb):
                 xu = jax.vmap(
                     lambda d: kernels.undo_periodic(d, width))(xb)
@@ -464,7 +574,16 @@ class ShardedSnapshotCodec(_MeshCodecBase):
         pos_depth, vel_depth = self.pos_depth, self.vel_depth
         grid, id_width = self.id_grid, self.id_width
 
-        def encode_local(pos, vel, ids):
+        def encode_local(pos_rows, vel_rows, ids):
+            # pos_rows/vel_rows: (b_l*3, n_b) block-major rows (boundary
+            # layout rule, see ShardedPositionCodec._encode)
+            r3 = pos_rows.shape[0]
+            b_l = r3 // 3
+            on_tpu = self._on_tpu
+            prefer = self.fused_rows
+            if prefer is None:
+                prefer = on_tpu
+
             def id_block(ib):  # id(), quant.c:291-327 -- lossless
                 w = jnp.uint64(grid)
                 dims = jnp.stack([ib % w, (ib // w) % w, ib // (w * w)])
@@ -474,28 +593,30 @@ class ShardedSnapshotCodec(_MeshCodecBase):
                 return (dims - x0[:, None]).astype(jnp.uint32), x0
 
             ibins, ix0 = jax.vmap(id_block)(ids)
-            on_tpu = self._on_tpu
-            if self.scale_mode == "recip":
-                prefer = self.fused_rows
-                if prefer is None:
-                    prefer = on_tpu
-                px0, prng = _float_rows_stats(pos, box, prefer,
-                                              self.interpret)
-                vx0, vrng = _float_rows_stats(vel, None, prefer,
-                                              self.interpret)
-                pw = _float_rows_encode_recip(pos, px0, prng, pos_depth,
-                                              box, prefer, self.interpret)
-                vw = _float_rows_encode_recip(vel, vx0, vrng, vel_depth,
-                                              None, prefer, self.interpret)
-                return (pw, px0, prng, vw, vx0, vrng,
-                        _pack_rows_folded(ibins, id_width, on_tpu), ix0)
-            pbins, px0, prng = jax.vmap(
-                lambda xb: _float_block_encode(xb, pos_depth, box))(pos)
-            vbins, vx0, vrng = jax.vmap(
-                lambda vb: _float_block_encode(vb, vel_depth, None))(vel)
-            return (_pack_rows_folded(pbins, pos_depth, on_tpu), px0, prng,
-                    _pack_rows_folded(vbins, vel_depth, on_tpu), vx0, vrng,
-                    _pack_rows_folded(ibins, id_width, on_tpu), ix0)
+            # (b_l, 3, n_b) -> (r3, n_b): elementwise producer fuses into
+            # the pack operand write -- no standalone regroup pass.
+            ibins = ibins.reshape(r3, -1)
+            iw = bitpack.uniform_pack_rows(ibins, id_width,
+                                           prefer_pallas=on_tpu)
+
+            def float_field(rows, depth, boxv):
+                mn, mx = _rows_stats_raw(rows, boxv, prefer,
+                                         self.interpret)
+                x0 = mn.reshape(b_l, 3)
+                rng_b = jnp.max((mx - mn).reshape(b_l, 3), axis=1)
+                rng_r = jnp.repeat(rng_b, 3)
+                if self.scale_mode == "recip":
+                    w = _rows_encode_recip_raw(rows, mn, rng_r, depth,
+                                               boxv, prefer,
+                                               self.interpret)
+                else:
+                    w = _rows_encode_div_raw(rows, mn, rng_r, depth,
+                                             boxv, on_tpu)
+                return w, x0, rng_b
+
+            pw, px0, prng = float_field(pos_rows, pos_depth, box)
+            vw, vx0, vrng = float_field(vel_rows, vel_depth, None)
+            return pw, px0, prng, vw, vx0, vrng, iw, ix0
 
         return jax.jit(jax.shard_map(
             encode_local, mesh=self.mesh,
@@ -511,29 +632,48 @@ class ShardedSnapshotCodec(_MeshCodecBase):
         if fused is None:
             fused = self._on_tpu
 
-        def decode_local(pw, px0, prng, vw, vx0, vrng, iw, ix0, seed_arr):
-            b_l = pw.shape[0]
-            n_b = (pw.shape[2] * 32) // pos_depth if pos_depth else 0
+        def decode_local(pw, px0, prng, vw, vx0, vrng, iw, ix0,
+                         seed_arr):
+            # (b_l*3, W) block-major word rows in, (b_l*3, n_b) float
+            # rows + (b_l, n_b) ids out (boundary layout rule, see
+            # ShardedPositionCodec)
+            r3 = pw.shape[0]
+            b_l = r3 // 3
+            n_b = (pw.shape[1] * 32) // pos_depth if pos_depth else 0
             b_total = b_l * jax.lax.psum(1, axis)
             bi = jax.lax.axis_index(axis) * b_l + jnp.arange(b_l)
             pkeys = _block_keys(seed_arr, bi)
             vkeys = _block_keys(seed_arr, b_total + bi)
 
-            pos = _float_rows_decode(pw, px0, prng, pkeys, pos_depth, n_b,
-                                     self.box, True, fused, self.interpret)
-            vel = _float_rows_decode(vw, vx0, vrng, vkeys, vel_depth, n_b,
-                                     None, False, fused, self.interpret)
+            def float_rows(words, x0, rng_b, keys, depth, boxv, periodic):
+                from ..ops import decode_pallas
+                if fused and decode_pallas.rows_kernel_eligible(depth,
+                                                                n_b):
+                    return decode_pallas.decode_pallas_rows(
+                        words, keys.reshape(r3, 2), depth, n_b,
+                        x0.reshape(r3), jnp.repeat(rng_b, 3),
+                        box=(boxv if periodic else 0.0),
+                        periodic=periodic, interpret=self.interpret)
+                out = _float_rows_decode(
+                    words.reshape(b_l, 3, -1), x0, rng_b, keys, depth,
+                    n_b, boxv, periodic, False, self.interpret)
+                return out.reshape(r3, n_b)
+
+            pos = float_rows(pw, px0, prng, pkeys, pos_depth, self.box,
+                             True)
+            vel = float_rows(vw, vx0, vrng, vkeys, vel_depth, None,
+                             False)
 
             # IDs: unpack + recompose (undoID, quant.c:553-587), exact.
             from ..ops import decode_pallas
             if fused and decode_pallas.rows_kernel_eligible(id_width, n_b):
                 ibins = decode_pallas.unpack_pallas_rows(
-                    iw.reshape(b_l * 3, -1), id_width, n_b,
+                    iw, id_width, n_b,
                     interpret=self.interpret).reshape(b_l, 3, n_b)
             else:
                 ibins = jax.vmap(jax.vmap(
                     lambda wd: bitpack.uniform_unpack(wd, id_width, n_b)
-                ))(iw)
+                ))(iw.reshape(b_l, 3, -1))
             w = jnp.uint64(grid)
             dims = ibins.astype(jnp.uint64) + ix0[:, :, None]
             dims = jnp.where(dims >= w, dims - w, dims)
@@ -546,14 +686,26 @@ class ShardedSnapshotCodec(_MeshCodecBase):
             out_specs=(P(axis), P(axis), P(axis)), check_vma=False))
 
     def encode(self, pos, vel, ids):
-        self._check_aligned(pos.shape[2])
+        """pos/vel: (B, 3, n_b) f32 (or rows (B*3, n_b)); ids (B, n_b)
+        u64.  Returns the 8-tuple (pw, px0, prng, vw, vx0, vrng, iw,
+        ix0) with (B*3, W) block-major row word streams (see
+        ShardedPositionCodec.encode on the rows boundary rule)."""
+        if pos.ndim == 3:
+            self._check_aligned(pos.shape[2])
+        else:
+            self._check_aligned(pos.shape[1])
         sh = self._in_shardings()
-        return self._encode(jax.device_put(pos, sh),
-                            jax.device_put(vel, sh),
+        rows = ShardedPositionCodec._rows
+        return self._encode(jax.device_put(rows(pos), sh),
+                            jax.device_put(rows(vel), sh),
                             jax.device_put(ids, sh))
 
     def decode(self, enc, seed: int = 0):
         """``enc`` is the 8-tuple from :meth:`encode`; returns
-        (pos, vel, ids) block-sharded device arrays."""
+        (pos (B*3, n_b) rows, vel (B*3, n_b) rows, ids (B, n_b))
+        block-sharded device arrays."""
         seed_arr = jnp.asarray([seed], dtype=jnp.uint32)
+        rows = ShardedPositionCodec._rows
+        enc = (rows(enc[0]),) + tuple(enc[1:3]) + (rows(enc[3]),) + \
+            tuple(enc[4:6]) + (rows(enc[6]),) + (enc[7],)
         return self._decode(*enc, seed_arr)

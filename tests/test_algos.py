@@ -387,3 +387,69 @@ def test_tiny_and_odd_segments_all_codecs(n):
         assert (np.asarray(out.fields[2].data) == ids).all()
         assert (np.abs(out.fields[3].data - unsf) <= 1e-3).all()
         assert (np.asarray(out.fields[4].data) == unsi).all()
+
+
+class TestChunkedDevicePath:
+    """The device-resident bucketed chunked machinery (round 4) must be
+    value/byte-identical to the numpy reference path -- it serves the
+    same frozen wire."""
+
+    def _roundtrip_streams(self):
+        rng = np.random.default_rng(0)
+        n = 50_000
+        coherent = np.cumsum(
+            rng.integers(-3, 4, n), dtype=np.int64).astype(np.uint32)
+        spiky = coherent.copy()
+        spiky[rng.integers(0, n, 50)] = rng.integers(
+            0, 1 << 31, 50, dtype=np.int64).astype(np.uint32)
+        allzero = np.zeros(n, dtype=np.uint32)
+        wide = rng.integers(0, 1 << 32, n, dtype=np.int64).astype(
+            np.uint32)
+        return [coherent, spiky, allzero, wide,
+                rng.integers(0, 7, 97).astype(np.uint32)]  # ragged tail
+
+    def test_pack_unpack_parity(self, monkeypatch):
+        import jax.numpy as jnp
+
+        from minnow_c_tpu.algos import chunked
+        monkeypatch.setattr(chunked, "_FORCE_DEVICE", True)
+        for z in self._roundtrip_streams():
+            zc_h, w_h = chunked.chunk_widths(z)
+            zc_d, w_d = chunked.chunk_widths_auto(jnp.asarray(z))
+            np.testing.assert_array_equal(w_h, w_d)
+            np.testing.assert_array_equal(zc_h, np.asarray(zc_d))
+            body_h = chunked.pack_chunks(zc_h, w_h)
+            body_d = chunked.pack_chunks_auto(zc_d, w_d)
+            assert body_h == body_d
+            back_h = chunked.unpack_chunks(
+                np.frombuffer(body_h, dtype=np.uint32), w_h)
+            back_d = chunked.unpack_chunks_auto(
+                jnp.asarray(np.frombuffer(body_d, dtype=np.uint32)), w_d)
+            np.testing.assert_array_equal(back_h, np.asarray(back_d))
+
+    def test_codec_wire_identical_under_device_path(self, monkeypatch):
+        """Coil/Sort encode+decode through the forced device path produce
+        the same bytes and decoded values as the host path."""
+        from minnow_c_tpu.algos import chunked
+        from minnow_c_tpu.segment import api
+
+        rng = np.random.default_rng(1)
+        n, W = 16384, 64.0
+        steps = rng.normal(0, 0.05, (3, n)).astype(np.float32)
+        pos = (np.cumsum(steps, axis=1) + W / 2).astype(np.float32) % W
+        for algo, ver in ((mnw.AlgoCode.COIL, semver.pack(1, 0, 0)),
+                          (mnw.AlgoCode.SORT, semver.pack(1, 0, 0)),
+                          (mnw.AlgoCode.SORT, semver.pack(1, 1, 0))):
+            seg = mnw.Seg(fields=[mnw.Field(
+                hd=mnw.FieldHeader(mnw.FieldCode.POSN, algo, ver, n),
+                data=pos, acc=mnw.PositionAccuracy(delta=1e-3, width=W))])
+            blob_h = api.compress_segment(seg, seed=7)
+            out_h = api.decompress_segment(blob_h)
+            monkeypatch.setattr(chunked, "_FORCE_DEVICE", True)
+            blob_d = api.compress_segment(seg, seed=7)
+            out_d = api.decompress_segment(blob_d)
+            monkeypatch.setattr(chunked, "_FORCE_DEVICE", False)
+            assert blob_h == blob_d, (algo, ver)
+            np.testing.assert_array_equal(
+                np.asarray(out_h.fields[0].data),
+                np.asarray(out_d.fields[0].data))

@@ -40,11 +40,11 @@ codec = ShardedPositionCodec(mesh=mesh, width=W,
 rng = np.random.default_rng(0)
 gx = rng.uniform(0, W, (8, 3, 256)).astype(np.float32)
 local = gx[proc_id * 4:(proc_id + 1) * 4]
-xg = multihost.global_block_array(local, mesh)
+xg = multihost.global_block_array(local.reshape(12, 256), mesh)  # ROWS
 
 words, x0, rng_b = codec.encode(xg)
 out = codec.decode(words, x0, rng_b, seed=5)
-mine = multihost.local_block_slice(out, mesh)
+mine = multihost.local_block_slice(out, mesh).reshape(4, 3, 256)
 ref = gx[proc_id * 4:(proc_id + 1) * 4]
 err = np.abs(mine - ref); err = np.minimum(err, W - err)
 assert err.max() <= 1e-3, err.max()
@@ -62,14 +62,15 @@ gi = rng.permutation(1024 * 1024 * 2)[: 8 * 256].astype(
 snap = ShardedSnapshotCodec(
     mesh=mesh, box=W, pos_depth=spmd_depth_for(1e-3, W),
     vel_depth=delta_to_depth(1.0, -1000.0, 1000.0), id_grid=1024)
-vg = multihost.global_block_array(gv[proc_id * 4:(proc_id + 1) * 4], mesh)
+vg = multihost.global_block_array(
+    gv[proc_id * 4:(proc_id + 1) * 4].reshape(12, 256), mesh)
 ig = multihost.global_block_array(gi[proc_id * 4:(proc_id + 1) * 4], mesh)
 enc = snap.encode(xg, vg, ig)
 dpos, dvel, dids = snap.decode(enc, seed=5)
-mpos = multihost.local_block_slice(dpos, mesh)
+mpos = multihost.local_block_slice(dpos, mesh).reshape(4, 3, 256)
 perr = np.abs(mpos - ref); perr = np.minimum(perr, W - perr)
 assert perr.max() <= 1e-3, perr.max()
-mvel = multihost.local_block_slice(dvel, mesh)
+mvel = multihost.local_block_slice(dvel, mesh).reshape(4, 3, 256)
 assert np.abs(mvel - gv[proc_id * 4:(proc_id + 1) * 4]).max() <= 1.0
 mids = multihost.local_block_slice(dids, mesh)
 assert np.array_equal(mids, gi[proc_id * 4:(proc_id + 1) * 4])

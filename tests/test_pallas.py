@@ -283,3 +283,34 @@ def test_float_rows_stats_dispatch_parity():
         x0_x, rng_x = _float_rows_stats(x, box, False, False)
         np.testing.assert_array_equal(np.asarray(x0_p), np.asarray(x0_x))
         np.testing.assert_array_equal(np.asarray(rng_p), np.asarray(rng_x))
+
+
+@pytest.mark.parametrize("width", [1, 14, 24])
+def test_rows_natural_layout_matches_pretransposed(width):
+    """pretranspose=False (in-kernel VMEM transpose, the HBM-regime
+    layout) is bit-identical to the pre-transposed layout."""
+    n = SMALL + 64
+    R = 4
+    rng = np.random.default_rng(100 + width)
+    bins = rng.integers(0, 1 << width, (R, n),
+                        dtype=np.uint64).astype(np.uint32)
+    words = jnp.asarray(
+        np.stack([native.uniform_pack_host(b, width) for b in bins]))
+    keys = jnp.asarray(np.stack(
+        [np.asarray(_rng.field_key_arr(3, r, 0)) for r in range(R)])
+        .astype(np.uint32))
+    x0 = jnp.asarray(np.linspace(0.0, 3.0, R).astype(np.float32))
+    dx = jnp.full((R,), 64.0, jnp.float32)
+    a = np.asarray(decode_pallas.decode_pallas_rows(
+        words, keys, width, n, x0, dx, box=64.0, periodic=True,
+        interpret=True, pretranspose=True))
+    b = np.asarray(decode_pallas.decode_pallas_rows(
+        words, keys, width, n, x0, dx, box=64.0, periodic=True,
+        interpret=True, pretranspose=False))
+    np.testing.assert_array_equal(a, b)
+    ua = np.asarray(decode_pallas.unpack_pallas_rows(
+        words, width, n, interpret=True, pretranspose=True))
+    ub = np.asarray(decode_pallas.unpack_pallas_rows(
+        words, width, n, interpret=True, pretranspose=False))
+    np.testing.assert_array_equal(ua, ub)
+    np.testing.assert_array_equal(ua, bins)

@@ -32,7 +32,8 @@ class TestShardedPositionCodec:
         codec = ShardedPositionCodec(mesh=mesh, width=W, depth=depth)
         x = make_blocks()
         words, x0, rng_b = codec.encode(x)
-        out = np.asarray(codec.decode(words, x0, rng_b, seed=5))
+        out = np.asarray(codec.decode(words, x0, rng_b,
+                                      seed=5)).reshape(x.shape)
         err = np.abs(out - x)
         err = np.minimum(err, W - err)
         assert err.max() <= 1e-3
@@ -49,7 +50,8 @@ class TestShardedPositionCodec:
         assert d_adapt < d_spmd
         codec2 = ShardedPositionCodec(mesh=mesh, width=W, depth=d_adapt)
         words, x0, rng_b = codec2.encode(x)
-        out = np.asarray(codec2.decode(words, x0, rng_b))
+        out = np.asarray(codec2.decode(words, x0,
+                                       rng_b)).reshape(x.shape)
         err = np.abs(out - x)
         err = np.minimum(err, W - err)
         assert err.max() <= 1e-3
@@ -60,7 +62,8 @@ class TestShardedPositionCodec:
                                      depth=spmd_depth_for(1e-2, W))
         x = np.tile(make_blocks(B=1, nb=256), (4, 1, 1))  # identical blocks
         words, x0, rng_b = codec.encode(x)
-        out = np.asarray(codec.decode(words, x0, rng_b, seed=3))
+        out = np.asarray(codec.decode(words, x0, rng_b,
+                                      seed=3)).reshape(x.shape)
         # same bins everywhere, but block dither keys differ
         assert not np.array_equal(out[0], out[1])
 
@@ -135,10 +138,11 @@ class TestShardedSnapshotCodec:
         pos, vel, ids = self._make()
         enc = codec.encode(pos, vel, ids)
         dpos, dvel, dids = codec.decode(enc, seed=5)
-        perr = np.abs(np.asarray(dpos) - pos)
+        perr = np.abs(np.asarray(dpos).reshape(pos.shape) - pos)
         perr = np.minimum(perr, W - perr)
         assert perr.max() <= 1e-3
-        assert np.abs(np.asarray(dvel) - vel).max() <= 1.0
+        assert np.abs(np.asarray(dvel).reshape(vel.shape) -
+                      vel).max() <= 1.0
         np.testing.assert_array_equal(np.asarray(dids), ids)
 
     def test_pos_stream_matches_position_codec(self):

@@ -1,0 +1,313 @@
+#!/usr/bin/env python
+"""On-TPU parity gate: the chip-side analog of the reference's
+tests-as-verdict runner (/root/reference/scripts/run_tests.py:55-91).
+
+The pytest suite runs CPU-only (conftest forces the platform), so Mosaic
+compilation of the Pallas kernels is never exercised by ``make test``.
+Given the documented Mosaic landmines (approximate f32 division, missing
+u32<->f32 cast, the 32-way unroll miscompile), a chip-side kernel
+regression would otherwise surface only as a silently-wrong bench
+number.  This gate runs the bit-level checks ON THE REAL CHIP:
+
+  dither_vector        XLA Threefry-2x32-13 dither == numpy mirror
+  decode_parity        decode_pallas == XLA fast path (cascade + ragged
+                       tail, periodic + not, boundary-adversarial bins)
+  decode_rows_parity   decode_pallas_rows == per-stream decode_pallas
+  unpack_rows_parity   unpack_pallas_rows == bitpack.uniform_unpack
+  pack_parity          pack_pallas / pack_pallas_rows == XLA fold
+  encode_div_parity    fused div encode == XLA (wire-defining math)
+  encode_recip_parity  recip kernel == XLA map (single + rows, incl.
+                       inputs placed +-1 ulp around bin edges)
+  stats_rows_parity    Pallas rows stats == vmapped XLA stats
+  digest_trim          frozen Trim v1.0/v1.1 encode AND decode sha256 ==
+                       committed fixture (the whole segment path on-chip)
+
+Prints ONE JSON line and writes TPU_SMOKE.json:
+  {"metric": "tpu_parity_gate", "value": 1.0|0.0, "unit": "pass",
+   "checks": {name: "ok" | "FAIL: ..."}}
+
+Run: ``make tpu-test`` (never concurrently with another TPU process).
+"""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/minnow_jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+WATCHDOG_S = 2100
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "TPU_SMOKE.json")
+
+checks = {}
+
+
+def _emit(ok: bool, error=None):
+    rec = {"metric": "tpu_parity_gate", "value": 1.0 if ok else 0.0,
+           "unit": "pass", "checks": checks}
+    if error:
+        rec["error"] = error
+    line = json.dumps(rec)
+    print(line, flush=True)
+    try:
+        with open(OUT, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+
+
+def check(name):
+    def deco(fn):
+        def run():
+            try:
+                fn()
+                checks[name] = "ok"
+                print(f"[tpu_smoke] {name}: ok", file=sys.stderr,
+                      flush=True)
+            except Exception as exc:  # noqa: BLE001 - collect, don't abort
+                checks[name] = f"FAIL: {type(exc).__name__}: {exc}"[:300]
+                print(f"[tpu_smoke] {name}: FAIL {exc}", file=sys.stderr,
+                      flush=True)
+        return run
+    return deco
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.default_backend() != "tpu":
+        raise RuntimeError(f"not on TPU: backend={jax.default_backend()}")
+
+    from minnow_c_tpu.ops import (bitpack, decode_pallas, encode_pallas,
+                                  fastpath)
+    from minnow_c_tpu.ops import rng as _rng
+
+    rng = np.random.default_rng(0)
+    W = 64.0
+
+    @jax.jit
+    def _neq(a, b):
+        return jnp.sum((a != b).astype(jnp.int32))
+
+    def neq(a, b):
+        return int(_neq(a, b))
+
+    @check("dither_vector")
+    def c_dither():
+        key = (np.uint32(0xDEADBEEF), np.uint32(0x12345678))
+        n = 40003
+        dev = np.asarray(jax.jit(
+            lambda: _rng.dither_u16(key, n, ctr0=4096))())
+        ref = _rng.dither_u16_np(key, n, ctr0=4096)
+        assert np.array_equal(dev, ref), \
+            f"{(dev != ref).sum()} dither lanes differ"
+        fk = np.asarray(_rng.field_key_arr(777, 3, 1))
+        fk_ref = np.asarray(_rng.field_key(777, 3, 1), dtype=np.uint32)
+        assert np.array_equal(fk, fk_ref), "field_key mismatch"
+
+    # boundary-adversarial bins: all-zero, all-max, random
+    def adversarial_bins(n, width):
+        top = (1 << width) - 1
+        b = rng.integers(0, top + 1, n, dtype=np.int64)
+        b[: n // 8] = 0
+        b[n // 8: n // 4] = top
+        return b.astype(np.uint32)
+
+    @check("decode_parity")
+    def c_decode():
+        n = (1 << 16) * 3 + (1 << 14) + 1009   # cascade + ragged tail
+        for width in (11, 16, 24):
+            bins = adversarial_bins(n, width)
+            words = jnp.asarray(bitpack.uniform_pack(jnp.asarray(bins),
+                                                     width))
+            key = _rng.field_key_arr(42, 0, 0)
+            for periodic in (True, False):
+                got = decode_pallas.decode_pallas(
+                    words, key, width, n, 0.0, W, W, periodic=periodic)
+                want = fastpath.fast_uniform_decode(
+                    words, key, width, n, 0.0, W,
+                    periodic_width=(W if periodic else None))
+                bad = neq(jax.lax.bitcast_convert_type(got, jnp.uint32),
+                          jax.lax.bitcast_convert_type(want, jnp.uint32))
+                assert bad == 0, \
+                    f"width={width} periodic={periodic}: {bad} values"
+
+    @check("decode_rows_parity")
+    def c_decode_rows():
+        rows, n, width = 24, 1 << 16, 16
+        words = jnp.asarray(np.stack([
+            np.asarray(bitpack.uniform_pack(
+                jnp.asarray(adversarial_bins(n, width)), width))
+            for _ in range(rows)]))
+        keys = jnp.asarray(
+            rng.integers(0, 1 << 32, (rows, 2), dtype=np.int64)
+            .astype(np.uint32))
+        x0 = jnp.asarray(rng.uniform(0, 4, rows).astype(np.float32))
+        dx = jnp.asarray(rng.uniform(40, 60, rows).astype(np.float32))
+        got = decode_pallas.decode_pallas_rows(
+            words, keys, width, n, x0, dx, box=W, periodic=True)
+        bad = 0
+        for r in range(rows):
+            want = decode_pallas.decode_pallas(
+                words[r], keys[r], width, n, x0[r], dx[r], W,
+                periodic=True)
+            bad += neq(jax.lax.bitcast_convert_type(got[r], jnp.uint32),
+                       jax.lax.bitcast_convert_type(want, jnp.uint32))
+        assert bad == 0, f"{bad} values"
+
+    @check("unpack_rows_parity")
+    def c_unpack_rows():
+        rows, n = 6, 1 << 15
+        for width in (1, 9, 21, 32):
+            bins = np.stack([adversarial_bins(n, min(width, 31))
+                             for _ in range(rows)])
+            words = jnp.asarray(np.stack([
+                np.asarray(bitpack.uniform_pack(jnp.asarray(bins[r]),
+                                                width))
+                for r in range(rows)]))
+            got = decode_pallas.unpack_pallas_rows(words, width, n)
+            for r in range(rows):
+                want = bitpack.uniform_unpack(words[r], width, n)
+                assert neq(got[r], want) == 0, f"width={width} row={r}"
+
+    @check("pack_parity")
+    def c_pack():
+        n = (1 << 16) + (1 << 14) + 1001
+        for width in (7, 16, 24):
+            bins = jnp.asarray(adversarial_bins(n, width))
+            got = encode_pallas.pack_pallas(bins, width, n)
+            want = bitpack.uniform_pack(bins, width)
+            assert neq(got, want) == 0, f"width={width}"
+        rows, nr = 9, 1 << 15
+        binsr = jnp.asarray(np.stack(
+            [adversarial_bins(nr, 13) for _ in range(rows)]))
+        gotr = encode_pallas.pack_pallas_rows(binsr, 13)
+        wantr = jnp.stack([bitpack.uniform_pack(binsr[r], 13)
+                           for r in range(rows)])
+        assert neq(gotr, wantr) == 0
+
+    def edge_values(n, width, x0, rngv):
+        """Values placed +-1 ulp around bin edges (f64 edge, cast f32)."""
+        k = rng.integers(0, 1 << width, n)
+        edge = (x0 + (k / (1 << width)) * rngv).astype(np.float64)
+        x = edge.astype(np.float32)
+        bump = np.where(rng.random(n) < 0.5, 1, -1).astype(np.int32)
+        return np.where(
+            rng.random(n) < 0.5, x,
+            np.nextafter(x, np.float32(np.where(bump > 0, np.inf,
+                                                -np.inf)),
+                         dtype=np.float32)).astype(np.float32)
+
+    @check("encode_div_parity")
+    def c_encode_div():
+        n = (1 << 16) + 1001
+        x = jnp.asarray(np.concatenate([
+            rng.uniform(0, W, n // 2).astype(np.float32),
+            edge_values(n - n // 2, 14, 0.0, W)]))
+        for periodic in (True, False):
+            box = W if periodic else None
+            got = encode_pallas.encode_pallas(x, 14, periodic_width=box)
+            want = fastpath._fast_uniform_encode_xla(
+                x, 14, jnp.float32(W if periodic else 0.0), periodic)
+            assert neq(got[0], want[0]) == 0, f"periodic={periodic}"
+            assert float(got[1]) == float(want[1])
+            assert float(got[2]) == float(want[2])
+
+    @check("encode_recip_parity")
+    def c_encode_recip():
+        n = (1 << 16) + 1001
+        x = jnp.asarray(np.concatenate([
+            rng.uniform(0, W, n // 2).astype(np.float32),
+            edge_values(n - n // 2, 14, 0.0, W)]))
+        for periodic in (True, False):
+            box = W if periodic else None
+            got = fastpath.fast_uniform_encode(x, 14, periodic_width=box,
+                                               scale_mode="recip")
+            want = fastpath._fast_uniform_encode_recip_xla(
+                x, 14, jnp.float32(W if periodic else 0.0), periodic)
+            assert neq(got[0], want[0]) == 0, f"periodic={periodic}"
+        rows, nb = 12, 1 << 15
+        xr = jnp.asarray(np.stack(
+            [edge_values(nb, 11, 2.0, 50.0) for _ in range(rows)]))
+        x0 = jnp.asarray(rng.uniform(0, 4, rows).astype(np.float32))
+        rngv = jnp.asarray(rng.uniform(40, 60, rows).astype(np.float32))
+        recip = jnp.float32(1.0) / rngv
+        anchors = xr[:, 0]
+        boxes = jnp.full((rows,), np.float32(W))
+        wk = encode_pallas.encode_pallas_recip_rows(
+            xr, x0, recip, boxes, anchors, 11, True)
+        for r in range(rows):
+            bins = encode_pallas._recip_bins_xla(
+                xr[r], x0[r], recip[r], jnp.float32(W), anchors[r], 11,
+                True)
+            wx = bitpack.uniform_pack(bins, 11)
+            assert neq(wk[r], wx) == 0, f"row {r}"
+
+    @check("stats_rows_parity")
+    def c_stats():
+        from minnow_c_tpu.parallel.sharding import _float_rows_stats
+        xs = jnp.asarray(
+            rng.uniform(0, W, (16, 3, (1 << 15) + 1009))
+            .astype(np.float32))
+        for box in (W, None):
+            x0p, rp = _float_rows_stats(xs, box, True, False)
+            x0x, rx = _float_rows_stats(xs, box, False, False)
+            assert neq(x0p, x0x) == 0 and neq(rp, rx) == 0, \
+                f"periodic={box is not None}"
+
+    @check("digest_trim")
+    def c_digest():
+        import hashlib
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tests"))
+        import test_freeze as tf
+        from minnow_c_tpu.segment import api
+        with open(tf.FIXTURE) as f:
+            want = json.load(f)
+        for name in ("trim", "trim_v1_1"):
+            algo, ver = tf.ALGOS[name]
+            blob = api.compress_segment(tf.reference_segment(algo, ver),
+                                        seed=777)
+            enc = hashlib.sha256(blob).hexdigest()
+            assert enc == want[f"{name}_encode_sha256"], \
+                f"{name} encode digest"
+            seg = api.decompress_segment(blob)
+            h = hashlib.sha256()
+            for fld in seg.fields:
+                h.update(np.ascontiguousarray(
+                    np.asarray(fld.data)).tobytes())
+            assert h.hexdigest() == want[f"{name}_decode_sha256"], \
+                f"{name} decode digest"
+
+    for fn in (c_dither, c_decode, c_decode_rows, c_unpack_rows, c_pack,
+               c_encode_div, c_encode_recip, c_stats, c_digest):
+        fn()
+
+    ok = all(v == "ok" for v in checks.values())
+    _emit(ok)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    import signal
+
+    def _on_alarm(signum, frame):
+        _emit(False, error="watchdog: no result within %ds (TPU tunnel "
+                           "down or compile stuck)" % WATCHDOG_S)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(WATCHDOG_S)
+    try:
+        rc = main()
+        signal.alarm(0)
+        sys.stdout.flush()
+        os._exit(rc)
+    except Exception as exc:  # noqa: BLE001
+        signal.alarm(0)
+        _emit(False, error="%s: %s" % (type(exc).__name__, exc))
+        sys.stdout.flush()
+        os._exit(2)
