@@ -261,7 +261,8 @@ class TestShardedCodecs:
         rng = np.random.default_rng(8)
         x = rng.uniform(0, W, (16, 3, 512)).astype(np.float32)
         words, x0, rng_b = codec.encode(x)
-        out = np.asarray(codec.decode(words, x0, rng_b, seed=5))
+        out = np.asarray(codec.decode(words, x0, rng_b,
+                                      seed=5)).reshape(x.shape)
         err = np.abs(out - x)
         err = np.minimum(err, W - err)
         assert err.max() <= 1e-3
@@ -297,10 +298,11 @@ class TestShardedCodecs:
             np.uint64).reshape(B, nb)
         enc = snapc.encode(pos, vel, ids)
         dpos, dvel, dids = snapc.decode(enc, seed=7)
-        err = np.abs(np.asarray(dpos) - pos)
+        err = np.abs(np.asarray(dpos).reshape(pos.shape) - pos)
         err = np.minimum(err, W - err)
         assert err.max() <= 1e-3
-        assert np.abs(np.asarray(dvel) - vel).max() <= 1.0
+        assert np.abs(np.asarray(dvel).reshape(vel.shape) -
+                      vel).max() <= 1.0
         assert np.array_equal(np.asarray(dids), ids)
 
     def test_bad_mode_raises(self):
