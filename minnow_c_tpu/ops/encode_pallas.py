@@ -226,7 +226,7 @@ def _encode_pallas(x, width: int, box, periodic: bool,
     x0 = jnp.min(u1)
     rng_v = jnp.max(u1) - x0
     u2 = unwrap(jax.lax.optimization_barrier(x))
-    delta = (u2 - x0) / rng_v
+    delta = kernels.exact_div(u2 - x0, rng_v)
     scaled = delta * jnp.float32(np.float32(np.exp2(width,
                                                     dtype=np.float64)))
     scaled = jax.lax.optimization_barrier(scaled)
@@ -343,7 +343,7 @@ def _encode_pallas_recip(x, width: int, box, periodic: bool,
     u1 = unwrap(jax.lax.optimization_barrier(x))
     x0 = jnp.min(u1)
     rng_v = jnp.max(u1) - x0
-    recip = jnp.float32(1.0) / rng_v  # exact IEEE division, in XLA
+    recip = kernels.exact_recip(rng_v)  # rn(1/rng), all backends
     anchor = x[0]
     scal = jnp.stack([x0, recip, jnp.asarray(box, jnp.float32), anchor])
 

@@ -83,7 +83,7 @@ def _fast_uniform_encode_recip_xla(x, level: int, box, periodic: bool):
     u1 = unwrap(jax.lax.optimization_barrier(x))
     x0 = jnp.min(u1)
     rng_v = jnp.max(u1) - x0
-    recip = jnp.float32(1.0) / rng_v
+    recip = kernels.exact_recip(rng_v)
     bins = _recip_bins_xla(x, x0, recip, box, x[0], level, periodic)
     bins = jax.lax.optimization_barrier(bins)
     words = bitpack.uniform_pack(bins, level)

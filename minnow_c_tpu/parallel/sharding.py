@@ -172,7 +172,7 @@ def _float_rows_encode_recip(x, x0, rng_b, depth: int, box,
     b_l, nd, n_b = x.shape
     periodic = box is not None
     boxf = jnp.float32(box if periodic else 0.0)
-    recip = jnp.float32(1.0) / rng_b                    # (B_local,)
+    recip = kernels.exact_recip(rng_b)                  # (B_local,)
     rows = x.reshape(b_l * nd, n_b)
     x0r = x0.reshape(b_l * nd)
     recipr = jnp.repeat(recip, nd)
@@ -202,7 +202,7 @@ def _rows_encode_recip_raw(rows, x0r, rng_r, depth: int, box,
     elsewhere.  The rows-native core of ``_float_rows_encode_recip``."""
     periodic = box is not None
     boxf = jnp.float32(box if periodic else 0.0)
-    recip_r = jnp.float32(1.0) / rng_r
+    recip_r = kernels.exact_recip(rng_r)
     anchors = rows[:, 0]
     n_b = rows.shape[1]
     from ..ops import decode_pallas as _dp

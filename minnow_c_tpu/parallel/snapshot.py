@@ -182,7 +182,7 @@ def _recip_rows_or_fallback(x, x0, rng_b, depth: int, box):
     from ..ops.encode_pallas import _recip_bins_xla
     periodic = box is not None
     boxf = jnp.float32(box if periodic else 0.0)
-    recip = jnp.float32(1.0) / rng_b
+    recip = kernels.exact_recip(rng_b)
 
     def one(xb, x0b, rc):
         return jax.vmap(lambda xd, o: _recip_bins_xla(
