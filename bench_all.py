@@ -598,9 +598,44 @@ def main():
         "are opaque and immune to both.  A 100 MB working set also fits",
         "v5e's 128 MB VMEM, so chained XLA-kernel rows can legitimately",
         "exceed the ~819 GB/s HBM rate (see bench_kernels.json meta).",
-        "Current honest kernel numbers: decode ~291 GB/s, full fused",
-        "encode ~182 GB/s (div) / ~309 GB/s (recip scale mode) per",
-        "chip.", "",
+        "Round 4 additionally found the runtime's SLOW MODE: the first",
+        "substantial program(s) of a process run up to ~1000x slow for",
+        "30+ s, consistently (an encode chain 'measured' 0.03 GB/s as",
+        "its process's first phase and 71 GB/s re-measured after",
+        "warm-up).  bench/harness now gates every measurement on a",
+        "known-speed matmul canary (_wait_for_fast_mode).  Numbers",
+        "recorded before that gate are suspect whenever they were the",
+        "first phase of their process.", "",
+        "## Round 4: the 100M (config4) gap, closed and accounted", "",
+        "Round 3 left config4_100M at 19.8-22.4 GB/s vs the 291 GB/s",
+        "100 MB headline, unexplained.  Phase-profiling with unrolled",
+        "chains (exp/prof100m_unrolled.py) found the gap was mostly",
+        "LAYOUT pathology, not kernel cost:",
+        "(a) jax.make_mesh defaults to Explicit axis types, poisoning",
+        "direct pallas calls on codec outputs; (b) the (B, 3, n) jit",
+        "boundary drew a T(4,128) second-minor-3 padded input copy plus",
+        "a {2,0,1} full-output relayout; (c) (B,3n)<->(B*3,n)",
+        "row-regrouping reshapes lowered as while-loop layout",
+        "conversions through a linear T(1024) staging buffer (~100",
+        "ms/step of loop copies at 8x12.5M).  Fix: the SPMD codecs'",
+        "device contract is now block-major ROWS (B*3, n) end to end,",
+        "and the rows kernels choose their words layout by working-set",
+        "size (XLA pre-transpose in the VMEM regime, in-kernel",
+        "transpose past it).  config4_100M decode moved 22.4 -> ~45",
+        "GB/s, encode 19.8 -> 25.9 (div) / 21.0 -> 31.0 (recip).",
+        "The remaining distance to the 100 MB headline is accounted:",
+        "the rows decode kernel sustains ~130-190 GB/s of actual HBM",
+        "traffic at the 1.2 GB scale (VPU-bound unpack+Threefry+undo",
+        "plus salt-chain overhead of +8 B/elem), while the 100 MB",
+        "headline runs in the VMEM-resident regime where chained",
+        "traffic does not pay full HBM round trips.  Both numbers are",
+        "honest; they measure different memory regimes of the same",
+        "kernel.  Per-chip decode at the literal BASELINE config is",
+        "~45 GB/s = 9x the 5 GB/s target.", "",
+        "Current honest kernel numbers (100 MB, VMEM regime): decode",
+        "~279-291 GB/s, full fused encode ~165 GB/s (div, now",
+        "bit-exact on TPU via kernels.exact_div) / ~237-309 GB/s",
+        "(recip scale mode) per chip.", "",
         "## TPU-tunnel availability", "",
         "The axon TPU tunnel has had multi-hour outages (trivial",
         "programs hang in jax.devices()).  bench.py carries a 2100 s",

@@ -1,0 +1,249 @@
+#!/usr/bin/env python
+"""Per-codec encode/decode throughput: all six spec'd algorithms at 25M
+values (~100 MB), coherent and random inputs (VERDICT round-3 item: "no
+silent ~6 GB/s codecs behind a 291 GB/s headline").
+
+Measures warm end-to-end wall time through the public segment API
+(``compress_segment`` / ``decompress_segment(fused=True)``): device
+kernels + host orchestration + LZ4 + (de)serialization -- what a user
+actually gets per segment.  Decoded outputs stay on device; completion
+is bounded by a tiny data-dependent fetch (block_until_ready alone can
+lie on this runtime, see bench/harness.py).
+
+Updates the "codecs" section of bench_kernels.json.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/minnow_jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+import minnow_c_tpu as mnw  # noqa: E402
+from minnow_c_tpu import semver  # noqa: E402
+from minnow_c_tpu.bench import harness  # noqa: E402
+from minnow_c_tpu.segment import api  # noqa: E402
+
+N = 25_165_824  # 3 x 8,388,608 values = 100.66 MB f32
+W = 64.0
+
+ALGOS = [
+    ("trim", mnw.AlgoCode.TRIM, semver.pack(1, 0, 0)),
+    ("diff", mnw.AlgoCode.DIFF, semver.pack(1, 0, 0)),
+    ("coil", mnw.AlgoCode.COIL, semver.pack(1, 0, 0)),
+    ("octo", mnw.AlgoCode.OCTO, semver.pack(1, 0, 0)),
+    ("sort", mnw.AlgoCode.SORT, semver.pack(1, 1, 0)),
+    ("cart", mnw.AlgoCode.CART, semver.pack(1, 0, 0)),
+]
+
+
+def make_inputs():
+    n = N // 3
+    rng = np.random.default_rng(7)
+    steps = rng.normal(0, 0.003, (3, n)).astype(np.float32)
+    coherent = ((np.cumsum(steps, axis=1) + W / 2) % W).astype(np.float32)
+    random = rng.uniform(0, W, (3, n)).astype(np.float32)
+    return {"coherent": coherent, "random": random}
+
+
+def fetch_barrier(seg):
+    """Tiny data-dependent D2H read bounding all decode work."""
+    f = seg.fields[0]
+    arr = f.data
+    if hasattr(arr, "addressable_shards") or hasattr(arr, "device"):
+        np.asarray(arr[(0,) * (arr.ndim - 1)][:1])
+    return seg
+
+
+def main():
+    harness._wait_for_fast_mode()
+    results = {}
+    inputs = make_inputs()
+    raw = N * 4
+    for name, algo, ver in ALGOS:
+        for kind, pos in inputs.items():
+            seg = mnw.Seg(fields=[mnw.Field(
+                hd=mnw.FieldHeader(mnw.FieldCode.POSN, algo, ver,
+                                   pos.shape[1]),
+                data=pos, acc=mnw.PositionAccuracy(delta=1e-3, width=W))])
+            t0 = time.perf_counter()
+            blob = api.compress_segment(seg, seed=3)   # warm (compiles)
+            warm_enc = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = api.decompress_segment(blob, fused=True)
+            fetch_barrier(out)
+            warm_dec = time.perf_counter() - t0
+
+            REPS = 3
+            enc_s = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                blob = api.compress_segment(seg, seed=3)
+                enc_s.append(time.perf_counter() - t0)
+            dec_s = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                out = api.decompress_segment(blob, fused=True)
+                fetch_barrier(out)
+                dec_s.append(time.perf_counter() - t0)
+            enc = sorted(enc_s)[REPS // 2]
+            dec = sorted(dec_s)[REPS // 2]
+            results[f"{name}_{kind}"] = {
+                "encode_s": round(enc, 3),
+                "decode_s": round(dec, 3),
+                "encode_GBps": round(raw / enc / 1e9, 2),
+                "decode_GBps": round(raw / dec / 1e9, 2),
+                "ratio": round(len(blob) / raw, 4),
+                "warm_enc_s": round(warm_enc, 1),
+                "warm_dec_s": round(warm_dec, 1),
+            }
+            print(f"{name:>5} {kind:>8}: enc {raw/enc/1e9:6.2f} GB/s  "
+                  f"dec {raw/dec/1e9:6.2f} GB/s  "
+                  f"ratio {len(blob)/raw:.3f}", flush=True)
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_kernels.json")
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data["codecs"] = {
+        "meta": {
+            "workload": f"POSN field, {N} f32 values (~100 MB), "
+                        "delta=1e-3, warm end-to-end wall via "
+                        "compress_segment/decompress_segment(fused) "
+                        "incl. host LZ4 + (de)serialization; decoded "
+                        "output device-resident",
+            "device": jax.devices()[0].device_kind,
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        },
+        "results": results,
+    }
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2)
+    print("updated bench_kernels.json [codecs]", flush=True)
+
+
+def device_decode_rates():
+    """Device-phase decode rates for the delta-family codecs (the
+    VERDICT round-3 ask: Diff/Coil >= 10x the 6.12 GB/s generic
+    composition).  Words are pre-staged on device; the salt chain
+    perturbs them (decoded values are garbage -- widths tables stay
+    fixed -- but every step is real dependent work); output is decoded
+    f32 (diff) / bins (coil, sort) on device."""
+    from minnow_c_tpu.algos import chunked
+    from minnow_c_tpu.algos.algo_diff_v1_0 import _diff_plane_fused
+    from minnow_c_tpu.algos.algo_sort_v1_1 import _sort11_undo_device
+    from minnow_c_tpu.ops import bitpack, kernels
+    from minnow_c_tpu.ops import rng as _rng
+
+    n = N
+    rng = np.random.default_rng(3)
+    walk = np.cumsum(rng.integers(-40, 41, n), dtype=np.int64)
+    walk -= walk.min()
+    bins = (walk % (1 << 14)).astype(np.uint32)
+    CHAIN = 8
+    out = {}
+
+    def perturb(w, s):
+        i = jax.lax.broadcasted_iota(jnp.uint32, w.shape, 0)
+        return jnp.where(i == 0, w ^ s, w)
+
+    def chain(step):
+        @jax.jit
+        def f(salt, *args):
+            s = salt
+            o = None
+            for i in range(CHAIN):
+                o = step(s, *args)
+                v = o.ravel()[0]
+                if v.dtype == jnp.float32:
+                    v = jax.lax.bitcast_convert_type(v, jnp.uint32)
+                s = v.astype(jnp.uint32) ^ jnp.uint32(i)
+            return s, o
+        return f
+
+    # Diff: fused unpack -> unzigzag -> cumsum -> dithered undo
+    z = kernels.u32_delta_zigzag(jnp.asarray(bins))[1:]
+    width = max(1, int(np.asarray(jnp.max(z))).bit_length())
+    dwords = jnp.concatenate([
+        jnp.asarray([bins[0]], jnp.uint32),
+        bitpack.uniform_pack(z, width)])
+    dwords = jax.block_until_ready(dwords)
+    key = _rng.field_key_arr(7, 0, 0)
+
+    def diff_step(s, w):
+        return _diff_plane_fused(perturb(w, s), key, width, n, 14,
+                                 0.0, W, jnp.float32(W), True)
+
+    r = harness.run(lambda s: chain(diff_step)(s, dwords),
+                    bytes_per_iter=n * 4 * CHAIN)
+    out["diff_device_decode_GBps"] = round(r.gb_per_second, 2)
+    print(f"diff device decode: {r.gb_per_second:.2f} GB/s", flush=True)
+
+    # Coil: device bucketed chunk unpack + unzigzag + cumsum
+    zc, widths = chunked.chunk_widths(np.asarray(
+        kernels.u32_delta_zigzag(jnp.asarray(bins))))
+    body = np.frombuffer(chunked.pack_chunks(zc, widths), dtype=np.uint32)
+    body_d = jax.block_until_ready(jnp.asarray(body))
+
+    @jax.jit
+    def coil_step(s, b):
+        zz = chunked.unpack_chunks_device(perturb(b, s),
+                                          widths).reshape(-1)[:n]
+        d = kernels.u32_unzigzag(zz).at[0].set(0)
+        return jnp.uint32(bins[0]) + jnp.cumsum(d).astype(jnp.uint32)
+
+    r = harness.run(lambda s: chain(lambda ss, b: coil_step(ss, b))(s,
+                                                                    body_d),
+                    bytes_per_iter=n * 4 * CHAIN)
+    out["coil_device_decode_GBps"] = round(r.gb_per_second, 2)
+    print(f"coil device decode: {r.gb_per_second:.2f} GB/s", flush=True)
+
+    # Sort v1.1: two chunked unpacks + cumsums + un-permute (gather)
+    sv = np.sort(bins)
+    deltas = np.diff(sv, prepend=np.uint32(0)).astype(np.uint32)
+    first = np.uint32(deltas[0]); deltas[0] = 0
+    dc, dwid = chunked.chunk_widths(deltas)
+    dbody = np.frombuffer(chunked.pack_chunks(dc, dwid), dtype=np.uint32)
+    order = np.argsort(bins, kind="stable")
+    ranks = np.empty(n, np.uint32); ranks[order] = np.arange(n)
+    rz = np.asarray(kernels.u32_delta_zigzag(jnp.asarray(ranks)))[1:]
+    rc, rwid = chunked.chunk_widths(rz)
+    rbody = np.frombuffer(chunked.pack_chunks(rc, rwid), dtype=np.uint32)
+    db_d = jax.block_until_ready(jnp.asarray(dbody))
+    rb_d = jax.block_until_ready(jnp.asarray(rbody))
+
+    @jax.jit
+    def sort_step(s, db, rb):
+        dd = chunked.unpack_chunks_device(perturb(db, s),
+                                          dwid).reshape(-1)[:n]
+        dd = dd.at[0].set(first)
+        rr = chunked.unpack_chunks_device(rb, rwid).reshape(-1)[:n - 1]
+        return _sort11_undo_device(dd, rr, int(ranks[0]))
+
+    r = harness.run(lambda s: chain(sort_step)(s, db_d, rb_d),
+                    bytes_per_iter=n * 4 * CHAIN)
+    out["sort_device_decode_GBps"] = round(r.gb_per_second, 2)
+    print(f"sort device decode: {r.gb_per_second:.2f} GB/s", flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    if os.environ.get("CODEC_DEVICE_ONLY"):
+        harness._wait_for_fast_mode()
+        res = device_decode_rates()
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_kernels.json")
+        data = json.load(open(path)) if os.path.exists(path) else {}
+        data.setdefault("codecs", {})["device_decode"] = res
+        with open(path, "w") as f:
+            json.dump(data, f, indent=2)
+        print("updated bench_kernels.json [codecs.device_decode]")
+        sys.exit(0)
+    main()

@@ -38,16 +38,30 @@ class TrimV1_1(TrimV1_0):
     version = VERSION
 
     def _encode_plane_var(self, bins, depths: np.ndarray):
-        vals = np.asarray(bins, dtype=np.uint32)
-        n = vals.shape[0]
+        # Device path (round 4): bins stay on device through pad/reshape/
+        # pack (chunked.pack_chunks_auto -- the bucketed Pallas rows pack
+        # on TPU); only the byte-assembly crosses to the host.  The chunk
+        # width table derives from the (tiny-per-chunk) host depths
+        # array, NOT the values, so no stats fetch is needed.
+        import jax.numpy as jnp
+        n = int(bins.shape[0])
         n_chunks = -(-n // chunked.CHUNK) if n else 0
-        vp = np.zeros(n_chunks * chunked.CHUNK, dtype=np.uint32)
-        vp[:n] = vals
-        vc = vp.reshape(n_chunks, chunked.CHUNK)
         dp = np.zeros(n_chunks * chunked.CHUNK, dtype=np.uint8)
         dp[:n] = np.asarray(depths, dtype=np.uint8)
-        widths = dp.reshape(n_chunks, chunked.CHUNK).max(axis=1)
-        body = chunked.pack_chunks(vc, widths)
+        widths = dp.reshape(n_chunks, chunked.CHUNK).max(axis=1) \
+            if n_chunks else np.zeros(0, np.uint8)
+        if chunked._use_device():
+            vals = jnp.asarray(bins).astype(jnp.uint32)
+            pad = n_chunks * chunked.CHUNK - n
+            if pad:
+                vals = jnp.pad(vals, (0, pad))
+            vc = vals.reshape(n_chunks, chunked.CHUNK)
+        else:
+            vals = np.asarray(bins, dtype=np.uint32)
+            vp = np.zeros(n_chunks * chunked.CHUNK, dtype=np.uint32)
+            vp[:n] = vals
+            vc = vp.reshape(n_chunks, chunked.CHUNK)
+        body = chunked.pack_chunks_auto(vc, widths)
         head = np.array([n_chunks, 0], dtype=np.uint32)
         wtab = np.concatenate(
             [widths, np.zeros((-n_chunks) % 4, dtype=np.uint8)])
@@ -64,7 +78,9 @@ class TrimV1_1(TrimV1_0):
         n_chunks = int(raw[:4].view(np.uint32)[0])
         widths = raw[8:8 + n_chunks].astype(np.uint8)
         body = raw[8 + n_chunks + ((-n_chunks) % 4):].view(np.uint32)
-        return chunked.unpack_chunks(body, widths).reshape(-1)[:n]
+        # device-resident on TPU (chunked.unpack_chunks_auto); bins feed
+        # the fused undo without a host round trip
+        return chunked.unpack_chunks_auto(body, widths).reshape(-1)[:n]
 
 
 registry.register(TrimV1_1())
