@@ -181,7 +181,9 @@ def device_decode_rates():
         return _diff_plane_fused(perturb(w, s), key, width, n, 14,
                                  0.0, W, jnp.float32(W), True)
 
-    r = harness.run(lambda s: chain(diff_step)(s, dwords),
+    f_diff = chain(diff_step)  # hoisted: a fresh jit wrapper per call
+    # retraces/reloads the executable every iteration (~0.8 s/call)
+    r = harness.run(lambda s: f_diff(s, dwords),
                     bytes_per_iter=n * 4 * CHAIN)
     out["diff_device_decode_GBps"] = round(r.gb_per_second, 2)
     print(f"diff device decode: {r.gb_per_second:.2f} GB/s", flush=True)
@@ -199,8 +201,8 @@ def device_decode_rates():
         d = kernels.u32_unzigzag(zz).at[0].set(0)
         return jnp.uint32(bins[0]) + jnp.cumsum(d).astype(jnp.uint32)
 
-    r = harness.run(lambda s: chain(lambda ss, b: coil_step(ss, b))(s,
-                                                                    body_d),
+    f_coil = chain(lambda ss, b: coil_step(ss, b))
+    r = harness.run(lambda s: f_coil(s, body_d),
                     bytes_per_iter=n * 4 * CHAIN)
     out["coil_device_decode_GBps"] = round(r.gb_per_second, 2)
     print(f"coil device decode: {r.gb_per_second:.2f} GB/s", flush=True)
@@ -227,7 +229,8 @@ def device_decode_rates():
         rr = chunked.unpack_chunks_device(rb, rwid).reshape(-1)[:n - 1]
         return _sort11_undo_device(dd, rr, int(ranks[0]))
 
-    r = harness.run(lambda s: chain(sort_step)(s, db_d, rb_d),
+    f_sort = chain(sort_step)
+    r = harness.run(lambda s: f_sort(s, db_d, rb_d),
                     bytes_per_iter=n * 4 * CHAIN)
     out["sort_device_decode_GBps"] = round(r.gb_per_second, 2)
     print(f"sort device decode: {r.gb_per_second:.2f} GB/s", flush=True)

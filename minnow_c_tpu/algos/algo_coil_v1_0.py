@@ -79,9 +79,11 @@ class CoilV1_0(TrimV1_0):
 
         z = chunked.unpack_chunks_auto(body, widths).reshape(-1)[:n]
         # logical-shift unzigzag; the int32 form corrupts |delta| >= 2^30
+        from ..ops.scan_pallas import cumsum_u32_auto
         d = kernels.u32_unzigzag(jnp.asarray(z))
         d = d.at[0].set(0)
-        out = jnp.uint32(first) + jnp.cumsum(d).astype(jnp.uint32)
+        out = jnp.uint32(first) + cumsum_u32_auto(d)  # streaming Pallas
+        # scan on TPU; bit-identical (u32 wrap, associative)
         # device-resident: bins stay on device through dequantization
         return out
 

@@ -26,7 +26,7 @@ MAX_TOTAL_S = 30.0  # bench.h:7
 _CANARY_HEALTHY_S = 0.05  # ~8 ms healthy compute + ~30 ms D2H readback
 # latency through the tunnel; slow mode measures >500 ms -- wide separation
 _CANARY_CAP_S = 180.0
-_fast_mode = False  # per-process: once fast, stays fast
+_canary_fn = None  # compiled once per process
 
 
 def _wait_for_fast_mode():
@@ -35,21 +35,27 @@ def _wait_for_fast_mode():
     slow mode.  Canary: 4 chained 4096^3 bf16 matmuls with a data
     dependency and a D2H readback -- ~10 ms healthy on v5e, observed
     >100x that while the slow mode lasts."""
-    global _fast_mode
+    # Re-checked before EVERY measurement (three fast canary runs cost
+    # <0.2 s): the slow mode has been observed to RE-ARM after long
+    # compile gaps within one process (a device-phase bench whose canary
+    # passed minutes earlier still measured 0.12 GB/s for a 16.9 GB/s
+    # pipeline).
+    global _canary_fn
     import jax.numpy as jnp
     import numpy as _np
-    if _fast_mode or jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu":
         return
     a = jnp.ones((4096, 4096), jnp.bfloat16)
-
-    @jax.jit
-    def canary(mat, s):
-        out = mat
-        for i in range(4):
-            out = out @ mat
-            s = s + out[0, 0].astype(jnp.float32)
-        return s, out
-
+    if _canary_fn is None:
+        @jax.jit
+        def canary(mat, s):
+            out = mat
+            for i in range(4):
+                out = out @ mat
+                s = s + out[0, 0].astype(jnp.float32)
+            return s, out
+        _canary_fn = canary
+    canary = _canary_fn
     r = canary(a, jnp.float32(0))
     _np.asarray(r[0])  # compile + first run (excluded from the gate)
     t_start = time.perf_counter()
@@ -72,7 +78,6 @@ def _wait_for_fast_mode():
                   "(numbers may be depressed)", file=_sys.stderr,
                   flush=True)
             break
-    _fast_mode = True
 
 
 @dataclass

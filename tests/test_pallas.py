@@ -314,3 +314,17 @@ def test_rows_natural_layout_matches_pretransposed(width):
         words, width, n, interpret=True, pretranspose=False))
     np.testing.assert_array_equal(ua, ub)
     np.testing.assert_array_equal(ua, bins)
+
+
+@pytest.mark.parametrize("n", [1 << 14, (1 << 16) + (1 << 14),
+                               (1 << 19) + (1 << 14) + 1000, 97])
+def test_cumsum_u32_matches_jnp(n):
+    """Pallas streaming prefix sum == jnp.cumsum bit-for-bit (mod-2^32
+    wrap included)."""
+    from minnow_c_tpu.ops import scan_pallas
+    rng = np.random.default_rng(n)
+    x = rng.integers(0, 1 << 32, n, dtype=np.int64).astype(np.uint32)
+    ref = np.cumsum(x.astype(np.uint64)).astype(np.uint32)
+    got = np.asarray(scan_pallas.cumsum_u32(jnp.asarray(x),
+                                            interpret=True))
+    np.testing.assert_array_equal(got, ref)
