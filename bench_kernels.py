@@ -244,6 +244,62 @@ def main():
         return chained(body, jnp.zeros((N,), jnp.float32))
     bench("fused_decode_pallas", mk_fused_decode)
 
+    # ---- batched rows kernels (the sharded/batched writer hot paths;
+    # 64 blocks x 3 dims x 131072 = ~100 MB, rows contract) ------------
+    from minnow_c_tpu.parallel.sharding import (_rows_encode_recip_raw,
+                                                _rows_stats_raw)
+    RB, RND = 64, 1 << 17
+    ROWS_N = RB * 3 * RND
+    xrows = jax.device_put(jnp.asarray(
+        rng.uniform(0, W, (RB * 3, RND)).astype(np.float32)))
+    rkeys = jax.device_put(jnp.asarray(
+        rng.integers(0, 1 << 32, (RB * 3, 2), dtype=np.int64)
+        .astype(np.uint32)))
+
+    def mk_rows_recip_encode():
+        def body(s):
+            # salt rides as a mantissa-LSB xor on the input rows
+            xs = salted_f32(xrows, s)
+            mn, mx = _rows_stats_raw(xs, W, True, False)
+            rng_r = jnp.repeat(jnp.max(
+                (mx - mn).reshape(RB, 3), axis=1), 3)
+            w = _rows_encode_recip_raw(xs, mn, rng_r, 14, W, True, False)
+            return w, u32_red(w[0])
+        return chained(body, jnp.zeros(
+            (RB * 3, RND * 14 // 32), jnp.uint32))
+    bench("rows_recip_encode", mk_rows_recip_encode,
+          bytes_per_iter=ROWS_N * 4)
+
+    wrows = jax.device_put(jnp.asarray(
+        rng.integers(0, 1 << 32, (RB * 3, RND * 16 // 32),
+                     dtype=np.int64).astype(np.uint32)))
+    rx0 = jnp.zeros((RB * 3,), jnp.float32)
+    rdx = jnp.full((RB * 3,), W, jnp.float32)
+
+    def mk_rows_fused_decode():
+        def body(s):
+            i0 = jax.lax.broadcasted_iota(jnp.uint32, wrows.shape, 0)
+            i1 = jax.lax.broadcasted_iota(jnp.uint32, wrows.shape, 1)
+            w = jnp.where((i0 == 0) & (i1 == 0), wrows ^ s, wrows)
+            out = decode_pallas.decode_pallas_rows(
+                w, rkeys, 16, RND, rx0, rdx, box=W, periodic=True)
+            return out, f32_red(out)
+        return chained(body, jnp.zeros((RB * 3, RND), jnp.float32))
+    bench("rows_fused_decode", mk_rows_fused_decode,
+          bytes_per_iter=ROWS_N * 4)
+
+    # ---- streaming u32 prefix sum (the delta-family decode backbone) --
+    from minnow_c_tpu.ops import scan_pallas
+
+    def mk_cumsum():
+        def body(s):
+            i = jax.lax.broadcasted_iota(jnp.uint32, bins.shape, 0)
+            v = jnp.where(i == 0, bins ^ s, bins)
+            out = scan_pallas.cumsum_u32(v)
+            return out, u32_red(out)
+        return chained(body, jnp.zeros((N,), jnp.uint32))
+    bench("cumsum_u32_pallas", mk_cumsum)
+
     dump_results()
 
 
