@@ -560,8 +560,11 @@ def main():
         results.update(prior)
     for fn in fns:
         try:
-            fn()
             results.pop(fn.__name__, None)  # clear stale error entries
+            # (BEFORE the run: config6_streaming's result key equals its
+            # function name, and popping after deleted the fresh result
+            # -- the round-3 "config6 vanished" bug)
+            fn()
         except Exception as e:  # keep the matrix running
             results[fn.__name__] = {"error": repr(e)[:500]}
             log(f"{fn.__name__} FAILED: {e!r}")

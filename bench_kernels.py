@@ -256,17 +256,25 @@ def main():
         rng.integers(0, 1 << 32, (RB * 3, 2), dtype=np.int64)
         .astype(np.uint32)))
 
+    # NB: these rows benches pass the 100 MB arrays as jit ARGUMENTS --
+    # closed-over arrays serialize as constants into the remote compile
+    # and, by the 14th such executable in one process, measured 0.01
+    # GB/s for a pipeline that runs 75 GB/s with argument-passing.
     def mk_rows_recip_encode():
-        def body(s):
-            # salt rides as a mantissa-LSB xor on the input rows
-            xs = salted_f32(xrows, s)
-            mn, mx = _rows_stats_raw(xs, W, True, False)
-            rng_r = jnp.repeat(jnp.max(
-                (mx - mn).reshape(RB, 3), axis=1), 3)
-            w = _rows_encode_recip_raw(xs, mn, rng_r, 14, W, True, False)
-            return w, u32_red(w[0])
-        return chained(body, jnp.zeros(
-            (RB * 3, RND * 14 // 32), jnp.uint32))
+        @jax.jit
+        def g(salt, x):
+            s = salt
+            w = None
+            for i in range(CHAIN):
+                xs = salted_f32(x, s)
+                mn, mx = _rows_stats_raw(xs, W, True, False)
+                rng_r = jnp.repeat(jnp.max(
+                    (mx - mn).reshape(RB, 3), axis=1), 3)
+                w = _rows_encode_recip_raw(xs, mn, rng_r, 14, W, True,
+                                           False)
+                s = u32_red(w[0]) ^ jnp.uint32(i)
+            return s, w
+        return lambda s: g(s, xrows)
     bench("rows_recip_encode", mk_rows_recip_encode,
           bytes_per_iter=ROWS_N * 4)
 
@@ -277,14 +285,19 @@ def main():
     rdx = jnp.full((RB * 3,), W, jnp.float32)
 
     def mk_rows_fused_decode():
-        def body(s):
-            i0 = jax.lax.broadcasted_iota(jnp.uint32, wrows.shape, 0)
-            i1 = jax.lax.broadcasted_iota(jnp.uint32, wrows.shape, 1)
-            w = jnp.where((i0 == 0) & (i1 == 0), wrows ^ s, wrows)
-            out = decode_pallas.decode_pallas_rows(
-                w, rkeys, 16, RND, rx0, rdx, box=W, periodic=True)
-            return out, f32_red(out)
-        return chained(body, jnp.zeros((RB * 3, RND), jnp.float32))
+        @jax.jit
+        def g(salt, wr):
+            s = salt
+            out = None
+            for i in range(CHAIN):
+                i0 = jax.lax.broadcasted_iota(jnp.uint32, wr.shape, 0)
+                i1 = jax.lax.broadcasted_iota(jnp.uint32, wr.shape, 1)
+                w = jnp.where((i0 == 0) & (i1 == 0), wr ^ s, wr)
+                out = decode_pallas.decode_pallas_rows(
+                    w, rkeys, 16, RND, rx0, rdx, box=W, periodic=True)
+                s = f32_red(out) ^ jnp.uint32(i)
+            return s, out
+        return lambda s: g(s, wrows)
     bench("rows_fused_decode", mk_rows_fused_decode,
           bytes_per_iter=ROWS_N * 4)
 
@@ -292,12 +305,17 @@ def main():
     from minnow_c_tpu.ops import scan_pallas
 
     def mk_cumsum():
-        def body(s):
-            i = jax.lax.broadcasted_iota(jnp.uint32, bins.shape, 0)
-            v = jnp.where(i == 0, bins ^ s, bins)
-            out = scan_pallas.cumsum_u32(v)
-            return out, u32_red(out)
-        return chained(body, jnp.zeros((N,), jnp.uint32))
+        @jax.jit
+        def g(salt, b):
+            s = salt
+            out = None
+            for i in range(CHAIN):
+                io = jax.lax.broadcasted_iota(jnp.uint32, b.shape, 0)
+                v = jnp.where(io == 0, b ^ s, b)
+                out = scan_pallas.cumsum_u32(v)
+                s = u32_red(out) ^ jnp.uint32(i)
+            return s, out
+        return lambda s: g(s, bins)
     bench("cumsum_u32_pallas", mk_cumsum)
 
     dump_results()
