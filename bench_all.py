@@ -636,9 +636,14 @@ def main():
         "kernel.  Per-chip decode at the literal BASELINE config is",
         "~45 GB/s = 9x the 5 GB/s target.", "",
         "Current honest kernel numbers (100 MB, VMEM regime): decode",
-        "~279-291 GB/s, full fused encode ~165 GB/s (div, now",
-        "bit-exact on TPU via kernels.exact_div) / ~237-309 GB/s",
-        "(recip scale mode) per chip.", "",
+        "~279-291 GB/s, full fused encode ~165 GB/s (div mode:",
+        "kernels.exact_div makes the TPU wire correctly rounded in all",
+        "observed cases -- 0 mismatches in 2^24 targeted trials, 2 per",
+        "2^27 in an adversarial divisor hunt, none ever observed to",
+        "flip a bin; the CPU wire stays authoritative and the",
+        "`make tpu-test` digest gate is mandatory before trusting",
+        "TPU-encoded bytes) / ~237-309 GB/s (recip scale mode) per",
+        "chip.", "",
         "## TPU-tunnel availability", "",
         "The axon TPU tunnel has had multi-hour outages (trivial",
         "programs hang in jax.devices()).  bench.py carries a 2100 s",
@@ -663,6 +668,22 @@ def main():
         "(`tests/fixtures/wire_digests.json`).  Statistically, decode",
         "output matches the reference's distribution exactly: same bins,",
         "same uniform-in-bin law.", "",
+        "## On the BASELINE target \"compressed size <= C reference\"", "",
+        "Interpretation (stated explicitly so no unqualified \"<=\" claim",
+        "stands anywhere in these records): the framework's segments are",
+        "self-describing (algo/version headers, accuracy metadata, and",
+        "per-field checksums -- up to 512 B/segment, bounded and tested",
+        "in tests/test_ratio_sweep.py), while the bare reference stream",
+        "(test/compress_util_bench.c:234-298) stores no metadata at all.",
+        "On *incoherent* (randomly ordered) data the best codec is Trim,",
+        "which matches the reference stream to within that fixed header",
+        "overhead (ref + ~156 B observed at n = 200k).  *Outright* size",
+        "wins -- up to 2.6x smaller than the reference stream -- require",
+        "input coherence (sorted/clustered orderings), where the",
+        "delta-family codecs (Coil, Diff, Octo) collapse the residual",
+        "structure the reference's flat pipeline cannot see.  Both",
+        "regimes are recorded per field/order/delta in",
+        "doc/ratio_table.md and pinned by tests/test_ratio_sweep.py.", "",
         "## Results", "",
     ]
     lines = preamble + ["```json", json.dumps(results, indent=2), "```"]

@@ -108,11 +108,9 @@ def main():
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bench_kernels.json")
-    data = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            data = json.load(f)
-    data["codecs"] = {
+    from minnow_c_tpu.bench import records
+    codecs = records.load(path).get("codecs", {})
+    codecs.update({
         "meta": {
             "workload": f"POSN field, {N} f32 values (~100 MB), "
                         "delta=1e-3, warm end-to-end wall via "
@@ -123,9 +121,8 @@ def main():
             "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
         },
         "results": results,
-    }
-    with open(path, "w") as f:
-        json.dump(data, f, indent=2)
+    })
+    records.update_sections(path, {"codecs": codecs})
     print("updated bench_kernels.json [codecs]", flush=True)
 
 
@@ -243,10 +240,10 @@ if __name__ == "__main__":
         res = device_decode_rates()
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_kernels.json")
-        data = json.load(open(path)) if os.path.exists(path) else {}
-        data.setdefault("codecs", {})["device_decode"] = res
-        with open(path, "w") as f:
-            json.dump(data, f, indent=2)
+        from minnow_c_tpu.bench import records
+        codecs = records.load(path).get("codecs", {})
+        codecs["device_decode"] = res
+        records.update_sections(path, {"codecs": codecs})
         print("updated bench_kernels.json [codecs.device_decode]")
         sys.exit(0)
     main()

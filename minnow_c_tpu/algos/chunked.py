@@ -237,6 +237,14 @@ def unpack_chunks_device(body, widths: np.ndarray):
             f"chunk width {int(widths.max())} > 32 in stream width table")
     words_per_chunk = (CHUNK * widths.astype(np.int64)) // 32
     offsets = np.concatenate([[0], np.cumsum(words_per_chunk)])
+    # Device gather indices below are int32; a plane beyond 2^31 packed
+    # words (~8 GiB) would silently wrap where the host path's int64
+    # offsets stay exact.  Fail loudly instead (advisor round-4 finding).
+    if int(offsets[-1]) >= 2**31:
+        raise ValueError(
+            f"plane has {int(offsets[-1])} packed words >= 2^31; the "
+            "device chunked path's int32 gather indices would overflow "
+            "-- split the plane into smaller blocks")
     body_d = jnp.asarray(body)
     outs = []
     order = []
@@ -283,6 +291,11 @@ def pack_chunks_device(zc, widths: np.ndarray) -> bytes:
     nw = int(offsets[-1])
     if nw == 0:
         return b""
+    if nw >= 2**31:
+        raise ValueError(
+            f"plane has {nw} packed words >= 2^31; the device chunked "
+            "path's int32 scatter indices would overflow -- split the "
+            "plane into smaller blocks")
     # bucket-major packed words + their destination word offsets
     parts = []
     dest = []

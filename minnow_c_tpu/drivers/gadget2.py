@@ -112,7 +112,14 @@ def read_snapshot_ext(fp: BinaryIO
     full (n,) array (types with table masses are filled from the header's
     mass table; variable-mass types consume the MASS record in type
     order).  The 5th element is None when no type uses per-particle
-    masses."""
+    masses.
+
+    Legacy tolerance (behavior change in round 4, noted per advisor
+    finding): files whose header declares per-particle masses but whose
+    MASS record is absent (e.g. snapshots written by the pre-round-4
+    ``decompress``, which dropped MASS while preserving header flags)
+    read with a warning and ``mass=None`` instead of failing.  A MASS
+    record that is *present but wrong-sized* still raises (corruption)."""
     hdr = Gadget2Header.unpack(_read_record(fp))
     n = sum(hdr.npart)
     pos = np.frombuffer(_read_record(fp), dtype="<f4").reshape(n, 3).T
@@ -124,7 +131,17 @@ def read_snapshot_ext(fp: BinaryIO
     var_types = _variable_mass_types(hdr)
     if var_types:
         nm = sum(hdr.npart[i] for i in var_types)
-        rec = np.frombuffer(_read_record(fp), dtype="<f4")
+        try:
+            raw_rec = _read_record(fp)
+        except EOFError:
+            import warnings
+            warnings.warn(
+                "header declares per-particle masses (mass table 0 with "
+                f"npart > 0, types {var_types}) but the file has no MASS "
+                "record; reading without masses (legacy-file tolerance)")
+            return (hdr, np.ascontiguousarray(pos),
+                    np.ascontiguousarray(vel), ids, None)
+        rec = np.frombuffer(raw_rec, dtype="<f4")
         if rec.shape[0] != nm:
             raise ValueError(
                 f"MASS record has {rec.shape[0]} entries; header implies "

@@ -99,6 +99,9 @@ def u64_undo_periodic(x, L):
 
 _SPLIT_F32 = 4097.0  # 2^12 + 1, Veltkamp splitter for f32
 
+_FORCE_CORRECTED = False  # test hook: exercise the TPU corrected-divide
+#                           sequence (incl. its overflow fallback) on CPU
+
 
 def _two_prod(a, b):
     """Error-free product: (p, e) with p = rn(a*b) and p + e == a*b
@@ -131,14 +134,19 @@ def exact_div(x, d):
     re-checks every round).  On CPU the hardware divide is already
     correctly rounded and is used directly (the corrected sequence has
     its own ~1e-8 1-ulp tail and must not replace a correct divide)."""
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not _FORCE_CORRECTED:
         return x / d
     r = jnp.float32(1.0) / d
     q = x * r
     for _ in range(2):
         p, e = _two_prod(q, d)
         q = q + ((x - p) - e) * r
-    return q
+    # The Veltkamp split overflows for |operand| >~ 8e34 (a*4097 -> inf)
+    # and r = 1/d overflows for subnormal d, turning q into NaN/Inf where
+    # a plain divide stays finite.  Degrade to the uncorrected divide for
+    # those pathological-but-legal f32 inputs instead of producing NaN
+    # bins (advisor round-4 finding).
+    return jnp.where(jnp.isfinite(q), q, x / d)
 
 
 def exact_recip(d):

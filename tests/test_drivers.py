@@ -291,3 +291,35 @@ def test_cli_archive_commands_on_plain_min_files(tmp_path):
     r = run("verify", str(badf))
     assert r.returncode == 1, r.stderr
     assert "CORRUPT" in r.stdout and "Traceback" not in r.stderr
+
+
+def test_legacy_massless_file_reads_with_warning():
+    """A file whose header declares per-particle masses but that has no
+    MASS record (e.g. written by the pre-round-4 decompress) must read
+    with a warning and mass=None, not fail (advisor round-4 finding).
+    A *wrong-sized* MASS record must still raise."""
+    import warnings
+    raw, pos, vel, ids, mass = make_gadget2_file(per_particle_mass=True)
+    # strip the trailing MASS record: header + POS + VEL + ID records
+    fp = _io.BytesIO(raw)
+    gadget2._read_record(fp)  # header
+    gadget2._read_record(fp)  # POS
+    gadget2._read_record(fp)  # VEL
+    gadget2._read_record(fp)  # ID
+    legacy = raw[: fp.tell()]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        hdr, p2, v2, i2, m2 = gadget2.read_snapshot_ext(
+            _io.BytesIO(legacy))
+    assert m2 is None
+    assert any("no MASS record" in str(x.message) for x in w)
+    np.testing.assert_array_equal(p2, pos)
+    np.testing.assert_array_equal(i2, ids)
+    # truncated-but-present MASS record is corruption, not tolerance
+    n = ids.shape[0]
+    bad = _io.BytesIO()
+    bad.write(legacy)
+    gadget2._write_record(
+        bad, np.zeros(n - 1, dtype="<f4").tobytes())
+    with pytest.raises(ValueError, match="MASS record"):
+        gadget2.read_snapshot_ext(_io.BytesIO(bad.getvalue()))

@@ -276,3 +276,58 @@ def test_constant_plane_encode_roundtrip():
     out = fastpath.fast_uniform_decode(w1, key, 11, 4096, x0, rng_v)
     np.testing.assert_array_equal(np.asarray(out),
                                   np.full(4096, 17.5, np.float32))
+
+
+class TestExactDiv:
+    """The TPU corrected-divide sequence (exercised on CPU via the
+    _FORCE_CORRECTED test hook).  The Veltkamp split overflows for
+    |operand| >~ 8e34 and r = 1/d overflows for subnormal d; the guard
+    must degrade to the plain divide instead of emitting NaN bins
+    (advisor round-4 finding)."""
+
+    def _corrected(self, x, d):
+        import jax
+        import jax.numpy as jnp
+        from minnow_c_tpu.ops import kernels
+        old = kernels._FORCE_CORRECTED
+        kernels._FORCE_CORRECTED = True
+        try:
+            f = jax.jit(lambda a, b: kernels.exact_div(a, b))
+            return np.asarray(f(jnp.float32(x), jnp.float32(d)))
+        finally:
+            kernels._FORCE_CORRECTED = old
+
+    def test_normal_operands_correctly_rounded(self):
+        rng = np.random.default_rng(11)
+        x = rng.uniform(1e-3, 1e3, 4096).astype(np.float32)
+        d = rng.uniform(1e-3, 1e3, 4096).astype(np.float32)
+        np.testing.assert_array_equal(self._corrected(x, d), x / d)
+
+    def test_huge_operands_fall_back_finite(self):
+        # a * 4097 overflows inside the split; plain divide is finite
+        x = np.float32(3e38)
+        d = np.float32(2.0)
+        out = self._corrected(x, d)
+        assert np.isfinite(out)
+        np.testing.assert_array_equal(out, x / d)
+
+    def test_subnormal_divisor_falls_back(self):
+        """Subnormal d: 1/d overflows to inf and the corrected sequence
+        goes NaN; the guard must yield exactly the backend's plain
+        divide (XLA:CPU flushes subnormals to zero, so that may itself
+        be inf -- the contract is old-behavior degradation, not IEEE
+        subnormal handling).  Critically: never NaN."""
+        import jax
+        import jax.numpy as jnp
+        d = np.float32(1e-40)  # subnormal
+        x = np.float32(1e-30)
+        out = self._corrected(x, d)
+        plain = np.asarray(jax.jit(lambda a, b: a / b)(
+            jnp.float32(x), jnp.float32(d)))
+        assert not np.isnan(out)
+        np.testing.assert_array_equal(out, plain)
+
+    def test_genuine_infinity_stays_infinite(self):
+        # x/d legitimately overflows -> both paths inf; result must be inf
+        out = self._corrected(np.float32(3e38), np.float32(1e-10))
+        assert np.isinf(out)
