@@ -82,6 +82,18 @@ def allgather_max_f32(x: float) -> float:
     return float(np.float32(np.max(g)))
 
 
+def allgather_i64(arr) -> np.ndarray:
+    """All-gather an int64 array across processes; returns (P, *shape)
+    rank-major.  Single-process: (1, *shape) view of the input."""
+    import jax
+    arr = np.asarray(arr, dtype=np.int64)
+    if jax.process_count() <= 1:
+        return arr[None]
+    from jax.experimental import multihost_utils
+    g = np.asarray(multihost_utils.process_allgather(arr))
+    return g.reshape(jax.process_count(), *arr.shape)
+
+
 def allgather_bytes(blobs):
     """All-gather per-process byte-string lists: every process passes an
     equal-length list; returns the rank-major concatenation (process 0's

@@ -289,6 +289,53 @@ def iter_segments_intersecting(fp: BinaryIO, origin, width,
         offset = nxt
 
 
+def iter_segments_selected(fp: BinaryIO, indices
+                           ) -> Iterator[Tuple[int, IOHeader, bytes]]:
+    """Skip-ahead read of only the segments at the given chain positions
+    (0-based, ascending): yields ``(index, header, segment_bytes)``.
+    Bodies of unselected segments are never read -- the walk seeks
+    straight from header to header via ``NextIOHeader``
+    (header_format.tex:209-218, the distributed-reader contract of
+    doc/separation_of_duties.md:7-12: each rank pulls its own segments
+    from one shared file)."""
+    want = sorted(set(int(i) for i in indices))
+    if want and want[0] < 0:
+        raise ValueError(f"negative segment index {want[0]}")
+    wi = 0
+    offset = fp.tell()
+    idx = 0
+    while wi < len(want):
+        fp.seek(offset)
+        raw = fp.read(IO_HEADER_BYTES)
+        if len(raw) < IO_HEADER_BYTES:
+            raise ValueError(
+                f"segment index {want[wi]} beyond end of chain "
+                f"({idx} segments)")
+        hd = IOHeader.unpack(raw)
+        if hd.segment_bytes >= _SANE_U64:
+            raise ValueError(
+                f"corrupt IOHeader: SegmentBytes {hd.segment_bytes:#x} "
+                "out of range")
+        if idx == want[wi]:
+            yield idx, hd, _read_body(fp, hd)
+            wi += 1
+        nxt = _advance(offset, hd)
+        if nxt == 0:
+            if wi < len(want):
+                raise ValueError(
+                    f"segment index {want[wi]} beyond end of chain "
+                    f"({idx + 1} segments)")
+            return
+        offset = nxt
+        idx += 1
+
+
+def count_segments(fp: BinaryIO) -> int:
+    """Number of segments in the chain at the current position (headers
+    only; no body reads)."""
+    return sum(1 for _ in iter_headers(fp))
+
+
 def iter_headers(fp: BinaryIO, all_chains: bool = False
                  ) -> Iterator[IOHeader]:
     """Skip-ahead iteration over headers only (no segment reads).

@@ -115,9 +115,10 @@ assert np.abs(full["vel"] -
               np.concatenate([gv[b] for b in range(8)], axis=1)).max() <= 1.0
 assert np.array_equal(full["ids"], gids)
 if proc_id == 0:
-    # POSN/VELC streams must be byte-identical to a single-host write of
-    # the concatenated data (the synced-depth guarantee); PTID may differ
-    # (per-host u64 unwrap anchor) but decoded IDs matched above.
+    # POSN/VELC/PTID streams must ALL be byte-identical to a single-host
+    # write of the concatenated data: float depths are synced by the
+    # range all-gather, and the PTID frame by the element-0 anchor +
+    # global-min sync (round-5: topology-independent bytes).
     from minnow_c_tpu.segment import format as wire_fmt
     from minnow_c_tpu.segment import io as seg_io_mod
     buf = io.BytesIO()
@@ -131,12 +132,67 @@ if proc_id == 0:
         got_segs = [s for _, s in seg_io_mod.iter_segments(f)]
     assert len(ref_segs) == len(got_segs) == 8
     POSN, VELC = int(mnw.FieldCode.POSN), int(mnw.FieldCode.VELC)
+    PTID = int(mnw.FieldCode.PTID)
     for rs, gs in zip(ref_segs, got_segs):
         rf = {f.field_code: f.blocks for f in wire_fmt.deserialize(rs).fields}
         gf = {f.field_code: f.blocks for f in wire_fmt.deserialize(gs).fields}
         assert rf[POSN] == gf[POSN]
         assert rf[VELC] == gf[VELC]
+        assert rf[PTID] == gf[PTID], "PTID bytes not topology-independent"
     print("FILE_PARITY_OK", flush=True)
+
+# ---- distributed file READ (round-5): each process skip-ahead-reads
+# ONLY its rank-major slice of segments from the one shared file and the
+# slabs assemble into global block-sharded arrays.
+class SpanRecordingFile:
+    # binary file wrapper recording (offset, length) of every read
+    def __init__(self, f):
+        self.f = f; self.spans = []
+    def read(self, n=-1):
+        off = self.f.tell(); data = self.f.read(n)
+        self.spans.append((off, len(data))); return data
+    def seek(self, *a): return self.f.seek(*a)
+    def tell(self): return self.f.tell()
+
+with open(path, "rb") as f:
+    rf = SpanRecordingFile(f)
+    got = snap_mod.decompress_snapshot_multihost(rf, mesh=mesh)
+assert got["num_blocks"] == 8 and got["blocks_local"] == 4
+# local slabs: bit-identical to the single-process full read's slice
+n_slab = 4 * 256
+assert np.array_equal(got["local"]["pos"],
+                      full["pos"][:, proc_id * n_slab:(proc_id + 1) * n_slab])
+assert np.array_equal(got["local"]["vel"],
+                      full["vel"][:, proc_id * n_slab:(proc_id + 1) * n_slab])
+assert np.array_equal(got["local"]["ids"],
+                      gi[lo:hi].reshape(-1))
+# error bound directly vs the original data
+rerr = np.abs(got["local"]["pos"] - slab(gx[lo:hi]))
+rerr = np.minimum(rerr, W - rerr)
+assert rerr.max() <= 1e-3, rerr.max()
+# skip-ahead: foreign segment bodies were never read.  Compute each
+# segment's body span from the chain and intersect with recorded reads.
+from minnow_c_tpu.segment import io as seg_io2
+with open(path, "rb") as f:
+    offs = []
+    off = 0
+    for hd in seg_io2.iter_headers(f):
+        offs.append((off + seg_io2.IO_HEADER_BYTES, hd.segment_bytes))
+        off = hd.next_io_header
+foreign = [offs[i] for i in range(8)
+           if not (proc_id * 4 <= i < (proc_id + 1) * 4)]
+for (fo, fl) in foreign:
+    for (ro, rl) in rf.spans:
+        assert not (ro < fo + fl and fo < ro + rl), \
+            f"read ({ro},{rl}) overlaps foreign body ({fo},{fl})"
+# global sharded arrays round-trip through local_block_slice
+g_ids = multihost.local_block_slice(got["ids"], mesh)
+assert np.array_equal(g_ids, gi[lo:hi])
+g_pos = multihost.local_block_slice(got["pos"], mesh)
+assert np.array_equal(g_pos.reshape(4, 3, 256),
+                      np.stack([got["local"]["pos"][:, b*256:(b+1)*256]
+                                for b in range(4)]))
+print("READ_OK", proc_id, flush=True)
 
 with open(os.path.join(tmp, f"ok{proc_id}"), "w") as f:
     f.write(f"{g:.6f}")
@@ -165,6 +221,7 @@ def test_two_process_spmd(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i}:\n{out[-3000:]}"
         assert f"WORKER_OK {i}" in out
+        assert f"READ_OK {i}" in out
     # both processes agreed on the all-reduced header value
     g0 = (tmp_path / "ok0").read_text()
     g1 = (tmp_path / "ok1").read_text()

@@ -476,3 +476,68 @@ class TestTranscodeAndFilter:
                                           fields={mnw.FieldCode.VELC})
         np.testing.assert_array_equal(np.asarray(only_vel.fields[1].data),
                                       np.asarray(full.fields[1].data))
+
+
+class TestSelectedSegments:
+    """iter_segments_selected: skip-ahead read of only chosen chain
+    positions (the distributed reader's primitive, round-5 item 4)."""
+
+    def _chain(self, k=5):
+        segs = [api.compress_segment(make_seg(n=500, seed=i)[0], seed=i)
+                for i in range(k)]
+        buf = _io.BytesIO()
+        seg_io.write_segments(buf, segs)
+        return buf, segs
+
+    def test_selected_bodies_match(self):
+        buf, segs = self._chain()
+        buf.seek(0)
+        got = list(seg_io.iter_segments_selected(buf, [1, 3]))
+        assert [i for i, _, _ in got] == [1, 3]
+        assert got[0][2] == segs[1] and got[1][2] == segs[3]
+
+    def test_foreign_bodies_never_read(self):
+        buf, segs = self._chain()
+
+        class Spans:
+            def __init__(self, f):
+                self.f = f
+                self.spans = []
+
+            def read(self, n=-1):
+                off = self.f.tell()
+                d = self.f.read(n)
+                self.spans.append((off, len(d)))
+                return d
+
+            def seek(self, *a):
+                return self.f.seek(*a)
+
+            def tell(self):
+                return self.f.tell()
+
+        buf.seek(0)
+        rf = Spans(buf)
+        list(seg_io.iter_segments_selected(rf, [2]))
+        # compute body spans of all other segments
+        buf.seek(0)
+        offs, off = [], 0
+        for hd in seg_io.iter_headers(buf):
+            offs.append((off + seg_io.IO_HEADER_BYTES, hd.segment_bytes))
+            off = hd.next_io_header
+        for i, (fo, fl) in enumerate(offs):
+            if i == 2:
+                continue
+            for ro, rl in rf.spans:
+                assert not (ro < fo + fl and fo < ro + rl)
+
+    def test_count_segments(self):
+        buf, _ = self._chain(4)
+        buf.seek(0)
+        assert seg_io.count_segments(buf) == 4
+
+    def test_out_of_range_raises(self):
+        buf, _ = self._chain(3)
+        buf.seek(0)
+        with pytest.raises(ValueError, match="beyond end"):
+            list(seg_io.iter_segments_selected(buf, [5]))

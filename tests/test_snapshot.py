@@ -397,3 +397,59 @@ def test_multihost_writer_single_process_byte_parity(tmp_path):
     with open(f2, "rb") as f:
         out = snapshot.decompress_snapshot(f)
     np.testing.assert_array_equal(out["ids"], ids)
+
+
+class TestMultihostRead:
+    """decompress_snapshot_multihost in its single-process degenerate
+    form (P=1): whole-file read, global arrays sharded over the virtual
+    8-device mesh.  The genuine two-process skip-ahead leg lives in
+    tests/test_multihost.py."""
+
+    def test_single_process_read_matches(self):
+        import jax
+        from jax.sharding import Mesh
+        pos, vel, ids = make_snapshot(n=8 * 4096)
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot(buf, pos, vel, ids, SPEC,
+                                   num_blocks=8, seed=3)
+        buf.seek(0)
+        full = snapshot.decompress_snapshot(buf)
+        buf.seek(0)
+        mesh = Mesh(np.asarray(jax.devices()), ("blocks",))
+        got = snapshot.decompress_snapshot_multihost(buf, mesh=mesh)
+        assert got["num_blocks"] == 8 and got["blocks_local"] == 8
+        assert got["n_per_block"] == 4096
+        np.testing.assert_array_equal(got["local"]["pos"], full["pos"])
+        np.testing.assert_array_equal(got["local"]["ids"], full["ids"])
+        # the global sharded array reassembles to the same values
+        gp = np.asarray(got["pos"])            # (8, 3, 4096)
+        np.testing.assert_array_equal(
+            np.concatenate([gp[b] for b in range(8)], axis=1),
+            full["pos"])
+        gi = np.asarray(got["ids"]).reshape(-1)
+        np.testing.assert_array_equal(gi, full["ids"])
+
+    def test_field_selection(self):
+        pos, vel, ids = make_snapshot(n=4 * 2048)
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot(buf, pos, vel, ids, SPEC,
+                                   num_blocks=4, seed=3)
+        buf.seek(0)
+        got = snapshot.decompress_snapshot_multihost(buf, fields=["ids"])
+        assert "pos" not in got["local"] and "ids" in got["local"]
+        buf.seek(0)
+        full = snapshot.decompress_snapshot(buf)
+        np.testing.assert_array_equal(got["local"]["ids"], full["ids"])
+
+    def test_indivisible_raises(self):
+        import unittest.mock as mock
+        import jax
+        pos, vel, ids = make_snapshot(n=3 * 2048)
+        buf = _io.BytesIO()
+        snapshot.compress_snapshot(buf, pos, vel, ids, SPEC,
+                                   num_blocks=3, seed=3)
+        buf.seek(0)
+        with mock.patch.object(jax, "process_count", return_value=2):
+            import pytest
+            with pytest.raises(ValueError, match="divide across"):
+                snapshot.decompress_snapshot_multihost(buf)
