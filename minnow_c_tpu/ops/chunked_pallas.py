@@ -1,0 +1,215 @@
+"""Pallas TPU kernel: fused chunked-width delta decode (Coil v1.1 /
+Sort v1.2 hot path).
+
+The chunked codecs store per-chunk bit widths (patched frame of
+reference).  Round-4's device path realized this with XLA gathers --
+and on this chip EVERY dynamic-offset XLA movement caps at ~0.3-25 GB/s
+(measured, exp/coil_sort_gather*.py: element gathers 0.44, row takes
+17-24, dynamic_slice spans 9.3 GB/s), which left Coil at 1.5 GB/s.
+
+This kernel avoids all of it: ONE grid step runs a ``fori_loop`` over
+chunks (no per-grid-step ~3 us latency), manually double-buffering DMA
+of each chunk's words straight from HBM at its (scalar-prefetched) word
+offset -- arbitrary offsets, no BlockSpec alignment constraints -- then
+per chunk: static-width funnel unpack (``lax.switch`` over only the
+width classes PRESENT in the stream; the program cache is keyed by that
+width set, which is stable across segments of one dataset), optional
+un-zigzag, chunk-local inclusive prefix (the scan_pallas lane/sublane
+ladder), a running carry in the loop carry (sequential chunks = exact
+global u32 cumsum), and a double-buffered DMA of the finished chunk
+back to HBM.  Packed words are read once and bins written once: the
+whole delta-family decode in a single pass.
+
+Mosaic spellings follow the documented landmines (memory/
+axon-tpu-quirks.md): no lax.div/rem on traced scalars (buffer slots are
+``ci & 1``), no SMEM stores (the carry rides the fori carry as a (1, 1)
+vector), scalar<->vector dtype changes go through vector bitcasts, 2D
+iota only.
+
+Wire semantics: doc/wire_format.md (chunked planes); reference hot-loop
+contract util.h:36-53.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .decode_pallas import _unpack_128
+from .scan_pallas import _tile_prefix
+
+
+def _chunk_body_vals(scratch_words, width: int, M: int):
+    """Unpack one chunk's words (VMEM scratch, flat) at a static width
+    into (M, 128) u32 values in row-major element order."""
+    if width == 0:
+        z = scratch_words[:M * 128].reshape(M, 128)
+        return z ^ z  # all-zero chunk, no stored bits
+    w4 = scratch_words[: M * 4 * width].reshape(M, 4 * width)
+    return _unpack_128(w4.T, width).T          # (M, 128)
+
+
+def _delta_kernel(woff_ref, bidx_ref, body_ref, first_ref, out_ref,
+                  in_scratch, out_scratch, in_sems, out_sems, *,
+                  widths_present, chunk: int, n_chunks: int,
+                  zigzag: bool, prefix: bool):
+    """Single-step kernel: fori over chunks with double-buffered in/out
+    DMA.  ``widths_present``: static tuple of the distinct widths; the
+    per-chunk SMEM table ``bidx_ref`` holds each chunk's index into it.
+    ``first_ref``: (1,) SMEM i32 whose BITS are added (u32) to every
+    prefix value (the stream's element-0 anchor).  ``prefix=False``
+    skips the cumsum (plain chunked unpack)."""
+    M = chunk // 128
+    max_words = chunk  # width <= 32 => at most chunk*32/32 words
+
+    def in_dma(slot, ci):
+        # indices must be i32: python ints lower as i64, which
+        # tpu.memref_slice rejects
+        slot = jnp.asarray(slot, jnp.int32)
+        ci = jnp.asarray(ci, jnp.int32)
+        return pltpu.make_async_copy(
+            body_ref.at[pl.ds(woff_ref[ci], max_words)],
+            in_scratch.at[slot], in_sems.at[slot])
+
+    def out_dma(slot, ci):
+        slot = jnp.asarray(slot, jnp.int32)
+        ci = jnp.asarray(ci, jnp.int32)
+        return pltpu.make_async_copy(
+            out_scratch.at[slot],
+            out_ref.at[pl.ds(ci * M, M)], out_sems.at[slot])
+
+    in_dma(0, 0).start()
+
+    branches = [functools.partial(_chunk_body_vals, width=int(wv), M=M)
+                for wv in widths_present]
+
+    def body(ci, carry):
+        slot = ci & 1          # bitwise: lax.rem fails to legalize
+        nxt = (ci + 1) & 1
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            in_dma(nxt, ci + 1).start()
+
+        in_dma(slot, ci).wait()
+        z = jax.lax.switch(bidx_ref[ci], branches, in_scratch[slot])
+
+        if zigzag:
+            z = (z >> jnp.uint32(1)) ^ (jnp.uint32(0) - (z & jnp.uint32(1)))
+        if prefix:
+            z = _tile_prefix(z) + carry
+            carry = z[M - 1:M, 127:128]
+
+        # the out slot was last used for chunk ci-2; its DMA must have
+        # drained before the buffer is overwritten
+        @pl.when(ci >= 2)
+        def _():
+            out_dma(slot, ci - 2).wait()
+        out_scratch[slot] = z
+        out_dma(slot, ci).start()
+        return carry
+
+    # element-0 anchor: SMEM i32 scalar -> (1,1) vector -> u32 bitcast
+    # (scalar dtype conversion recurses in Mosaic; vector bitcast is fine)
+    first = jax.lax.bitcast_convert_type(
+        jnp.broadcast_to(first_ref[0], (1, 1)), jnp.uint32)
+    init = first if prefix else first ^ first
+    jax.lax.fori_loop(0, n_chunks, body, init)
+
+    # drain the last (up to) two output DMAs; slot parities are static
+    if n_chunks >= 2:
+        out_dma((n_chunks - 2) & 1, n_chunks - 2).wait()
+    out_dma((n_chunks - 1) & 1, n_chunks - 1).wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("widths_present", "chunk", "n_chunks",
+                              "zigzag", "prefix", "interpret"))
+def chunked_delta_bins(body, woff, bidx, first, widths_present,
+                       chunk: int, n_chunks: int, zigzag: bool = True,
+                       prefix: bool = True, interpret: bool = False):
+    """Fused chunked-width delta decode.
+
+    ``body``: (>= total words + chunk,) u32 packed chunk bodies in
+    ORIGINAL chunk order (zero-padded tail: the fixed-size DMA reads
+    ``chunk`` words from every offset); ``woff``: (n_chunks,) i32 word
+    offset of each chunk; ``bidx``: (n_chunks,) i32 index of each
+    chunk's width in the static ``widths_present`` tuple; ``first``:
+    (1,) i32 array holding the u32 bits added to every prefix (the
+    stream's element-0 anchor).
+
+    Returns (n_chunks*chunk,) u32: with ``prefix=True`` the exact
+    inclusive cumsum of the (optionally un-zigzagged) decoded deltas
+    plus ``first`` -- bit-identical to
+    ``first + jnp.cumsum(unzigzag(unpack(...)))`` in u32 wrap
+    (tests/test_pallas.py) -- i.e. the decoded bins of a Coil/Sort
+    plane in one device pass."""
+    M = chunk // 128
+    if chunk % 128 or M < 8:
+        raise ValueError(f"chunk {chunk} must be a multiple of 1024")
+    kernel = functools.partial(
+        _delta_kernel,
+        widths_present=tuple(int(w) for w in widths_present),
+        chunk=chunk, n_chunks=n_chunks, zigzag=zigzag, prefix=prefix)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,          # woff, bidx
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),       # body (HBM)
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # first (1,)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # out (HBM)
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk), jnp.uint32),          # in slots
+            pltpu.VMEM((2, M, 128), jnp.uint32),         # out slots
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_chunks * M, 128), jnp.uint32),
+        interpret=interpret,
+    )(woff.astype(jnp.int32), bidx.astype(jnp.int32),
+      body.astype(jnp.uint32), first)
+    return out.reshape(-1)
+
+
+def decode_chunked_stream(body, widths, first, chunk: int, n: int,
+                          zigzag: bool = True, prefix: bool = True,
+                          interpret: bool = False):
+    """Host-orchestrated entry: derive offsets/branch tables from the
+    (host) width table, pad the body for the fixed-size DMA, and run
+    the kernel.  Output trimmed to ``n`` elements.  ``first`` is a
+    host int (u32 bit pattern preserved exactly)."""
+    widths = np.asarray(widths, dtype=np.int64)
+    n_chunks = int(widths.shape[0])
+    if n_chunks == 0:
+        return jnp.zeros((0,), jnp.uint32)
+    if int(widths.max(initial=0)) > 32:
+        raise ValueError(
+            f"chunk width {int(widths.max())} > 32 in stream width table")
+    words_per_chunk = (chunk * widths) // 32
+    woff = np.concatenate([[0], np.cumsum(words_per_chunk)[:-1]])
+    present = tuple(sorted(int(w) for w in np.unique(widths)))
+    lut = {w: i for i, w in enumerate(present)}
+    bidx = np.asarray([lut[int(w)] for w in widths], dtype=np.int32)
+    total = int(words_per_chunk.sum())
+    body = jnp.asarray(body)
+    pad = total + chunk - int(body.shape[0])
+    if pad > 0:
+        body = jnp.pad(body, (0, pad))
+    first_arr = jnp.asarray(
+        np.asarray([first], dtype=np.uint64).astype(np.uint32)
+        .view(np.int32))
+    out = chunked_delta_bins(
+        body, jnp.asarray(woff.astype(np.int32)), jnp.asarray(bidx),
+        first_arr, present, chunk, n_chunks, zigzag=zigzag,
+        prefix=prefix, interpret=interpret)
+    return out[:n]
