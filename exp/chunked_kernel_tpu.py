@@ -43,21 +43,21 @@ def build(chunk):
         vals = jnp.asarray(zc[idx].reshape(-1))
         packed = np.asarray(bitpack.uniform_pack(vals, int(w)))
         wpc = chunk * int(w) // 32
-        for k, c in enumerate(idx):
-            pass
         parts.append((idx, packed.reshape(len(idx), wpc)))
-    # assemble body in original chunk order
+    # assemble body in original chunk order, v1.1 column-major layout
     wpcs = (chunk * widths.astype(np.int64)) // 32
     offs = np.concatenate([[0], np.cumsum(wpcs)[:-1]])
     body = np.zeros(int(wpcs.sum()), np.uint32)
     for idx, rows in parts:
+        w = rows.shape[1] * 32 // chunk
         for k, c in enumerate(idx):
-            body[offs[c]:offs[c] + rows.shape[1]] = rows[k]
+            body[offs[c]:offs[c] + rows.shape[1]] = \
+                chunked_pallas.body_to_cmajor(rows[k], w, chunk)
     return bins, body, widths, first
 
 
 def main():
-    for chunk in (16384, 32768, 65536):
+    for chunk in (16384,):
         bins, body, widths, first = build(chunk)
         print(f"chunk={chunk}: n_chunks={len(widths)} "
               f"widths={np.unique(widths)}", flush=True)

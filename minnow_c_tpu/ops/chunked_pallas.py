@@ -46,12 +46,20 @@ from .scan_pallas import _tile_prefix
 
 def _chunk_body_vals(scratch_words, width: int, M: int):
     """Unpack one chunk's words (VMEM scratch, flat) at a static width
-    into (M, 128) u32 values in row-major element order."""
+    into (M, 128) u32 values in row-major element order.
+
+    The chunk body is stored COLUMN-MAJOR (the Coil v1.1 wire layout):
+    flat[c * M + m] = word ``4*width*m + c`` of the chunk's natural
+    bitstream -- precisely the (4*width, M) static-row-pair layout of
+    ``_unpack_128``.  ``scratch_words`` arrives as a (128, 128) 2D
+    vector (M = 128), so word row c is literally scratch row c: the
+    chunk's W matrix is a STATIC row slice -- no reshape (Mosaic
+    rejects 1D->2D vector shape casts entirely: both (M, 4w) and
+    (4w, M) views of a flat slice failed 'unsupported shape cast')."""
     if width == 0:
-        z = scratch_words[:M * 128].reshape(M, 128)
-        return z ^ z  # all-zero chunk, no stored bits
-    w4 = scratch_words[: M * 4 * width].reshape(M, 4 * width)
-    return _unpack_128(w4.T, width).T          # (M, 128)
+        return scratch_words ^ scratch_words   # (128, 128) zeros
+    w4 = scratch_words[: 4 * width, :]         # (4w, 128) static slice
+    return _unpack_128(w4, width).T            # (M, 128)
 
 
 def _delta_kernel(woff_ref, bidx_ref, body_ref, first_ref, out_ref,
@@ -63,25 +71,28 @@ def _delta_kernel(woff_ref, bidx_ref, body_ref, first_ref, out_ref,
     per-chunk SMEM table ``bidx_ref`` holds each chunk's index into it.
     ``first_ref``: (1,) SMEM i32 whose BITS are added (u32) to every
     prefix value (the stream's element-0 anchor).  ``prefix=False``
-    skips the cumsum (plain chunked unpack)."""
+    skips the cumsum (plain chunked unpack).  ``body_ref`` is 2D
+    (word_rows, 128) and ``woff_ref`` holds ROW offsets (chunk word
+    offsets are multiples of 512, so rows of 128 divide evenly)."""
     M = chunk // 128
-    max_words = chunk  # width <= 32 => at most chunk*32/32 words
+    max_rows = 128  # width <= 32 => at most chunk words = 128 rows
+
+    def _i32(v):
+        # python ints lower as i64 (tpu.memref_slice rejects them), but
+        # converting an ALREADY-TRACED scalar recurses in Mosaic (the
+        # documented SMEM-scalar dtype-conversion landmine) -- coerce
+        # only literals
+        return jnp.int32(v) if isinstance(v, int) else v
 
     def in_dma(slot, ci):
-        # indices must be i32: python ints lower as i64, which
-        # tpu.memref_slice rejects
-        slot = jnp.asarray(slot, jnp.int32)
-        ci = jnp.asarray(ci, jnp.int32)
         return pltpu.make_async_copy(
-            body_ref.at[pl.ds(woff_ref[ci], max_words)],
-            in_scratch.at[slot], in_sems.at[slot])
+            body_ref.at[pl.ds(woff_ref[_i32(ci)], max_rows)],
+            in_scratch.at[_i32(slot)], in_sems.at[_i32(slot)])
 
     def out_dma(slot, ci):
-        slot = jnp.asarray(slot, jnp.int32)
-        ci = jnp.asarray(ci, jnp.int32)
         return pltpu.make_async_copy(
-            out_scratch.at[slot],
-            out_ref.at[pl.ds(ci * M, M)], out_sems.at[slot])
+            out_scratch.at[_i32(slot)],
+            out_ref.at[pl.ds(_i32(ci) * M, M)], out_sems.at[_i32(slot)])
 
     in_dma(0, 0).start()
 
@@ -89,8 +100,9 @@ def _delta_kernel(woff_ref, bidx_ref, body_ref, first_ref, out_ref,
                 for wv in widths_present]
 
     def body(ci, carry):
-        slot = ci & 1          # bitwise: lax.rem fails to legalize
-        nxt = (ci + 1) & 1
+        one = jnp.int32(1)     # literals lower as i64; force i32
+        slot = ci & one        # bitwise: lax.rem fails to legalize
+        nxt = (ci + one) & one
 
         @pl.when(ci + 1 < n_chunks)
         def _():
@@ -102,8 +114,24 @@ def _delta_kernel(woff_ref, bidx_ref, body_ref, first_ref, out_ref,
         if zigzag:
             z = (z >> jnp.uint32(1)) ^ (jnp.uint32(0) - (z & jnp.uint32(1)))
         if prefix:
+            # The carry rides as a FULL value-replicated (M, 128)
+            # vector: corner slices have positional vpad layouts Mosaic
+            # cannot re-broadcast ('Broadcast in both sublanes and
+            # lanes'), u32 jnp.sum promotes to u64 under x64, and
+            # lax.reduce with a custom monoid is unimplemented -- a
+            # roll-ladder tree sum (all-rotations) leaves every element
+            # holding the chunk total, so carry updates are plain
+            # vector adds with no reduction, slice, or broadcast.
+            # u32 addition wraps mod 2^32: total == last prefix elem.
+            total = z
+            for k in (1, 2, 4, 8, 16, 32, 64):
+                total = total + pltpu.roll(total, jnp.int32(k), 1)
+            k = 1
+            while k < M:
+                total = total + pltpu.roll(total, jnp.int32(k), 0)
+                k *= 2
             z = _tile_prefix(z) + carry
-            carry = z[M - 1:M, 127:128]
+            carry = carry + total
 
         # the out slot was last used for chunk ci-2; its DMA must have
         # drained before the buffer is overwritten
@@ -114,12 +142,16 @@ def _delta_kernel(woff_ref, bidx_ref, body_ref, first_ref, out_ref,
         out_dma(slot, ci).start()
         return carry
 
-    # element-0 anchor: SMEM i32 scalar -> (1,1) vector -> u32 bitcast
-    # (scalar dtype conversion recurses in Mosaic; vector bitcast is fine)
+    # element-0 anchor: SMEM i32 scalar -> (M, 128) replicated vector ->
+    # u32 bitcast (scalar dtype conversion recurses in Mosaic; vector
+    # bitcast is fine; full shape matches the replicated carry)
     first = jax.lax.bitcast_convert_type(
-        jnp.broadcast_to(first_ref[0], (1, 1)), jnp.uint32)
+        jnp.broadcast_to(first_ref[0], (M, 128)), jnp.uint32)
     init = first if prefix else first ^ first
-    jax.lax.fori_loop(0, n_chunks, body, init)
+    # i32 bounds: under the package's x64 mode a python-int bound makes
+    # the induction variable i64, and every i64<->i32 promotion in the
+    # body recurses in Mosaic (the scalar dtype-conversion landmine)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_chunks), body, init)
 
     # drain the last (up to) two output DMAs; slot parities are static
     if n_chunks >= 2:
@@ -150,8 +182,13 @@ def chunked_delta_bins(body, woff, bidx, first, widths_present,
     (tests/test_pallas.py) -- i.e. the decoded bins of a Coil/Sort
     plane in one device pass."""
     M = chunk // 128
-    if chunk % 128 or M < 8:
-        raise ValueError(f"chunk {chunk} must be a multiple of 1024")
+    if chunk != 16384:
+        # M = 128 makes a chunk's word rows a static (4w, 128) slice of
+        # the 2D scratch (Mosaic rejects 1D->2D vector shape casts) and
+        # makes every chunk word offset a multiple of 128 (row-aligned
+        # DMA source)
+        raise ValueError(
+            f"chunk {chunk}: the kernel requires chunk == 16384")
     kernel = functools.partial(
         _delta_kernel,
         widths_present=tuple(int(w) for w in widths_present),
@@ -161,23 +198,31 @@ def chunked_delta_bins(body, woff, bidx, first, widths_present,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),       # body (HBM)
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # first (1,)
+            # explicit i*0 index map: the default map returns python-int
+            # 0, which lowers as i64 under x64 and fails to legalize
+            pl.BlockSpec((1,), lambda i, *_: (i * 0,),
+                         memory_space=pltpu.SMEM),      # first (1,)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # out (HBM)
         scratch_shapes=[
-            pltpu.VMEM((2, chunk), jnp.uint32),          # in slots
+            pltpu.VMEM((2, 128, 128), jnp.uint32),       # in slots (2D)
             pltpu.VMEM((2, M, 128), jnp.uint32),         # out slots
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    if body.shape[0] % 128:
+        raise ValueError("body must be padded to a multiple of 128 words")
+    body2 = body.astype(jnp.uint32).reshape(-1, 128)
+    # word offsets are multiples of 512 (chunk/32 words per width unit);
+    # the kernel takes ROW offsets into the (rows, 128) body view
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_chunks * M, 128), jnp.uint32),
         interpret=interpret,
-    )(woff.astype(jnp.int32), bidx.astype(jnp.int32),
-      body.astype(jnp.uint32), first)
+    )((woff // 128).astype(jnp.int32), bidx.astype(jnp.int32),
+      body2, first)
     return out.reshape(-1)
 
 
@@ -202,7 +247,8 @@ def decode_chunked_stream(body, widths, first, chunk: int, n: int,
     bidx = np.asarray([lut[int(w)] for w in widths], dtype=np.int32)
     total = int(words_per_chunk.sum())
     body = jnp.asarray(body)
-    pad = total + chunk - int(body.shape[0])
+    want = -(-(total + chunk) // 128) * 128  # DMA overrun + 128-row pad
+    pad = want - int(body.shape[0])
     if pad > 0:
         body = jnp.pad(body, (0, pad))
     first_arr = jnp.asarray(
@@ -213,3 +259,25 @@ def decode_chunked_stream(body, widths, first, chunk: int, n: int,
         first_arr, present, chunk, n_chunks, zigzag=zigzag,
         prefix=prefix, interpret=interpret)
     return out[:n]
+
+
+def body_to_cmajor(natural: np.ndarray, width: int, chunk: int
+                   ) -> np.ndarray:
+    """Rearrange one chunk's packed words from natural bitstream order
+    (word k = bits [32k, 32k+32)) to the v1.1 column-major wire layout
+    (flat[c*M + m] = natural[4*width*m + c], M = chunk // 128)."""
+    if width == 0:
+        return natural
+    M = chunk // 128
+    return np.ascontiguousarray(
+        np.asarray(natural).reshape(M, 4 * width).T).reshape(-1)
+
+
+def body_from_cmajor(cmajor: np.ndarray, width: int, chunk: int
+                     ) -> np.ndarray:
+    """Inverse of :func:`body_to_cmajor`."""
+    if width == 0:
+        return cmajor
+    M = chunk // 128
+    return np.ascontiguousarray(
+        np.asarray(cmajor).reshape(4 * width, M).T).reshape(-1)

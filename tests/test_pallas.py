@@ -328,3 +328,128 @@ def test_cumsum_u32_matches_jnp(n):
     got = np.asarray(scan_pallas.cumsum_u32(jnp.asarray(x),
                                             interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+class TestChunkedDeltaKernel:
+    """ops/chunked_pallas.py: fused chunked-width delta decode
+    (interpreter mode).  Parity: first + cumsum(unzigzag(unpack)) in
+    u32 wrap, across mixed per-chunk widths, ragged tails, and the
+    zero-width (constant) chunk."""
+
+    CHUNK = 16384
+
+    def _build(self, widths_pattern, seed=0, trim=0):
+        from minnow_c_tpu.ops import chunked_pallas, kernels
+        rng = np.random.default_rng(seed)
+        n_chunks = len(widths_pattern)
+        n = self.CHUNK * n_chunks - trim
+        zz = np.zeros(n_chunks * self.CHUNK, np.uint32)
+        for c, w in enumerate(widths_pattern):
+            if w:
+                zz[c * self.CHUNK:(c + 1) * self.CHUNK] = rng.integers(
+                    0, 1 << w, self.CHUNK, dtype=np.int64)
+        zz = zz[:n].copy()
+        zz[0] = 0
+        first = int(rng.integers(0, 1 << 31))
+        # reference: u32 cumsum of unzigzag
+        zi = zz.astype(np.int64)
+        d = ((zi >> 1) ^ -(zi & 1)).astype(np.int64)
+        ref = (first + np.cumsum(d)) % (1 << 32)
+        return zz, first, ref.astype(np.uint32), n
+
+    def _pack(self, zz, n_chunks):
+        from minnow_c_tpu.ops import bitpack as bp
+        from minnow_c_tpu.ops import chunked_pallas
+        zp = np.zeros(n_chunks * self.CHUNK, np.uint32)
+        zp[:len(zz)] = zz
+        zc = zp.reshape(n_chunks, self.CHUNK)
+        widths = np.asarray([int(c.max()).bit_length() for c in zc],
+                            np.uint8)
+        parts = [chunked_pallas.body_to_cmajor(
+            np.asarray(bp.uniform_pack(jnp.asarray(zc[c]),
+                                       int(widths[c]))),
+            int(widths[c]), self.CHUNK)
+            for c in range(n_chunks) if widths[c]]
+        body = np.concatenate(parts) if parts else np.zeros(0, np.uint32)
+        return body, widths
+
+    @pytest.mark.parametrize("pattern", [
+        (7, 15, 7), (24,), (0, 9, 0, 3), (1, 32, 5)])
+    def test_prefix_matches_cumsum(self, pattern):
+        from minnow_c_tpu.ops import chunked_pallas
+        zz, first, ref, n = self._build(pattern, trim=137)
+        body, widths = self._pack(zz, len(pattern))
+        out = np.asarray(chunked_pallas.decode_chunked_stream(
+            body, widths, first, self.CHUNK, n, zigzag=True,
+            prefix=True, interpret=True))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_unpack_only_mode(self):
+        from minnow_c_tpu.ops import chunked_pallas
+        zz, _, _, n = self._build((5, 11), trim=64)
+        body, widths = self._pack(zz, 2)
+        out = np.asarray(chunked_pallas.decode_chunked_stream(
+            body, widths, 0, self.CHUNK, n, zigzag=False,
+            prefix=False, interpret=True))
+        np.testing.assert_array_equal(out, zz)
+
+    def test_cmajor_roundtrip(self):
+        from minnow_c_tpu.ops import chunked_pallas
+        rng = np.random.default_rng(3)
+        for w in (1, 7, 32):
+            nat = rng.integers(0, 1 << 32, self.CHUNK * w // 32,
+                               dtype=np.int64).astype(np.uint32)
+            cm = chunked_pallas.body_to_cmajor(nat, w, self.CHUNK)
+            back = chunked_pallas.body_from_cmajor(cm, w, self.CHUNK)
+            np.testing.assert_array_equal(back, nat)
+
+    def test_rejects_wrong_chunk(self):
+        from minnow_c_tpu.ops import chunked_pallas
+        with pytest.raises(ValueError, match="16384"):
+            chunked_pallas.decode_chunked_stream(
+                np.zeros(32, np.uint32), np.asarray([4], np.uint8), 0,
+                1024, 1024, interpret=True)
+
+
+class TestEncodeRecipFused:
+    """encode_recip_fused_blocks: one-pass stats+recip+bin+pack, parity
+    with the split pipeline (interpreter mode)."""
+
+    @pytest.mark.parametrize("periodic", [True, False])
+    def test_matches_split_path(self, periodic):
+        import jax
+        from minnow_c_tpu.ops import encode_pallas as ep
+        from minnow_c_tpu.ops import kernels
+        from minnow_c_tpu.parallel.sharding import _rows_stats_raw
+        rng = np.random.default_rng(1)
+        B, D, n, depth, W = 3, 3, 2048, 14, 64.0
+        x = rng.uniform(0, W, (B, D, n)).astype(np.float32)
+        xd = jnp.asarray(x)
+        box = W if periodic else None
+        words, mn, mx = ep.encode_recip_fused_blocks(
+            xd, jnp.float32(W if periodic else 0.0), xd[:, :, 0], depth,
+            periodic, interpret=True)
+        rows = xd.reshape(B * D, n)
+        mn2, mx2 = _rows_stats_raw(rows, box, False, False)
+        rng_b = jnp.max((mx2 - mn2).reshape(B, D), axis=1)
+        recip = kernels.exact_recip(rng_b)
+        bins = jax.vmap(
+            lambda r, o, rc, a: ep._recip_bins_xla(
+                r, o, rc, jnp.float32(W if periodic else 0.0), a, depth,
+                periodic))(rows, mn2, jnp.repeat(recip, D), rows[:, 0])
+        w2 = jax.vmap(lambda b: bitpack.uniform_pack(b, depth))(bins)
+        np.testing.assert_array_equal(
+            np.asarray(words).reshape(B * D, -1), np.asarray(w2))
+        np.testing.assert_array_equal(np.asarray(mn).reshape(-1),
+                                      np.asarray(mn2))
+        np.testing.assert_array_equal(np.asarray(mx).reshape(-1),
+                                      np.asarray(mx2))
+
+    def test_constant_plane(self):
+        from minnow_c_tpu.ops import encode_pallas as ep
+        x = jnp.full((1, 3, 1024), 7.5, jnp.float32)
+        words, mn, mx = ep.encode_recip_fused_blocks(
+            x, jnp.float32(0.0), x[:, :, 0], 11, False, interpret=True)
+        np.testing.assert_array_equal(np.asarray(words),
+                                      np.zeros_like(np.asarray(words)))
+        assert float(np.asarray(mn)[0, 0]) == 7.5
