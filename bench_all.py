@@ -553,8 +553,11 @@ def main():
     all_fns = (config1, config2, config3, config4, config4_100m, config5,
                config6_streaming)
     fns = [f for f in all_fns if not selected or f.__name__ in selected]
+    # merge-safe: always start from what is on disk so foreign sections
+    # (config5_1B from exp/config5_1b.py) survive a full-matrix refresh
+    # (the round-4 records-clobbering lesson, bench/records.py)
     prior = {}
-    if selected and os.path.exists("bench_results.json"):
+    if os.path.exists("bench_results.json"):
         with open("bench_results.json") as f:
             prior = json.load(f)
         results.update(prior)

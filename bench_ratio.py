@@ -45,6 +45,11 @@ CODECS = {
     "octo": (mnw.AlgoCode.OCTO, _sv.pack(1, 0, 0)),
     "sort": (mnw.AlgoCode.SORT, _sv.pack(1, 1, 0)),
     "cart": (mnw.AlgoCode.CART, _sv.pack(1, 0, 0)),
+    # Sort v1.2 order-free profile (patch 1): drops the rank stream;
+    # decode returns ascending values.  Single-plane fields only
+    # ("n/a" cells elsewhere) -- Sort's niche: order-free scalar
+    # archives (round-5 VERDICT item 9).
+    "sort_of": (mnw.AlgoCode.SORT, _sv.pack(1, 2, 1)),
 }
 
 # Per-kind accuracy grids: each must satisfy delta * 2^24 > range (the
@@ -54,6 +59,7 @@ DELTAS = {
     "velc": [1.0, 1e-1, 1e-2],    # range ~2e3 for sigma=200 normals
     "unsf": [1e-2, 1e-3, 1e-4],   # range ~10
     "ptid": [0.0],                # lossless
+    "unsi": [0.0],                # lossless raw u64 payload
 }
 
 
@@ -71,6 +77,12 @@ def datasets(n=N, seed=0):
     ids_coh = (np.arange(n, dtype=np.uint64) +
                rng.integers(0, 3, n).astype(np.uint64))
     ids_rand = rng.permutation(1 << 24)[:n].astype(np.uint64)
+    # dense permutation IDs archived as raw UNSI (single plane): the
+    # order-free-archive workload where sorted deltas collapse to
+    # ~1 bit/elem
+    unsi_dense = rng.permutation(n).astype(np.uint64) + 7
+    unsi_sparse = np.sort(rng.choice(1 << 30, n, replace=False)
+                          ).astype(np.uint64)[rng.permutation(n)]
     return {
         ("posn", "coherent"): pos_coh,
         ("posn", "random"): pos_rand,
@@ -80,6 +92,8 @@ def datasets(n=N, seed=0):
         ("unsf", "random"): uf_rand,
         ("ptid", "coherent"): ids_coh,
         ("ptid", "random"): ids_rand,
+        ("unsi", "dense-perm"): unsi_dense,
+        ("unsi", "sparse"): unsi_sparse,
     }
 
 
@@ -117,6 +131,22 @@ def ref_id_size(ids: np.ndarray, grid: int = 1024) -> int:
     return total
 
 
+def ref_uint_size(vals: np.ndarray) -> int:
+    """Reference pipeline size for raw u64 ints: min-subtract, pack at
+    needed width, LZ4 (+4 B raw length) -- the uint branch of the mock
+    pipeline (quant.c uint handling + compress_util_bench.c LZ4)."""
+    lo = int(vals.min())
+    rel = (vals - np.uint64(lo)).astype(np.uint64)
+    width = max(1, int(rel.max()).bit_length())
+    if width <= 32:
+        words = np.asarray(bitpack.uniform_pack(
+            jnp.asarray(rel.astype(np.uint32)), width))
+    else:
+        words = rel.view(np.uint32)
+    comp = entropy.encode(np.ascontiguousarray(words))
+    return min(len(comp), words.nbytes) + 4
+
+
 def our_size(kind: str, data, delta: float, codec: str) -> int:
     algo, ver = CODECS[codec]
     n = data.shape[-1]
@@ -129,6 +159,9 @@ def our_size(kind: str, data, delta: float, codec: str) -> int:
     elif kind == "unsf":
         acc = mnw.FloatAccuracy(delta=delta)
         fc = mnw.FieldCode.UNSF
+    elif kind == "unsi":
+        acc = mnw.IntAccuracy()
+        fc = mnw.FieldCode.UNSI
     else:
         acc = mnw.IDAccuracy(width=1024)
         fc = mnw.FieldCode.PTID
@@ -144,10 +177,15 @@ def main():
         for delta in DELTAS[kind]:
             if kind == "ptid":
                 ref = ref_id_size(arr)
+            elif kind == "unsi":
+                ref = ref_uint_size(arr)
             else:
                 ref = ref_float_planes_size(arr, delta)
             cells = {}
             for codec in CODECS:
+                if codec == "sort_of" and kind not in ("unsf", "unsi"):
+                    cells[codec] = "n/a"  # single-plane profile only
+                    continue
                 try:
                     cells[codec] = our_size(kind, arr, delta, codec)
                 except Exception as e:  # pragma: no cover

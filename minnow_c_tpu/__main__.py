@@ -89,6 +89,14 @@ def main(argv=None):
     t.add_argument("output")
     t.add_argument("--algo", required=True,
                    help="target codec: Trim, Diff, Coil, Octo, Sort, Cart")
+    t.add_argument("--codec-version", default=None, metavar="X.Y.Z",
+                   help="codec version (default: newest registered). "
+                        "'Sort --codec-version 1.2.1' selects the "
+                        "order-free profile: the rank stream is dropped "
+                        "(much smaller files, Diff-class decode) and "
+                        "values decode in ASCENDING order -- scalar "
+                        "(Unsf/Unsi) fields only; choose it for "
+                        "order-free analysis archives")
 
     v = sub.add_parser("verify", help="integrity-check every segment, "
                                       "field, and block checksum")
@@ -184,6 +192,13 @@ def main(argv=None):
             algo = getattr(AlgoCode, args.algo.upper())
         except AttributeError:
             raise SystemExit(f"unknown codec {args.algo!r}")
+        cver = None
+        if args.codec_version is not None:
+            from . import semver as _sv
+            try:
+                cver = _sv.from_string(args.codec_version)
+            except ValueError as e:
+                raise SystemExit(str(e))
         import os
         with open(args.input, "rb") as fin, open(args.output, "wb") as fo:
             client = _skip_client_header(fin)
@@ -198,7 +213,7 @@ def main(argv=None):
                 if len(fin.read(1)) == 0:
                     break  # end of file
                 fin.seek(pos)
-                pairs = ((transcode_segment(seg, algo),
+                pairs = ((transcode_segment(seg, algo, version=cver),
                           (hd.origin, hd.width))
                          for hd, seg in seg_io.iter_segments(fin))
                 n += seg_io.write_segments_streaming(fo, pairs)

@@ -32,14 +32,15 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
 
 
-def chunk_widths(z: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Split a u32 stream into (n_chunks, CHUNK) rows (zero-padded) and
+def chunk_widths(z: np.ndarray, chunk: int = CHUNK
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Split a u32 stream into (n_chunks, chunk) rows (zero-padded) and
     per-chunk bit widths."""
     n = z.shape[0]
-    n_chunks = -(-n // CHUNK)
-    zp = np.zeros(n_chunks * CHUNK, dtype=np.uint32)
+    n_chunks = -(-n // chunk)
+    zp = np.zeros(n_chunks * chunk, dtype=np.uint32)
     zp[:n] = z
-    zc = zp.reshape(n_chunks, CHUNK)
+    zc = zp.reshape(n_chunks, chunk)
     maxes = zc.max(axis=1)
     # bit_length(m) == ceil(log2(m + 1)); exact in f64 for all u32
     # (vectorized -- the Python-loop version costs ~390k interpreter
@@ -62,6 +63,7 @@ def pack_chunks(zc: np.ndarray, widths: np.ndarray) -> bytes:
             ((zc.max(axis=1) >> np.minimum(widths, 31).astype(np.uint32))
              == 0) | (widths.astype(np.int64) >= 32)).all()),
         "chunk value exceeds declared width")
+    chunk = int(zc.shape[1]) if n_chunks else CHUNK
     chunk_bytes = [b""] * n_chunks
     for wv in np.unique(widths):
         if wv == 0:
@@ -69,11 +71,16 @@ def pack_chunks(zc: np.ndarray, widths: np.ndarray) -> bytes:
         idx = np.nonzero(widths == wv)[0]
         m = len(idx)
         mp = _next_pow2(m)
-        rows = np.zeros((mp, CHUNK), dtype=np.uint32)
+        rows = np.zeros((mp, chunk), dtype=np.uint32)
         rows[:m] = zc[idx]
-        packed = np.asarray(
-            bitpack.uniform_pack(jnp.asarray(rows.reshape(-1)), int(wv)))
-        wpc = CHUNK * int(wv) // 32
+        # native C++ pack: byte-identical to bitpack.uniform_pack (the
+        # oracle relationship is tested) with ZERO XLA compiles -- on
+        # this runtime every (width, size) program costs a 5-30 s
+        # remote compile, and width-diverse streams (Octo's Morton
+        # plane) hit ~20 of them (round-4: 254 s warm encode)
+        from ..ops import native as _native
+        packed = _native.uniform_pack_host(rows.reshape(-1), int(wv))
+        wpc = chunk * int(wv) // 32
         packed = packed[: mp * wpc].reshape(mp, wpc)
         le = packed.astype("<u4", copy=False)
         for row, c in enumerate(idx):
@@ -85,9 +92,10 @@ def pack_chunks(zc: np.ndarray, widths: np.ndarray) -> bytes:
     return b"".join(chunk_bytes)
 
 
-def unpack_chunks(body: np.ndarray, widths: np.ndarray) -> np.ndarray:
+def unpack_chunks(body: np.ndarray, widths: np.ndarray,
+                  chunk: int = CHUNK) -> np.ndarray:
     """Inverse of pack_chunks: ``body`` is the concatenated u32 words,
-    ``widths`` the per-chunk widths.  Returns (n_chunks, CHUNK) u32."""
+    ``widths`` the per-chunk widths.  Returns (n_chunks, chunk) u32."""
     n_chunks = widths.shape[0]
     if n_chunks and int(widths.max()) > 32:
         # wire-sourced width table: malformed (checksum-colliding or
@@ -95,15 +103,15 @@ def unpack_chunks(body: np.ndarray, widths: np.ndarray) -> np.ndarray:
         # inside the gather below
         raise ValueError(
             f"chunk width {int(widths.max())} > 32 in stream width table")
-    words_per_chunk = (CHUNK * widths.astype(np.int64)) // 32
+    words_per_chunk = (chunk * widths.astype(np.int64)) // 32
     offsets = np.concatenate([[0], np.cumsum(words_per_chunk)])
-    out = np.zeros((n_chunks, CHUNK), dtype=np.uint32)
+    out = np.zeros((n_chunks, chunk), dtype=np.uint32)
     for wv in np.unique(widths):
         if wv == 0:
             continue
         idx = np.nonzero(widths == wv)[0]
         m = len(idx)
-        wpc = CHUNK * int(wv) // 32
+        wpc = chunk * int(wv) // 32
         # vectorized gather of all same-width chunk bodies
         gidx = offsets[idx][:, None] + np.arange(wpc)[None, :]
         rows = body[gidx]  # (m, wpc)
@@ -111,14 +119,15 @@ def unpack_chunks(body: np.ndarray, widths: np.ndarray) -> np.ndarray:
         if mp != m:
             rows = np.concatenate(
                 [rows, np.zeros((mp - m, wpc), dtype=np.uint32)])
-        vals = np.asarray(bitpack.uniform_unpack(
-            jnp.asarray(rows.reshape(-1)), int(wv), mp * CHUNK))
-        out[idx] = vals.reshape(mp, CHUNK)[:m]
+        from ..ops import native as _native
+        vals = _native.uniform_unpack_host(
+            np.ascontiguousarray(rows.reshape(-1)), int(wv), mp * chunk)
+        out[idx] = vals.reshape(mp, chunk)[:m]
     return out
 
 
-def total_words(widths: np.ndarray) -> int:
-    return int(((CHUNK * widths.astype(np.int64)) // 32).sum())
+def total_words(widths: np.ndarray, chunk: int = CHUNK) -> int:
+    return int(((chunk * widths.astype(np.int64)) // 32).sum())
 
 
 # ---------------------------------------------------------------------------
@@ -157,17 +166,17 @@ def _bit_widths_device(maxes):
         jnp.uint8)
 
 
-def chunk_widths_device(z):
+def chunk_widths_device(z, chunk: int = CHUNK):
     """Device analog of ``chunk_widths``: z (n,) u32 device array ->
-    (zc (n_chunks, CHUNK) device, widths (n_chunks,) host u8).  One small
+    (zc (n_chunks, chunk) device, widths (n_chunks,) host u8).  One small
     D2H fetch (the width table -- it goes in the wire payload anyway)."""
     import jax.numpy as jnp
     n = int(z.shape[0])
-    n_chunks = -(-n // CHUNK)
-    pad = n_chunks * CHUNK - n
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
     if pad:
         z = jnp.pad(z, (0, pad))
-    zc = z.reshape(n_chunks, CHUNK)
+    zc = z.reshape(n_chunks, chunk)
     widths = np.asarray(_bit_widths_device(jnp.max(zc, axis=1)))
     return zc, widths
 
@@ -198,44 +207,56 @@ def _flat_pack(vals, width: int):
     return bitpack.uniform_pack(vals, width)
 
 
-def chunk_widths_auto(z):
+def chunk_widths_auto(z, chunk: int = CHUNK):
     """Dispatch ``chunk_widths``: device path on TPU (z may be a device
     array; one small width-table fetch), numpy elsewhere."""
     if _use_device():
         import jax.numpy as jnp
-        return chunk_widths_device(jnp.asarray(z))
-    return chunk_widths(np.asarray(z))
+        return chunk_widths_device(jnp.asarray(z), chunk)
+    return chunk_widths(np.asarray(z), chunk)
+
+
+_MAX_DEVICE_WIDTHS = 8  # beyond this many DISTINCT chunk widths, the
+# per-width device program count (each a 5-30 s remote compile on this
+# runtime) dwarfs any device speedup; the native host path is
+# byte-identical and compile-free
 
 
 def pack_chunks_auto(zc, widths: np.ndarray) -> bytes:
-    """Dispatch ``pack_chunks`` by backend; identical bytes either way."""
-    if _use_device():
+    """Dispatch ``pack_chunks`` by backend; identical bytes either way.
+    Width-diverse streams route to the native host pack regardless of
+    backend (compile-cost bound; see _MAX_DEVICE_WIDTHS)."""
+    if _use_device() and \
+            len(np.unique(widths)) <= _MAX_DEVICE_WIDTHS:
         import jax.numpy as jnp
         return pack_chunks_device(jnp.asarray(zc), widths)
     return pack_chunks(np.asarray(zc), widths)
 
 
-def unpack_chunks_auto(body, widths: np.ndarray):
+def unpack_chunks_auto(body, widths: np.ndarray, chunk: int = CHUNK):
     """Dispatch ``unpack_chunks``; the device path returns a DEVICE
-    (n_chunks, CHUNK) array (value-identical), the host path numpy."""
-    if _use_device():
-        return unpack_chunks_device(body, widths)
-    return unpack_chunks(np.asarray(body), widths)
+    (n_chunks, chunk) array (value-identical), the host path numpy.
+    Width-diverse streams use the native host unpack (compile-cost
+    bound; see _MAX_DEVICE_WIDTHS)."""
+    if _use_device() and \
+            len(np.unique(widths)) <= _MAX_DEVICE_WIDTHS:
+        return unpack_chunks_device(body, widths, chunk)
+    return unpack_chunks(np.asarray(body), widths, chunk)
 
 
-def unpack_chunks_device(body, widths: np.ndarray):
+def unpack_chunks_device(body, widths: np.ndarray, chunk: int = CHUNK):
     """Device-resident ``unpack_chunks``: ``body`` u32 words (device or
-    host), ``widths`` host u8 table.  Returns a DEVICE (n_chunks, CHUNK)
+    host), ``widths`` host u8 table.  Returns a DEVICE (n_chunks, chunk)
     u32 array, value-identical to ``unpack_chunks``."""
     import jax
     import jax.numpy as jnp
     n_chunks = widths.shape[0]
     if n_chunks == 0:
-        return jnp.zeros((0, CHUNK), jnp.uint32)
+        return jnp.zeros((0, chunk), jnp.uint32)
     if int(widths.max()) > 32:
         raise ValueError(
             f"chunk width {int(widths.max())} > 32 in stream width table")
-    words_per_chunk = (CHUNK * widths.astype(np.int64)) // 32
+    words_per_chunk = (chunk * widths.astype(np.int64)) // 32
     offsets = np.concatenate([[0], np.cumsum(words_per_chunk)])
     # Device gather indices below are int32; a plane beyond 2^31 packed
     # words (~8 GiB) would silently wrap where the host path's int64
@@ -253,9 +274,9 @@ def unpack_chunks_device(body, widths: np.ndarray):
         order.append(idx)
         m = len(idx)
         if wv == 0:
-            outs.append(jnp.zeros((m, CHUNK), jnp.uint32))
+            outs.append(jnp.zeros((m, chunk), jnp.uint32))
             continue
-        wpc = CHUNK * int(wv) // 32
+        wpc = chunk * int(wv) // 32
         mp = _next_pow2(m)
         off = np.zeros(mp, dtype=np.int32)
         off[:m] = offsets[idx]
@@ -266,8 +287,8 @@ def unpack_chunks_device(body, widths: np.ndarray):
         # Barrier: a gather fused into its consumer is ~100x slow on this
         # backend (see ops/fastpath.py).
         rows = jax.lax.optimization_barrier(rows)
-        vals = _flat_unpack(rows, int(wv), mp * CHUNK)
-        outs.append(vals.reshape(mp, CHUNK)[:m])
+        vals = _flat_unpack(rows, int(wv), mp * chunk)
+        outs.append(vals.reshape(mp, chunk)[:m])
     cat = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
     src = np.concatenate(order)
     if np.array_equal(src, np.arange(n_chunks)):
@@ -286,7 +307,8 @@ def pack_chunks_device(zc, widths: np.ndarray) -> bytes:
     n_chunks = int(zc.shape[0])
     if n_chunks == 0:
         return b""
-    words_per_chunk = (CHUNK * widths.astype(np.int64)) // 32
+    chunk = int(zc.shape[1])
+    words_per_chunk = (chunk * widths.astype(np.int64)) // 32
     offsets = np.concatenate([[0], np.cumsum(words_per_chunk)])
     nw = int(offsets[-1])
     if nw == 0:
@@ -304,13 +326,13 @@ def pack_chunks_device(zc, widths: np.ndarray) -> bytes:
             continue
         idx = np.nonzero(widths == wv)[0]
         m = len(idx)
-        wpc = CHUNK * int(wv) // 32
+        wpc = chunk * int(wv) // 32
         mp = _next_pow2(m)
         rows = zc[jnp.asarray(idx)]
         rows = jax.lax.optimization_barrier(rows)  # gather barrier
         if mp != m:
             rows = jnp.concatenate(
-                [rows, jnp.zeros((mp - m, CHUNK), jnp.uint32)])
+                [rows, jnp.zeros((mp - m, chunk), jnp.uint32)])
         packed = _flat_pack(rows.reshape(-1), int(wv))
         parts.append(packed[: m * wpc])
         dest.append((offsets[idx][:, None] +

@@ -43,6 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .decode_pallas import _unpack_128
 from .scan_pallas import _tile_prefix
 
+KERNEL_OK_CHUNK = 16384  # the only chunk size the Mosaic path supports
+
 
 def _chunk_body_vals(scratch_words, width: int, M: int):
     """Unpack one chunk's words (VMEM scratch, flat) at a static width

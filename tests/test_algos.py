@@ -254,9 +254,10 @@ class TestSortV11:
             np.testing.assert_array_equal(np.asarray(out.fields[0].data),
                                           ids)
 
-    def test_newest_resolves_v11(self):
-        v = registry.newest(mnw.AlgoCode.SORT)
-        assert semver.minor(v) == 1
+    def test_v11_registered_alongside_newer(self):
+        # newest is 1.2 since round 5; 1.1 must stay registered forever
+        assert registry.supports(mnw.AlgoCode.SORT, semver.pack(1, 1, 0))
+        assert semver.minor(registry.newest(mnw.AlgoCode.SORT)) == 2
 
     def test_v10_streams_still_decode(self):
         n = 3000
@@ -453,3 +454,199 @@ class TestChunkedDevicePath:
             np.testing.assert_array_equal(
                 np.asarray(out_h.fields[0].data),
                 np.asarray(out_d.fields[0].data))
+
+
+class TestCoilV11:
+    """Coil v1.1: parametric chunk size + column-major bodies (round-5).
+    The generic TestAllFieldTypes already exercises v1.1 via
+    registry.newest; these pin the version-specific behavior."""
+
+    def test_newest_resolves_v11(self):
+        from minnow_c_tpu import semver as sv
+        v = registry.newest(mnw.AlgoCode.COIL)
+        assert (sv.major(v), sv.minor(v)) == (1, 1)
+
+    def test_v10_streams_still_decode(self):
+        import dataclasses
+        from minnow_c_tpu import semver as sv
+        seg, pos, *_ = seg_with(mnw.AlgoCode.COIL, n=3000)
+        seg = mnw.Seg(fields=[
+            mnw.Field(hd=dataclasses.replace(
+                f.hd, algo_version=sv.pack(1, 0, 0)), data=f.data,
+                acc=f.acc) for f in seg.fields])
+        blob = api.compress_segment(seg, seed=2)
+        out = api.decompress_segment(blob)
+        err = np.abs(np.asarray(out.fields[0].data) - pos)
+        err = np.minimum(err, 64.0 - err)
+        assert err.max() <= 1e-3
+
+    def test_big_chunk_path_roundtrip(self, monkeypatch):
+        """Force the 16384-element chunk format at test scale and check
+        the host decode path round-trips (the kernel path is covered by
+        make tpu-test / bench_codecs on-chip)."""
+        from minnow_c_tpu.algos import algo_coil_v1_1 as c11
+        monkeypatch.setattr(c11, "BIG_PLANE", 30000)
+        seg, pos, *_ = seg_with(mnw.AlgoCode.COIL, n=40000)
+        blob = api.compress_segment(seg, seed=7)
+        out = api.decompress_segment(blob)
+        err = np.abs(np.asarray(out.fields[0].data) - pos)
+        err = np.minimum(err, 64.0 - err)
+        assert err.max() <= 1e-3
+        # wire really carries chunk_log2 = 14
+        from minnow_c_tpu.algos.blocks import decode_block
+        from minnow_c_tpu.segment import format as wire_fmt
+        ws = wire_fmt.deserialize(blob if isinstance(blob, bytes)
+                                  else bytes(blob))
+        coil_f = [f for f in ws.fields
+                  if f.field_code == int(mnw.FieldCode.POSN)][0]
+        payload, _, _ = decode_block(coil_f.blocks[1])
+        raw = np.ascontiguousarray(payload).view(np.uint8)
+        assert int(raw[8]) == 14  # chunk_log2
+
+    def test_small_plane_ratio_matches_v10(self):
+        """At < 2^20 values the encoder keeps 256-element chunks, so
+        v1.1 segments cost v1.0 + 4 bytes/plane (the chunk_log2 tag)."""
+        from minnow_c_tpu import semver as sv
+        import dataclasses
+        seg11, *_ = seg_with(mnw.AlgoCode.COIL, n=50000, sorted_pos=True)
+        seg10, *_ = seg_with(mnw.AlgoCode.COIL, n=50000, sorted_pos=True)
+        seg10 = mnw.Seg(fields=[
+            mnw.Field(hd=dataclasses.replace(
+                f.hd, algo_version=sv.pack(1, 0, 0)), data=f.data,
+                acc=f.acc) for f in seg10.fields])
+        b11 = api.compress_segment(seg11, seed=3)
+        b10 = api.compress_segment(seg10, seed=3)
+        # 4 B/plane tag + LZ4 jitter from the shifted payload offsets
+        assert len(b11) <= len(b10) * 1.005
+
+    def test_kernel_vs_host_decode_parity(self):
+        """decode via the interpret-mode kernel == the host chunked
+        path, bit for bit, on a big-chunk stream."""
+        import jax.numpy as jnp
+        from minnow_c_tpu.algos import algo_coil_v1_1 as c11
+        from minnow_c_tpu.ops import chunked_pallas, kernels
+        rng = np.random.default_rng(4)
+        n = 3 * 16384 + 1000
+        walk = np.cumsum(rng.integers(-30, 31, n), dtype=np.int64)
+        bins = ((walk - walk.min()) % (1 << 14)).astype(np.uint32)
+        codec = c11.CoilV1_1()
+        old = c11.BIG_PLANE
+        c11.BIG_PLANE = 16384
+        try:
+            payload, _ = codec._encode_plane(jnp.asarray(bins), 14)
+        finally:
+            c11.BIG_PLANE = old
+        raw = np.ascontiguousarray(payload).view(np.uint8)
+        n_chunks = int(raw[:4].view(np.uint32)[0])
+        first = int(raw[4:8].view(np.uint32)[0])
+        widths = raw[12:12 + n_chunks].astype(np.uint8)
+        body = raw[12 + n_chunks + ((-n_chunks) % 4):].view(np.uint32)
+        got = np.asarray(chunked_pallas.decode_chunked_stream(
+            np.ascontiguousarray(body), widths, first, 16384, n,
+            zigzag=True, prefix=True, interpret=True))
+        np.testing.assert_array_equal(got, bins)
+        # and the codec's own (host) decode agrees
+        host = np.asarray(codec._decode_plane(payload, 0, n))
+        np.testing.assert_array_equal(host, bins)
+
+
+class TestSortV12:
+    """Sort v1.2: parametric chunks + the order-free profile (round-5
+    item 9 -- Sort's demonstrated niche)."""
+
+    def test_newest_resolves_v12(self):
+        from minnow_c_tpu import semver as sv
+        v = registry.newest(mnw.AlgoCode.SORT)
+        assert (sv.major(v), sv.minor(v)) == (1, 2)
+
+    def test_ranked_roundtrip_all_fields(self):
+        seg, pos, vel, ids, uf, ui = seg_with(mnw.AlgoCode.SORT, n=3000)
+        blob = api.compress_segment(seg, seed=5)
+        out = api.decompress_segment(blob)
+        np.testing.assert_array_equal(np.asarray(out.fields[2].data), ids)
+        np.testing.assert_array_equal(np.asarray(out.fields[4].data), ui)
+
+    def test_order_free_scalar_roundtrip(self):
+        """Patch 1 = order-free: decoded UNSI values are the sorted
+        multiset of the input; the stream has no rank stream and is
+        strictly smaller than the ranked encode."""
+        from minnow_c_tpu import semver as sv
+        rng = np.random.default_rng(8)
+        n = 20000
+        ui = (rng.permutation(1 << 20)[:n] + 7).astype(np.uint64)
+
+        def seg_for(patch):
+            hd = mnw.FieldHeader(mnw.FieldCode.UNSI, mnw.AlgoCode.SORT,
+                                 sv.pack(1, 2, patch), n)
+            return mnw.Seg(fields=[mnw.Field(
+                hd=hd, data=ui, acc=mnw.IntAccuracy())])
+
+        ranked = api.compress_segment(seg_for(0), seed=1)
+        free = api.compress_segment(seg_for(1), seed=1)
+        assert len(free) < len(ranked) * 0.75  # rank stream dropped
+        out = api.decompress_segment(free)
+        got = np.asarray(out.fields[0].data)
+        np.testing.assert_array_equal(got, np.sort(ui))
+
+    def test_order_free_rejects_3dim(self):
+        from minnow_c_tpu import semver as sv
+        import pytest
+        n = 2048
+        rng = np.random.default_rng(2)
+        pos = rng.uniform(0, 64, (3, n)).astype(np.float32)
+        hd = mnw.FieldHeader(mnw.FieldCode.POSN, mnw.AlgoCode.SORT,
+                             sv.pack(1, 2, 1), n)
+        seg = mnw.Seg(fields=[mnw.Field(
+            hd=hd, data=pos,
+            acc=mnw.PositionAccuracy(delta=1e-3, width=64.0))])
+        with pytest.raises(ValueError, match="order-free"):
+            api.compress_segment(seg, seed=1)
+
+    def test_order_free_wins_on_dense_ids(self):
+        """The niche row (VERDICT item 9): on a dense permutation ID
+        field, order-free Sort beats Coil -- the repo's otherwise-best
+        codec -- outright."""
+        from minnow_c_tpu import semver as sv
+        rng = np.random.default_rng(9)
+        n = 100_000
+        ids = rng.permutation(n).astype(np.uint64)
+
+        def one(algo, ver):
+            hd = mnw.FieldHeader(mnw.FieldCode.UNSI, algo, ver, n)
+            return len(api.compress_segment(mnw.Seg(fields=[mnw.Field(
+                hd=hd, data=ids, acc=mnw.IntAccuracy())]), seed=1))
+
+        sort_free = one(mnw.AlgoCode.SORT, sv.pack(1, 2, 1))
+        coil = one(mnw.AlgoCode.COIL, registry.newest(mnw.AlgoCode.COIL))
+        assert sort_free < coil * 0.25, (sort_free, coil)
+
+    def test_v11_streams_still_decode(self):
+        import dataclasses
+        from minnow_c_tpu import semver as sv
+        seg, pos, *_ = seg_with(mnw.AlgoCode.SORT, n=3000)
+        seg = mnw.Seg(fields=[
+            mnw.Field(hd=dataclasses.replace(
+                f.hd, algo_version=sv.pack(1, 1, 0)), data=f.data,
+                acc=f.acc) for f in seg.fields])
+        blob = api.compress_segment(seg, seed=2)
+        out = api.decompress_segment(blob)
+        err = np.abs(np.asarray(out.fields[0].data) - pos)
+        err = np.minimum(err, 64.0 - err)
+        assert err.max() <= 1e-3
+
+    def test_big_chunk_kernel_parity(self):
+        """v1.2 decode through the interpret-mode kernel == host path
+        on a big-chunk ranked stream."""
+        import jax.numpy as jnp
+        from minnow_c_tpu.algos import algo_coil_v1_1 as c11
+        from minnow_c_tpu.algos import algo_sort_v1_2 as s12
+        import unittest.mock as mock
+        rng = np.random.default_rng(5)
+        n = 2 * 16384 + 777
+        bins = rng.integers(0, 1 << 16, n, dtype=np.int64).astype(
+            np.uint32)
+        codec = s12.SortV1_2()
+        with mock.patch.object(s12, "BIG_PLANE", 16384):
+            payload, _ = codec._encode_plane(jnp.asarray(bins), 16)
+        out = np.asarray(codec._decode_plane(payload, 0, n))
+        np.testing.assert_array_equal(out, bins)

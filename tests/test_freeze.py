@@ -34,6 +34,8 @@ ALGOS = {
     "sort": (mnw.AlgoCode.SORT, _sv.pack(1, 0, 0)),
     "sort_v1_1": (mnw.AlgoCode.SORT, _sv.pack(1, 1, 0)),
     "trim_v1_1": (mnw.AlgoCode.TRIM, _sv.pack(1, 1, 0)),
+    "coil_v1_1": (mnw.AlgoCode.COIL, _sv.pack(1, 1, 0)),
+    "sort_v1_2": (mnw.AlgoCode.SORT, _sv.pack(1, 2, 0)),
     "cart": (mnw.AlgoCode.CART, _sv.pack(1, 0, 0)),
 }
 
@@ -116,6 +118,23 @@ def current_digests():
         for f in seg.fields:
             h.update(np.ascontiguousarray(np.asarray(f.data)).tobytes())
         out[f"{name}_decode_sha256"] = h.hexdigest()
+    # Sort v1.2 order-free profile (patch 1): single-plane UNSI stream,
+    # the mode-1 wire pinned separately from the ranked fixture
+    rng = np.random.default_rng(54321)
+    n = 4096
+    ui = (rng.permutation(1 << 18)[:n] + 3).astype(np.uint64)
+    hd = mnw.FieldHeader(mnw.FieldCode.UNSI, mnw.AlgoCode.SORT,
+                         _sv.pack(1, 2, 1), n)
+    of_seg = mnw.Seg(fields=[mnw.Field(hd=hd, data=ui,
+                                       acc=mnw.IntAccuracy())])
+    blob = api.compress_segment(of_seg, seed=777)
+    out["sort_v1_2_orderfree_encode_sha256"] = \
+        hashlib.sha256(blob).hexdigest()
+    out["sort_v1_2_orderfree_bytes"] = len(blob)
+    dec = api.decompress_segment(blob)
+    out["sort_v1_2_orderfree_decode_sha256"] = hashlib.sha256(
+        np.ascontiguousarray(np.asarray(dec.fields[0].data)).tobytes()
+    ).hexdigest()
     return out
 
 

@@ -59,3 +59,24 @@ class TestRatioSweep:
         ref = br.ref_id_size(ids)
         diff = br.our_size("ptid", ids, 0.0, "diff")
         assert diff < ref, (diff, ref)
+
+
+class TestSortOrderFreeNiche:
+    """Sort's demonstrated niche (round-5 item 9): on single-plane
+    order-free archives, the v1.2 rank-free profile is the BEST codec
+    outright -- including vs Coil, the best general-purpose codec."""
+
+    def test_dense_perm_ids_sort_wins(self, data):
+        arr = data[("unsi", "dense-perm")]
+        ref = br.ref_uint_size(arr)
+        sort_of = br.our_size("unsi", arr, 0.0, "sort_of")
+        others = {c: br.our_size("unsi", arr, 0.0, c)
+                  for c in ("trim", "diff", "coil", "sort")}
+        assert sort_of < min(others.values()), (sort_of, others)
+        assert sort_of < ref, (sort_of, ref)
+
+    def test_order_free_excluded_from_3dim(self, data):
+        import pytest
+        with pytest.raises(ValueError, match="order-free"):
+            br.our_size("posn", data[("posn", "coherent")], 1e-3,
+                        "sort_of")

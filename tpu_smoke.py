@@ -351,9 +351,62 @@ def main():
                     f"{name} field {fi} ({code:#x}): {bad} values off " \
                     "the strict-rounding oracle"
 
+    @check("chunked_delta_parity")
+    def c_chunked():
+        """ops/chunked_pallas.chunked_delta_bins (the Coil v1.1 fused
+        decode) == host math, bit for bit, incl. mixed widths and a
+        zero-width chunk."""
+        from minnow_c_tpu.algos.algo_coil_v1_1 import _cmajor_blob
+        from minnow_c_tpu.algos import chunked
+        from minnow_c_tpu.ops import chunked_pallas, kernels
+        CH = chunked_pallas.KERNEL_OK_CHUNK
+        n = 3 * CH + 1009
+        walk = np.cumsum(rng.integers(-40, 41, n), dtype=np.int64)
+        bins = ((walk - walk.min()) % (1 << 14)).astype(np.uint32)
+        bins[:CH // 2] = bins[0]  # a constant run (narrow/zero widths)
+        zz = np.asarray(kernels.u32_delta_zigzag(jnp.asarray(bins))).copy()
+        zz[0] = 0
+        zc, widths = chunked.chunk_widths(zz, CH)
+        body = np.frombuffer(
+            _cmajor_blob(chunked.pack_chunks(zc, widths), widths, CH),
+            dtype=np.uint32)
+        got = np.asarray(chunked_pallas.decode_chunked_stream(
+            body, widths, int(bins[0]), CH, n))
+        assert np.array_equal(got, bins), \
+            f"{(got != bins).sum()} of {n} bins differ"
+
+    @check("encode_recip_fused_parity")
+    def c_fused_encode():
+        """encode_recip_fused_blocks (one-pass stats+recip+bin+pack) ==
+        the split pipeline on-chip -- gates the in-kernel exact
+        reciprocal (approx seed + Newton corrections) against XLA's
+        rn(1/range), including adversarial ranges."""
+        from minnow_c_tpu.parallel.sharding import (_rows_encode_recip_raw,
+                                                    _rows_stats_raw)
+        B, D, nb = 4, 3, 8192
+        x = rng.uniform(0, W, (B, D, nb)).astype(np.float32)
+        # adversarial block: tiny range (subnormal-adjacent recip) and
+        # near-power-of-two range
+        x[1] = 5.0 + rng.uniform(0, 1e-5, (D, nb)).astype(np.float32)
+        x[2] = rng.uniform(0, 2.0, (D, nb)).astype(np.float32)
+        xd = jnp.asarray(x)
+        for depth in (11, 14, 24):
+            w1, mn1, mx1 = encode_pallas.encode_recip_fused_blocks(
+                xd, jnp.float32(W), xd[:, :, 0], depth, True)
+            rows = xd.reshape(B * D, nb)
+            mn2, mx2 = _rows_stats_raw(rows, W, True, False)
+            rng_r = jnp.repeat(
+                jnp.max((mx2 - mn2).reshape(B, D), axis=1), D)
+            w2 = _rows_encode_recip_raw(rows, mn2, rng_r, depth, W,
+                                        True, False)
+            assert neq(w1.reshape(B * D, -1), w2) == 0, \
+                f"depth {depth}: fused encode words differ from split"
+            assert neq(mn1.reshape(-1), mn2) == 0, "mn mismatch"
+            assert neq(mx1.reshape(-1), mx2) == 0, "mx mismatch"
+
     for fn in (c_dither, c_decode, c_decode_rows, c_unpack_rows, c_pack,
                c_encode_div, c_encode_recip, c_stats, c_division,
-               c_digest):
+               c_chunked, c_fused_encode, c_digest):
         fn()
 
     ok = all(v == "ok" for v in checks.values())
