@@ -37,7 +37,7 @@ ALGOS = [
     ("diff", mnw.AlgoCode.DIFF, semver.pack(1, 0, 0)),
     ("coil", mnw.AlgoCode.COIL, semver.pack(1, 1, 0)),
     ("octo", mnw.AlgoCode.OCTO, semver.pack(1, 0, 0)),
-    ("sort", mnw.AlgoCode.SORT, semver.pack(1, 1, 0)),
+    ("sort", mnw.AlgoCode.SORT, semver.pack(1, 2, 0)),
     ("cart", mnw.AlgoCode.CART, semver.pack(1, 0, 0)),
 ]
 
@@ -149,7 +149,6 @@ def device_decode_rates():
     f32 (diff) / bins (coil, sort) on device."""
     from minnow_c_tpu.algos import chunked
     from minnow_c_tpu.algos.algo_diff_v1_0 import _diff_plane_fused
-    from minnow_c_tpu.algos.algo_sort_v1_1 import _sort11_undo_device
     from minnow_c_tpu.ops import bitpack, kernels
     from minnow_c_tpu.ops import rng as _rng
 
@@ -237,33 +236,75 @@ def device_decode_rates():
     out["coil_device_decode_GBps"] = round(r.gb_per_second, 2)
     print(f"coil device decode: {r.gb_per_second:.2f} GB/s", flush=True)
 
-    # Sort v1.1: two chunked unpacks + cumsums + un-permute (gather)
+    # Sort v1.2: both profiles.  Order-free (the niche) = ONE fused
+    # kernel pass over the sorted-delta stream; ranked additionally
+    # pays the order-restoring element gather, which is this chip's
+    # hard floor (~0.4 GB/s, exp/coil_sort_gather.py) and the reason
+    # the order-free profile exists.
     sv = np.sort(bins)
     deltas = np.diff(sv, prepend=np.uint32(0)).astype(np.uint32)
-    first = np.uint32(deltas[0]); deltas[0] = 0
-    dc, dwid = chunked.chunk_widths(deltas)
-    dbody = np.frombuffer(chunked.pack_chunks(dc, dwid), dtype=np.uint32)
-    order = np.argsort(bins, kind="stable")
-    ranks = np.empty(n, np.uint32); ranks[order] = np.arange(n)
-    rz = np.asarray(kernels.u32_delta_zigzag(jnp.asarray(ranks)))[1:]
-    rc, rwid = chunked.chunk_widths(rz)
-    rbody = np.frombuffer(chunked.pack_chunks(rc, rwid), dtype=np.uint32)
-    db_d = jax.block_until_ready(jnp.asarray(dbody))
-    rb_d = jax.block_until_ready(jnp.asarray(rbody))
+    first_s = int(deltas[0]); deltas[0] = 0
+
+    def stage_chunked(stream):
+        zc2, wid = chunked.chunk_widths(stream, KERNEL_CHUNK)
+        body2 = np.frombuffer(
+            _cmajor_blob(chunked.pack_chunks(zc2, wid), wid,
+                         KERNEL_CHUNK), dtype=np.uint32)
+        nch = len(wid)
+        wp = (KERNEL_CHUNK * wid.astype(np.int64)) // 32
+        wo = np.concatenate([[0], np.cumsum(wp)[:-1]])
+        pres = tuple(sorted(int(w) for w in np.unique(wid)))
+        lu = {w: i for i, w in enumerate(pres)}
+        bi = np.asarray([lu[int(w)] for w in wid], np.int32)
+        padto = -(-(int(wp.sum()) + KERNEL_CHUNK) // 128) * 128
+        bd = jax.block_until_ready(jnp.asarray(np.concatenate(
+            [body2, np.zeros(padto - len(body2), np.uint32)])))
+        return bd, jnp.asarray(wo.astype(np.int32)), jnp.asarray(bi), \
+            pres, nch
+
+    db_d, dwo, dbi, dpres, dnch = stage_chunked(deltas)
 
     @jax.jit
-    def sort_step(s, db, rb):
-        dd = chunked.unpack_chunks_device(perturb(db, s),
-                                          dwid).reshape(-1)[:n]
-        dd = dd.at[0].set(first)
-        rr = chunked.unpack_chunks_device(rb, rwid).reshape(-1)[:n - 1]
-        return _sort11_undo_device(dd, rr, int(ranks[0]))
+    def sort_of_step(s, b, wo, bi):
+        out = chunked_pallas.chunked_delta_bins(
+            perturb(b, s), wo, bi,
+            jnp.asarray(np.asarray([first_s], np.uint32).view(np.int32)),
+            dpres, KERNEL_CHUNK, dnch, zigzag=False)
+        return out[:n]
 
-    f_sort = chain(sort_step)
-    r = harness.run(lambda s: f_sort(s, db_d, rb_d),
+    f_sof = chain(sort_of_step)
+    r = harness.run(lambda s: f_sof(s, db_d, dwo, dbi),
+                    bytes_per_iter=n * 4 * CHAIN)
+    out["sort_orderfree_device_decode_GBps"] = round(r.gb_per_second, 2)
+    print(f"sort order-free device decode: {r.gb_per_second:.2f} GB/s",
+          flush=True)
+
+    order = np.argsort(bins, kind="stable")
+    ranks = np.empty(n, np.uint32); ranks[order] = np.arange(n)
+    rz = np.asarray(kernels.u32_delta_zigzag(jnp.asarray(ranks))).copy()
+    rz[0] = 0
+    rb_d, rwo, rbi, rpres, rnch = stage_chunked(rz)
+
+    @jax.jit
+    def sort_ranked_step(s, db, dwo_, dbi_, rb, rwo_, rbi_):
+        sorted_vals = chunked_pallas.chunked_delta_bins(
+            perturb(db, s), dwo_, dbi_,
+            jnp.asarray(np.asarray([first_s], np.uint32).view(np.int32)),
+            dpres, KERNEL_CHUNK, dnch, zigzag=False)[:n]
+        rr = chunked_pallas.chunked_delta_bins(
+            rb, rwo_, rbi_,
+            jnp.asarray(np.asarray([ranks[0]], np.uint32).view(np.int32)),
+            rpres, KERNEL_CHUNK, rnch, zigzag=True)[:n]
+        sorted_vals = jax.lax.optimization_barrier(sorted_vals)
+        rr = jax.lax.optimization_barrier(rr)
+        return sorted_vals[rr]
+
+    f_sort = chain(lambda s, *a: sort_ranked_step(s, *a))
+    r = harness.run(lambda s: f_sort(s, db_d, dwo, dbi, rb_d, rwo, rbi),
                     bytes_per_iter=n * 4 * CHAIN)
     out["sort_device_decode_GBps"] = round(r.gb_per_second, 2)
-    print(f"sort device decode: {r.gb_per_second:.2f} GB/s", flush=True)
+    print(f"sort ranked device decode: {r.gb_per_second:.2f} GB/s",
+          flush=True)
     return out
 
 
