@@ -687,6 +687,67 @@ def main():
         "structure the reference's flat pipeline cannot see.  Both",
         "regimes are recorded per field/order/delta in",
         "doc/ratio_table.md and pinned by tests/test_ratio_sweep.py.", "",
+        '## Round 5: the dynamic-offset wall, the chunked kernel, and the',
+        '## rows-encode envelope',
+        '',
+        '**The wall.**  Every spelling of data-dependent data movement in',
+        'XLA:TPU caps at ~0.3-25 GB/s on this chip (exp/coil_sort_gather*.py):',
+        'element gathers 0.44, vmapped dynamic_slice 0.27, row takes 17-24',
+        '(any row size 256 B - 64 KB), contiguous dynamic_slice spans 9.3,',
+        "lax.sort-as-unpermute 1.06.  Coil's round-4 decode (1.5 GB/s) was",
+        'gather-bound with no gather-shaped fix available.',
+        '',
+        '**The chunked kernel** (ops/chunked_pallas.py) eliminates the gathers:',
+        'one grid step fori-loops over 16384-element chunks, double-buffering',
+        'manual DMA at scalar-prefetched offsets, unpacking at per-chunk static',
+        'widths (lax.switch), un-zigzagging, prefixing, and carrying the cumsum',
+        'across chunks -- one HBM read of packed words, one write of bins.',
+        'Recorded device-phase decode (bench_kernels.json [codecs.device_decode],',
+        'bit-parity gated on-chip by tpu_smoke):',
+        '',
+        '    coil (v1.1)            65.9 GB/s   (was 1.5; bar >= 25)',
+        '    sort order-free (v1.2) 69.7 GB/s   (bar >= 5)',
+        '    diff                   25.1 GB/s',
+        '    sort ranked (v1.2)      0.45 GB/s  -- the order-restoring element',
+        '                                       gather IS the wall; the',
+        '                                       order-free profile exists to',
+        '                                       skip it',
+        '',
+        '**Rows recip encode: the measured envelope.**  Round 4 left',
+        'rows_recip_encode at 90 GB/s vs the 304 single-stream headline, with',
+        '"done = >= 200 or a breakdown".  The breakdown, from four structural',
+        'variants (exp/rows_encode_hbm.py):',
+        '',
+        '    100 MB (VMEM regime): pallas-stats split 90.8 | XLA-stats split',
+        '    86.1 | fused one-pass kernel 88.9',
+        '    400 MB (HBM-bound):   pallas-stats split 66.7 | XLA-stats split',
+        '    78.2 | fused one-pass kernel 51.3',
+        '',
+        'The fused kernel (encode_pallas.encode_recip_fused_blocks: stats +',
+        'block range + in-kernel IEEE-exact reciprocal + bin + pack, one HBM',
+        'pass, on-chip parity-gated) is a documented NEGATIVE result: the',
+        'monolithic block-per-step kernel pipelines worse than the split',
+        "kernels' smaller grid steps, and holding or recomputing the unwrap",
+        'in-kernel costs more than the saved stats read.  The single-stream',
+        "headline's remaining margin is VMEM-chain fusion (its XLA stats+scale",
+        'fuse into the measuring chain for free) that no rows-contract pipeline',
+        'can use: per-block scalars force a materialized boundary before the',
+        'pack kernel.  Production keeps the pallas-stats split (best at the',
+        'VMEM scale; within 17% of best at the HBM scale, where it reads cold',
+        "data at ~2.2x the XLA stats pass's rate in isolation).",
+        '',
+        '**Compile budget.**  Chunked streams with > 8 distinct widths use the',
+        'native C++ pack/unpack (byte-identical; zero XLA programs) -- the Octo',
+        'Morton plane compiled ~20 per-width device programs at 5-30 s remote',
+        'compile each (254 s warm encode in the round-4 record).',
+        'bench_codecs.py records programs_compiled per codec.  Floor: on this',
+        'runtime, cold-cache warm-up = programs x remote-compile latency;',
+        'with the persistent cache primed (any prior run), warm-up is seconds.',
+        '',
+        '**End-to-end codec rows** in bench_kernels.json [codecs] measure the',
+        'full segment API on this TUNNEL-bound runtime (100 MB crosses a',
+        '~25 MB/s link each way), so their GB/s are environment artifacts; the',
+        'device_decode section carries the chip-relevant numbers.', "",
         "## Results", "",
     ]
     lines = preamble + ["```json", json.dumps(results, indent=2), "```"]

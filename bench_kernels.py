@@ -264,29 +264,10 @@ def main():
     # and, by the 14th such executable in one process, measured 0.01
     # GB/s for a pipeline that runs 75 GB/s with argument-passing.
     def mk_rows_recip_encode():
-        # the production path since round 5: ONE kernel doing stats +
-        # block range + exact recip + bin + pack (bit-identical to the
-        # split path below; encode_pallas.encode_recip_fused_blocks)
-        from minnow_c_tpu.ops import encode_pallas as _ep
-
-        @jax.jit
-        def g(salt, x):
-            s = salt
-            w = None
-            for i in range(CHAIN):
-                xs = salted_f32(x, s)
-                xb = xs.reshape(RB, 3, RND)
-                w, mn, mx = _ep.encode_recip_fused_blocks(
-                    xb, jnp.float32(W), xb[:, :, 0], 14, True)
-                s = u32_red(w[0]) ^ jnp.uint32(i)
-            return s, w
-        return lambda s: g(s, xrows)
-    bench("rows_recip_encode", mk_rows_recip_encode,
-          bytes_per_iter=ROWS_N * 4)
-
-    def mk_rows_recip_encode_split():
-        # the pre-round-5 two-kernel pipeline (stats pallas + XLA glue +
-        # encode pallas), kept for the before/after record
+        # the production path: pallas stats + pallas encode (a fused
+        # one-pass variant, encode_pallas.encode_recip_fused_blocks,
+        # measured SLOWER at both 100 MB and 400 MB scales --
+        # exp/rows_encode_hbm.py + the fused row below)
         @jax.jit
         def g(salt, x):
             s = salt
@@ -301,7 +282,27 @@ def main():
                 s = u32_red(w[0]) ^ jnp.uint32(i)
             return s, w
         return lambda s: g(s, xrows)
-    bench("rows_recip_encode_split", mk_rows_recip_encode_split,
+    bench("rows_recip_encode", mk_rows_recip_encode,
+          bytes_per_iter=ROWS_N * 4)
+
+    def mk_rows_recip_encode_fused_1pass():
+        # the negative result, kept measured: one kernel doing stats +
+        # block range + in-kernel exact recip + bin + pack
+        from minnow_c_tpu.ops import encode_pallas as _ep
+
+        @jax.jit
+        def g(salt, x):
+            s = salt
+            w = None
+            for i in range(CHAIN):
+                xs = salted_f32(x, s)
+                xb = xs.reshape(RB, 3, RND)
+                w, mn, mx = _ep.encode_recip_fused_blocks(
+                    xb, jnp.float32(W), xb[:, :, 0], 14, True)
+                s = u32_red(w[0]) ^ jnp.uint32(i)
+            return s, w
+        return lambda s: g(s, xrows)
+    bench("rows_recip_encode_fused_1pass", mk_rows_recip_encode_fused_1pass,
           bytes_per_iter=ROWS_N * 4)
 
     wrows = jax.device_put(jnp.asarray(

@@ -590,22 +590,29 @@ def _exact_recip_scalar(d):
 
 
 def _encode_recip_fused_kernel(x_ref, scal_ref, w_ref, st_ref, *,
-                               width: int, periodic: bool, dims: int):
-    """One grid step = one block: x (1, dims, M, 128) raw floats ->
-    words (1, dims, M, 4*width) + stats (1, dims, 256) [mn | mx lanes].
-    scal (SMEM) (B, 1 + dims): [box, anchor_0..anchor_{dims-1}] per
-    block."""
+                               width: int, periodic: bool, dims: int,
+                               M: int):
+    """One grid step = one block: x (1, dims*M, 128) raw floats (the
+    dims rows stacked along the sublane-tile axis -- a second-minor dim
+    of ``dims`` would be padded to 8 sublanes by Mosaic, 2.7x the DMA
+    traffic for dims=3) -> words (1, dims*M, 4*width) + stats
+    (1, dims, 256) [mn | mx lanes].  scal (SMEM) (B, 1 + dims): [box,
+    anchor_0..anchor_{dims-1}] per block."""
     b = pl.program_id(0)
     box = scal_ref[b, 0]
-    mns, mxs, unwrapped = [], [], []
-    for r in range(dims):
-        xv = x_ref[0, r]                       # (M, 128)
+
+    def unwrap(r):
+        xv = x_ref[0, r * M:(r + 1) * M]       # (M, 128) static slice
         if periodic:
             anchor = scal_ref[b, 1 + r]
             half = box * jnp.float32(0.5)
             xv = jnp.where(xv - anchor >= half, xv - box, xv)
             xv = jnp.where(xv - anchor < -half, xv + box, xv)
-        unwrapped.append(xv)
+        return xv
+
+    mns, mxs = [], []
+    for r in range(dims):
+        xv = unwrap(r)
         mns.append(jnp.min(xv))
         mxs.append(jnp.max(xv))
     rng = mxs[0] - mns[0]
@@ -614,8 +621,13 @@ def _encode_recip_fused_kernel(x_ref, scal_ref, w_ref, st_ref, *,
     recip = _exact_recip_scalar(jnp.full((1, 1), rng, jnp.float32))[0, 0]
     nb = jnp.float32(np.float32(np.exp2(width, dtype=np.float64)))
     for r in range(dims):
-        scaled = ((unwrapped[r].T - mns[r]) * recip) * nb   # (128, M)
-        w_ref[0, r] = _pack_body(scaled, width=width, from_f32=True)
+        # RECOMPUTE the unwrap (deterministic, bit-identical) rather
+        # than holding dims live (M, 128) arrays across both phases --
+        # the held values spill VMEM registers, costing more traffic
+        # than the recompute
+        scaled = ((unwrap(r).T - mns[r]) * recip) * nb      # (128, M)
+        w_ref[0, r * M:(r + 1) * M] = _pack_body(scaled, width=width,
+                                                 from_f32=True)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
         st_ref[0, r] = jnp.where(lane < 128, mns[r], mxs[r])[0]
 
@@ -642,31 +654,31 @@ def encode_recip_fused_blocks(x, box, anchors, width: int, periodic: bool,
             f"block of {D}x{n} values exceeds the fused kernel's VMEM "
             "budget; use the split stats+encode path")
     M = n // 128
-    x4 = x.reshape(B, D, M, 128)
+    x4 = x.reshape(B, D * M, 128)
     scal = jnp.concatenate(
         [jnp.full((B, 1), box, jnp.float32),
          anchors.astype(jnp.float32)], axis=1)               # (B, 1+D)
     kernel = functools.partial(_encode_recip_fused_kernel, width=width,
-                               periodic=periodic, dims=D)
+                               periodic=periodic, dims=D, M=M)
     space = pl.ANY if interpret else pltpu.VMEM
     words, st = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, D, M, 128), lambda b: (b, b * 0, b * 0, b * 0),
+            pl.BlockSpec((1, D * M, 128), lambda b: (b, b * 0, b * 0),
                          memory_space=space),
             pl.BlockSpec((B, 1 + D), lambda b: (b * 0, b * 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, D, M, 4 * width),
-                         lambda b: (b, b * 0, b * 0, b * 0),
+            pl.BlockSpec((1, D * M, 4 * width),
+                         lambda b: (b, b * 0, b * 0),
                          memory_space=space),
             pl.BlockSpec((1, D, 256), lambda b: (b, b * 0, b * 0),
                          memory_space=space),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, D, M, 4 * width), jnp.uint32),
+            jax.ShapeDtypeStruct((B, D * M, 4 * width), jnp.uint32),
             jax.ShapeDtypeStruct((B, D, 256), jnp.float32),
         ],
         interpret=interpret,

@@ -378,22 +378,17 @@ class ShardedPositionCodec(_MeshCodecBase):
             prefer = self.fused_rows
             if prefer is None:
                 prefer = self._on_tpu
-            from ..ops import decode_pallas as _dp
-            from ..ops import encode_pallas as _ep
-            if (self.scale_mode == "recip" and prefer and
-                    _dp.rows_kernel_eligible(depth, n_b) and
-                    1 <= depth <= 24 and n_b % 128 == 0 and
-                    3 * n_b <= (1 << 19)):
-                # fully-fused single-pass: stats + range + exact recip +
-                # bin + pack in ONE kernel (bit-identical to the split
-                # path below; round-5 rows-encode-gap fix)
-                xb = rows.reshape(b_l, 3, n_b)
-                words, mn3, mx3 = _ep.encode_recip_fused_blocks(
-                    xb, jnp.float32(width if width is not None else 0.0),
-                    xb[:, :, 0], depth, width is not None,
-                    interpret=self.interpret)
-                rng_b = jnp.max(mx3 - mn3, axis=1)
-                return (words.reshape(r3, -1), mn3, rng_b)
+            # NOTE (round 5): a fully-fused single-pass variant
+            # (encode_pallas.encode_recip_fused_blocks: stats + range +
+            # exact recip + bin + pack in one kernel) was built,
+            # parity-gated on-chip, and MEASURED SLOWER than this split
+            # pipeline at both the 100 MB (89 vs 91 GB/s) and 400 MB
+            # HBM-bound (50-53 vs 68) scales -- the monolithic
+            # block-per-step kernel pipelines worse than the split
+            # kernels' smaller grid steps, and holding/recomputing the
+            # unwrap in-kernel costs more than the saved stats read
+            # (exp/rows_encode_hbm.py; BENCH_NOTES round-5).  The split
+            # path stays the production encode.
             mn, mx = _rows_stats_raw(rows, width, prefer, self.interpret)
             x0 = mn.reshape(b_l, 3)
             rng_b = jnp.max((mx - mn).reshape(b_l, 3), axis=1)
@@ -616,22 +611,8 @@ class ShardedSnapshotCodec(_MeshCodecBase):
                                            prefer_pallas=on_tpu)
 
             def float_field(rows, depth, boxv):
-                n_b = rows.shape[1]
-                from ..ops import decode_pallas as _dp
-                from ..ops import encode_pallas as _ep
-                if (self.scale_mode == "recip" and prefer and
-                        _dp.rows_kernel_eligible(depth, n_b) and
-                        1 <= depth <= 24 and n_b % 128 == 0 and
-                        3 * n_b <= (1 << 19)):
-                    # one-pass fused stats+encode (see
-                    # ShardedPositionCodec._encode)
-                    xb = rows.reshape(b_l, 3, n_b)
-                    w, mn3, mx3 = _ep.encode_recip_fused_blocks(
-                        xb, jnp.float32(boxv if boxv is not None else 0.0),
-                        xb[:, :, 0], depth, boxv is not None,
-                        interpret=self.interpret)
-                    return (w.reshape(r3, -1), mn3,
-                            jnp.max(mx3 - mn3, axis=1))
+                # split stats+encode (the fused one-pass variant
+                # measured slower; see ShardedPositionCodec._encode)
                 mn, mx = _rows_stats_raw(rows, boxv, prefer,
                                          self.interpret)
                 x0 = mn.reshape(b_l, 3)
