@@ -142,3 +142,122 @@ class CoilV1_1(TrimV1_0):
 
 
 registry.register(CoilV1_1())
+
+
+# ---------------------------------------------------------------------------
+# Fused float decode (decompress_segment(fused=True) hook)
+# ---------------------------------------------------------------------------
+# Mirrors algo_diff_v1_0._fused_for_diff: bins come from the fused
+# chunked kernel (one pass), then the SAME XLA dither+undo tail as the
+# Diff fused plane (bit-identical to decompress + dequantize -- same
+# dither spec and keys; the tail is copied op-for-op from
+# _diff_plane_fused, which the parity tests pin).
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("n", "depth", "periodic"))
+def _coil11_undo_tail(bins, key, n: int, depth: int, x0, dx, box,
+                      periodic: bool):
+    from ..ops import rng as _rng
+    bins = jax.lax.optimization_barrier(bins)
+    bin_w = jnp.float32(dx) / jnp.float32(1 << depth)
+    u = _rng.uniform_dither((key[0], key[1]), (n,))
+    x = jnp.float32(x0) + bin_w * (bins.astype(jnp.float32) + u)
+    if periodic:
+        x = jax.lax.optimization_barrier(x)
+        x = jnp.where(x >= box, x - box, x)
+        x = jnp.where(x < 0, x + box, x)
+    return x
+
+
+def _coil11_plane_floats(self, payload_words, key, n: int, depth: int,
+                         x0, dx, box, periodic: bool):
+    bins = self._decode_plane(payload_words, 0, n)
+    return _coil11_undo_tail(jnp.asarray(bins), key, n, depth, x0, dx,
+                             jnp.float32(box), periodic)
+
+
+def _fused_for_coil11(self, hd, blocks, field_index):
+    """decompress_field_fused for Coil v1.1 float fields: the fused
+    chunked-kernel bins + the Diff-style undo tail (see TrimV1_0's
+    method for the contract)."""
+    from ..ops import rng as _rng
+    from ..quant.engine import depth_to_delta
+    from ..segment.stream import Reader
+    from ..types import (Field, FieldCode, FloatAccuracy,
+                         PositionAccuracy, VelocityAccuracy)
+    from .blocks import decode_block
+    from .algo_trim_v1_0 import _payload_words
+
+    code = hd.field_code
+    if type(self) is not CoilV1_1:
+        return None
+    if code not in (FieldCode.POSN, FieldCode.VELC, FieldCode.UNSF):
+        return None
+    if not blocks or any(b is None for b in blocks):
+        return None
+    n = hd.particle_len
+    if n < 2:
+        return None
+    if len(blocks) < (2 if code == FieldCode.UNSF else 4):
+        return None  # short-but-checksum-valid list: let generic degrade
+    meta, _, _ = decode_block(blocks[0])
+    r = Reader(meta.tobytes())
+    if code == FieldCode.UNSF:
+        x0 = r.f32()
+        x1 = r.f32()
+        depth = r.u8()
+        if r.u8() or r.u8():
+            return None  # per-particle depths / log scaling
+        r.u8()
+        r.f32()
+        seed = r.u64()
+        payload, _, _ = decode_block(blocks[1])
+        key = _rng.field_key_arr(seed, field_index, 0)
+        x = _coil11_plane_floats(
+            self, _payload_words(payload), key, n, depth, x0,
+            np.float32(x1) - np.float32(x0), 0.0, False)
+        return Field(hd=hd, data=x,
+                     acc=FloatAccuracy(delta=depth_to_delta(depth, x0, x1)))
+
+    is_pos = code == FieldCode.POSN
+    x0 = tuple(r.f32() for _ in range(3))
+    x1 = tuple(r.f32() for _ in range(3))
+    if is_pos:
+        box = r.f32()
+    depth = r.u8()
+    if r.u8():
+        return None
+    if not is_pos:
+        if r.u8():
+            return None
+        r.u8()
+        r.f32()
+    else:
+        r.u16()
+    seed = r.u64()
+    x0a = np.asarray(x0, dtype=np.float32)
+    x1a = np.asarray(x1, dtype=np.float32)
+    max_diff = float(np.float32(np.max(x1a - x0a)))
+    dims = []
+    for d in range(3):
+        payload, _, _ = decode_block(blocks[1 + d])
+        key = _rng.field_key_arr(seed, field_index, d)
+        # canonical bin width (see TrimV1_0.decompress_field_fused)
+        dx_eff = float(np.float32(float(x0a[d]) + max_diff) - x0a[d])
+        dims.append(_coil11_plane_floats(
+            self, _payload_words(payload), key, n, depth, float(x0a[d]),
+            dx_eff, box if is_pos else 0.0, is_pos))
+    data = jnp.stack(dims)
+    if is_pos:
+        acc = PositionAccuracy(
+            delta=depth_to_delta(depth, x0a[0], x0a[0] + max_diff),
+            width=box)
+    else:
+        acc = VelocityAccuracy(
+            delta=depth_to_delta(depth, x0a[0], x0a[0] + max_diff))
+    return Field(hd=hd, data=data, acc=acc)
+
+
+CoilV1_1.decompress_field_fused = _fused_for_coil11

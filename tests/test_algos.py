@@ -650,3 +650,16 @@ class TestSortV12:
             payload, _ = codec._encode_plane(jnp.asarray(bins), 16)
         out = np.asarray(codec._decode_plane(payload, 0, n))
         np.testing.assert_array_equal(out, bins)
+
+
+def test_coil11_fused_decode_bit_parity():
+    """decompress_segment(fused=True) must produce bit-identical floats
+    to the generic path for Coil v1.1 fields (the round-5 fused hook:
+    kernel bins + the Diff-style undo tail)."""
+    seg, pos, vel, ids, uf, ui = seg_with(mnw.AlgoCode.COIL, n=9000)
+    blob = api.compress_segment(seg, seed=11)
+    a = api.decompress_segment(blob, fused=True)
+    b = api.decompress_segment(blob, fused=False)
+    for fa, fb in zip(a.fields, b.fields):
+        np.testing.assert_array_equal(np.asarray(fa.data),
+                                      np.asarray(fb.data))
