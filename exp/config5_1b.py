@@ -104,9 +104,12 @@ def main():
         "readback_s": round(verify_s, 1),
         "note": "literal BASELINE config5 scale on one chip: 1B "
                 "particles streamed in 4M-particle waves; wall is "
-                "D2H-tunnel-bound (~25 MB/s), flat RSS growth proves "
-                "snapshot-size-independent memory; read-back decodes "
-                "sampled segments via skip-ahead and checks structure",
+                "D2H-tunnel-bound (~25 MB/s); NOTE ru_maxrss grows "
+                "~45 MB/wave in THIS environment (remote-tunnel host "
+                "staging buffers, not the writer -- a CPU-backend "
+                "VmRSS probe holds flat at 0.3 MB/wave; see "
+                "bench_results rss_note); read-back decodes sampled "
+                "segments via skip-ahead and checks structure",
     }
     os.unlink(PATH)
     path = os.path.join(os.path.dirname(os.path.dirname(
