@@ -556,11 +556,10 @@ def main():
     # merge-safe: always start from what is on disk so foreign sections
     # (config5_1B from exp/config5_1b.py) survive a full-matrix refresh
     # (the round-4 records-clobbering lesson, bench/records.py)
-    prior = {}
-    if os.path.exists("bench_results.json"):
-        with open("bench_results.json") as f:
-            prior = json.load(f)
-        results.update(prior)
+    from minnow_c_tpu.bench import records
+    # records.load tolerates a corrupt/truncated file (a damaged
+    # records file must never block a multi-hour bench run)
+    results.update(records.load("bench_results.json"))
     for fn in fns:
         try:
             results.pop(fn.__name__, None)  # clear stale error entries
@@ -571,8 +570,7 @@ def main():
         except Exception as e:  # keep the matrix running
             results[fn.__name__] = {"error": repr(e)[:500]}
             log(f"{fn.__name__} FAILED: {e!r}")
-    with open("bench_results.json", "w") as f:
-        json.dump(results, f, indent=2)
+    records.update_sections("bench_results.json", results)
     preamble = [
         "# BENCH NOTES (full config matrix)", "",
         "Generated by bench_all.py; headline metric lives in bench.py.", "",

@@ -7,8 +7,9 @@ BASELINE config never attempted).
 a real chained file on disk as they finish, so peak memory stays one
 wave regardless of snapshot size.  Recorded per the config4 precedent:
 wave wall (D2H-tunnel-bound on this runtime, ~25 MB/s) split from the
-RSS-flatness proof; plus a full read-back verification pass over a
-sampled subset of segments.
+memory evidence; plus a skip-ahead structural read-back over sampled
+segments (per-element delta verification is covered by the suite at
+smaller n -- the generated waves are not reproducible here).
 
 Writes the ``config5_1B`` section of bench_results.json (merge-safe).
 """
@@ -69,25 +70,26 @@ def main():
     size = os.path.getsize(PATH)
     growth_mb = (rss[-1] - rss[min(1, len(rss) - 1)]) / 1024
 
-    # read-back verification: walk all 250 headers (skip-ahead), decode
-    # a sample of segments, check the delta bound on each
+    # read-back: walk all 250 headers (skip-ahead), decode a sample of
+    # segments, and check STRUCTURE (shape, finiteness, box range) plus
+    # the stream-carried bin width against the requested delta.  A true
+    # per-value error check against the original data is impossible
+    # here (each wave's rng stream was consumed during generation), so
+    # this does NOT verify the delta bound per element -- the bound
+    # itself is covered by the suite's round-trip tests at smaller n.
     t0 = time.perf_counter()
     with open(PATH, "rb") as f:
         n_seg = seg_io.count_segments(f)
     sample = [0, WAVES // 2, WAVES - 1]
-    max_err = 0.0
     with open(PATH, "rb") as f:
         for idx, _, body in seg_io.iter_segments_selected(f, sample):
             seg = api.decompress_segment(body, fused=True)
             arr = np.asarray(seg.fields[0].data)
-            # uniform data: errors bound by delta via bin width; verify
-            # round-trip against a regenerated wave is impossible (rng
-            # stream consumed), so check structural sanity + bin-width
-            # bound via the quantized re-encode
-            q = api.wire_to_cseg(body)
             assert arr.shape == (3, NB)
             assert np.isfinite(arr).all()
             assert (arr >= 0).all() and (arr <= W).all()
+            # stream-carried accuracy must honor the requested delta
+            assert seg.fields[0].acc.delta <= 1e-3 + 1e-9
     verify_s = time.perf_counter() - t0
 
     entry = {

@@ -94,18 +94,34 @@ class SortV1_2(TrimV1_0):
         # mode rides the requested patch byte (encoder-side choice; the
         # stream stays self-describing via the payload mode flag)
         order_free = semver.patch(qf.hd.algo_version) == ORDER_FREE_PATCH
-        if order_free and np.asarray(qf.data).ndim > 1:
-            raise ValueError(
-                "Sort v1.2 order-free profile (patch 1) is for "
-                "single-plane fields only: 3-dim fields sort planes "
-                "independently, so dropping ranks would break tuple "
-                "pairing")
-        # single-threaded compress path: stash for _encode_plane
-        self._order_free = order_free
-        try:
+        if order_free:
+            from ..types import FieldCode
+            if np.asarray(qf.data).ndim > 1:
+                raise ValueError(
+                    "Sort v1.2 order-free profile (patch 1) is for "
+                    "single-plane fields only: 3-dim fields sort planes "
+                    "independently, so dropping ranks would break tuple "
+                    "pairing")
+            if (qf.hd.field_code == FieldCode.UNSI and
+                    int(qf.quant.x1) - int(qf.quant.x0) > 0xFFFFFFFF):
+                # wide-range u64 splits into lo+hi PLANES (Trim
+                # _compress_uint); only the lo plane would sort, pairing
+                # mismatched halves on decode -- silent corruption
+                raise ValueError(
+                    "Sort v1.2 order-free profile cannot encode UNSI "
+                    "fields whose value range exceeds 2^32: the u64 "
+                    "stream splits into lo+hi planes, which is no "
+                    "longer single-plane (use the ranked profile)")
+        if not order_free:
             return super().compress(qf)
-        finally:
-            self._order_free = False
+        # per-call shallow copy: the registry holds ONE shared instance,
+        # and stashing mutable mode state on it would make compress
+        # non-reentrant (a leaked flag emits rank-free streams for data
+        # that needed ranks)
+        import copy
+        enc = copy.copy(self)
+        enc._order_free = True
+        return TrimV1_0.compress(enc, qf)
 
     def _encode_plane(self, bins, depth: int):
         bins = jnp.asarray(bins)

@@ -424,8 +424,10 @@ def _encode_id_batch(ids: np.ndarray, B: int, nb: int, acc, accel: int,
     """``id_sync`` (multihost writer only): the globally-synced
     quantities that make PTID bytes topology-independent -- {"anchor":
     (3,) u64 global element-0 dims, "gmin": (3,) i64 global per-dim
-    unwrapped minima, "mh": the multihost module (for the per-block
-    range-width all-reduce)}.  The u64 unwrap's +L lift cancels
+    unwrapped minima, "shifted": the (3, n) anchored unwrap computed
+    during the sync (reused here; recomputing costs a full device
+    pass), "mh": the multihost module (for the per-block range-width
+    all-reduce)}.  The u64 unwrap's +L lift cancels
     algebraically in the relative bins (rel = shifted - gmin either
     way), so anchor + gmin + a width max-reduce are sufficient for byte
     parity with the single-host writer (round-4 VERDICT weak #5);
@@ -438,11 +440,10 @@ def _encode_id_batch(ids: np.ndarray, B: int, nb: int, acc, accel: int,
             x0g = np.asarray(x0g).astype(np.uint64)  # global per-dim offset
             qd = np.asarray(qdims.astype(jnp.uint32)).reshape(3, B, nb)
         else:
-            import jax as _jax
-            shifted = _id_unwrap_anchored(
-                jnp.asarray(ids, dtype=jnp.uint64), int(acc.width),
-                jnp.asarray(id_sync["anchor"], dtype=jnp.uint64),
-                exempt_first=(_jax.process_index() == 0))
+            # the anchored unwrap was already computed (and device-
+            # resident) in _multihost_id_sync; recomputing it would pay
+            # a second full-array device pass + H2D of the u64 ids
+            shifted = id_sync["shifted"]
             gmin = np.asarray(id_sync["gmin"], dtype=np.int64)
             L = np.int64(acc.width)
             lift = np.where(gmin < 0, L, np.int64(0))
@@ -907,7 +908,8 @@ def _multihost_id_sync(ids: np.ndarray, width: int, mh) -> dict:
         exempt_first=(_jax.process_index() == 0))
     lmin = np.asarray(jnp.min(shifted, axis=1), dtype=np.int64)
     gmin = mh.allgather_i64(lmin).min(axis=0)
-    return {"anchor": anchor, "gmin": gmin, "mh": mh}
+    return {"anchor": anchor, "gmin": gmin, "mh": mh,
+            "shifted": shifted}
 
 
 def decompress_snapshot_multihost(fp: BinaryIO, mesh=None, fields=None,

@@ -663,3 +663,26 @@ def test_coil11_fused_decode_bit_parity():
     for fa, fb in zip(a.fields, b.fields):
         np.testing.assert_array_equal(np.asarray(fa.data),
                                       np.asarray(fb.data))
+
+
+def test_sort_orderfree_rejects_wide_range_unsi():
+    """Order-free + u64 range > 2^32 would split into lo+hi planes and
+    sort only lo -- silent corruption (code-review finding, round 5);
+    must be rejected at compress time."""
+    from minnow_c_tpu import semver as sv
+    rng = np.random.default_rng(12)
+    n = 4096
+    ui = rng.integers(0, 1 << 40, n, dtype=np.int64).astype(np.uint64)
+    hd = mnw.FieldHeader(mnw.FieldCode.UNSI, mnw.AlgoCode.SORT,
+                         sv.pack(1, 2, 1), n)
+    seg = mnw.Seg(fields=[mnw.Field(hd=hd, data=ui,
+                                    acc=mnw.IntAccuracy())])
+    with pytest.raises(ValueError, match="2\\^32"):
+        api.compress_segment(seg, seed=1)
+    # the ranked profile handles the same data losslessly
+    hd2 = mnw.FieldHeader(mnw.FieldCode.UNSI, mnw.AlgoCode.SORT,
+                          sv.pack(1, 2, 0), n)
+    seg2 = mnw.Seg(fields=[mnw.Field(hd=hd2, data=ui,
+                                     acc=mnw.IntAccuracy())])
+    out = api.decompress_segment(api.compress_segment(seg2, seed=1))
+    np.testing.assert_array_equal(np.asarray(out.fields[0].data), ui)
