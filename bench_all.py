@@ -738,9 +738,15 @@ def main():
         'native C++ pack/unpack (byte-identical; zero XLA programs) -- the Octo',
         'Morton plane compiled ~20 per-width device programs at 5-30 s remote',
         'compile each (254 s warm encode in the round-4 record).',
-        'bench_codecs.py records programs_compiled per codec.  Floor: on this',
-        'runtime, cold-cache warm-up = programs x remote-compile latency;',
-        'with the persistent cache primed (any prior run), warm-up is seconds.',
+        'bench_codecs.py records programs_compiled per codec.  Re-measured at',
+        'HEAD with the persistent cache carrying the prior run: trim/diff/cart',
+        'warm up in 11-16 s, coil 22-31, octo 45-110 -- ALL at',
+        'programs_compiled = 0 (the residue is per-program executable upload',
+        'through the remote runtime plus the tunnel-bound first segment), and',
+        "sort v1.2's first-ever encode compiled just 6 new programs (the",
+        'width-diverse rank stream went native).  Floor on this runtime:',
+        'cold warm-up = new programs x remote-compile latency (observed up to',
+        '~60 s each) + executable loads; steady-state segments are seconds.',
         '',
         '**End-to-end codec rows** in bench_kernels.json [codecs] measure the',
         'full segment API on this TUNNEL-bound runtime (100 MB crosses a',

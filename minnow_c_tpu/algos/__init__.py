@@ -12,6 +12,7 @@ from . import algo_diff_v1_0  # noqa: F401  (registers Diff v1.0)
 from . import algo_coil_v1_0  # noqa: F401  (registers Coil v1.0)
 from . import algo_coil_v1_1  # noqa: F401  (registers Coil v1.1)
 from . import algo_octo_v1_0  # noqa: F401  (registers Octo v1.0)
+from . import algo_octo_v1_1  # noqa: F401  (registers Octo v1.1)
 from . import algo_sort_v1_0  # noqa: F401  (registers Sort v1.0)
 from . import algo_sort_v1_1  # noqa: F401  (registers Sort v1.1)
 from . import algo_sort_v1_2  # noqa: F401  (registers Sort v1.2)

@@ -176,8 +176,12 @@ class OctoV1_0(CoilV1_0):
         m = morton3(*cells)
         blocks = [encode_block(meta, 0, self.try_entropy, self.accel)]
         # Morton stream: Coil-style chunked delta coding; store via the
-        # Coil plane encoder (depth arg only caps widths, pass 32).
-        mwords, _ = CoilV1_0._encode_plane(self, m, 32)
+        # plane encoder (depth arg only caps widths, pass 32).  Virtual
+        # dispatch: for OctoV1_0 instances self._encode_plane IS
+        # CoilV1_0._encode_plane (not overridden), so v1.0 bytes are
+        # unchanged (digest-tested); OctoV1_1 redirects to the v1.1
+        # chunk layout.
+        mwords, _ = self._encode_plane(m, 32)
         blocks.append(encode_block(mwords, 0, self.try_entropy, self.accel))
         for i in range(3):
             if lo_bits[i] == 0:
@@ -200,8 +204,7 @@ class OctoV1_0(CoilV1_0):
 
         from .algo_trim_v1_0 import _payload_words
         payload, _, _ = decode_block(blocks[1])
-        m = jnp.asarray(CoilV1_0._decode_plane(
-            self, _payload_words(payload), 0, n))
+        m = jnp.asarray(self._decode_plane(_payload_words(payload), 0, n))
         cells = unmorton3(m)
 
         dims = []

@@ -686,3 +686,40 @@ def test_sort_orderfree_rejects_wide_range_unsi():
                                      acc=mnw.IntAccuracy())])
     out = api.decompress_segment(api.compress_segment(seg2, seed=1))
     np.testing.assert_array_equal(np.asarray(out.fields[0].data), ui)
+
+
+class TestOctoV11:
+    """Octo v1.1: the Morton stream on the v1.1 chunked layout (kernel
+    decode at scale); v1.0 streams stay decodable."""
+
+    def test_newest_resolves_v11(self):
+        from minnow_c_tpu import semver as sv
+        v = registry.newest(mnw.AlgoCode.OCTO)
+        assert (sv.major(v), sv.minor(v)) == (1, 1)
+
+    def test_v10_streams_still_decode(self):
+        import dataclasses
+        from minnow_c_tpu import semver as sv
+        seg, pos, *_ = seg_with(mnw.AlgoCode.OCTO, n=3000)
+        seg = mnw.Seg(fields=[
+            mnw.Field(hd=dataclasses.replace(
+                f.hd, algo_version=sv.pack(1, 0, 0)), data=f.data,
+                acc=f.acc) for f in seg.fields])
+        blob = api.compress_segment(seg, seed=2)
+        out = api.decompress_segment(blob)
+        err = np.abs(np.asarray(out.fields[0].data) - pos)
+        err = np.minimum(err, 64.0 - err)
+        assert err.max() <= 1e-3
+
+    def test_big_chunk_morton_roundtrip(self, monkeypatch):
+        """Force the 16384-chunk Morton stream at test scale; host
+        decode must round-trip (the kernel path is smoke-gated)."""
+        from minnow_c_tpu.algos import algo_coil_v1_1 as c11
+        monkeypatch.setattr(c11, "BIG_PLANE", 30000)
+        seg, pos, vel, ids, uf, ui = seg_with(mnw.AlgoCode.OCTO, n=40000)
+        blob = api.compress_segment(seg, seed=7)
+        out = api.decompress_segment(blob)
+        err = np.abs(np.asarray(out.fields[0].data) - pos)
+        err = np.minimum(err, 64.0 - err)
+        assert err.max() <= 1e-3
+        np.testing.assert_array_equal(np.asarray(out.fields[2].data), ids)

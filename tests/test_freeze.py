@@ -36,6 +36,7 @@ ALGOS = {
     "trim_v1_1": (mnw.AlgoCode.TRIM, _sv.pack(1, 1, 0)),
     "coil_v1_1": (mnw.AlgoCode.COIL, _sv.pack(1, 1, 0)),
     "sort_v1_2": (mnw.AlgoCode.SORT, _sv.pack(1, 2, 0)),
+    "octo_v1_1": (mnw.AlgoCode.OCTO, _sv.pack(1, 1, 0)),
     "cart": (mnw.AlgoCode.CART, _sv.pack(1, 0, 0)),
 }
 
