@@ -36,7 +36,7 @@ ALGOS = [
     ("trim", mnw.AlgoCode.TRIM, semver.pack(1, 0, 0)),
     ("diff", mnw.AlgoCode.DIFF, semver.pack(1, 0, 0)),
     ("coil", mnw.AlgoCode.COIL, semver.pack(1, 1, 0)),
-    ("octo", mnw.AlgoCode.OCTO, semver.pack(1, 0, 0)),
+    ("octo", mnw.AlgoCode.OCTO, semver.pack(1, 1, 0)),
     ("sort", mnw.AlgoCode.SORT, semver.pack(1, 2, 0)),
     ("cart", mnw.AlgoCode.CART, semver.pack(1, 0, 0)),
 ]

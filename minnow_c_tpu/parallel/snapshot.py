@@ -493,16 +493,20 @@ def _encode_id_batch(ids: np.ndarray, B: int, nb: int, acc, accel: int,
 
 
 def _reject_deltas(spec: SnapshotSpec, writer: str) -> None:
-    """The streaming and multihost writers do not carry per-particle
-    deltas yet; fail loudly instead of silently quantizing at a uniform
-    depth (use :func:`compress_snapshot`, which routes Deltas fields
-    through Trim v1.1)."""
+    """A GLOBAL spec-level deltas array is ambiguous for the streaming
+    and multihost writers (they cannot know each wave's/rank's offset
+    into it); fail loudly instead of silently quantizing at a uniform
+    depth.  Use :func:`compress_snapshot` (which slices per block), or
+    for the streaming writer pass per-wave ``pos_deltas``/``vel_deltas``
+    /``mass_deltas`` arrays in each block dict."""
     for name in ("pos", "vel", "mass"):
         acc = getattr(spec, name, None)
         if acc is not None and getattr(acc, "deltas", None) is not None:
             raise ValueError(
-                f"per-particle deltas for {name!r} are supported by "
-                f"compress_snapshot, not {writer}")
+                f"a spec-level per-particle deltas array for {name!r} is "
+                f"not supported by {writer}; use compress_snapshot, or "
+                "per-block '<field>_deltas' entries with the streaming "
+                "writer")
 
 
 def _encode_float_blocks_deltas(arr: np.ndarray, B: int, nb: int, code,
@@ -678,7 +682,11 @@ def compress_snapshot_streaming(fp: BinaryIO, blocks_iter, spec: SnapshotSpec,
     the spec's segment-independence guarantee (header_format.tex:120-135).
 
     ``blocks_iter`` yields dicts with any of ``pos``/``vel`` (3, nb) f32
-    and ``ids`` (nb,) u64 -- the same fields in every block.  Each block
+    and ``ids`` (nb,) u64 -- the same fields in every block.  A block
+    may also carry per-particle accuracies for its own wave
+    (``pos_deltas``/``vel_deltas``/``mass_deltas``, each (nb,) f32):
+    those fields route through Trim v1.1's Deltas coding for that
+    block (the client owns the global->wave slicing).  Each block
     becomes one self-describing segment with its own ranges; pass
     ``depths={"pos": d1, "vel": d2}`` to pin shared bit depths across
     blocks (keeps the batched reader's one-pass decode eligible and the
@@ -697,6 +705,8 @@ def compress_snapshot_streaming(fp: BinaryIO, blocks_iter, spec: SnapshotSpec,
     stats = {"bytes": 0, "num_blocks": 0}
     depths = depths or {}
 
+    import dataclasses
+
     def seg_gen():
         for blk in blocks_iter:
             pos = native_order(blk.get("pos"))
@@ -705,24 +715,42 @@ def compress_snapshot_streaming(fp: BinaryIO, blocks_iter, spec: SnapshotSpec,
             nb = next(a.shape[-1] for a in (pos, vel, ids) if a is not None)
             fields: List[wire.WireField] = []
             geometry = None
+
+            def float_field(arr, code, acc, dkey):
+                """Uniform-depth batch encode, or per-particle Deltas
+                (Trim v1.1) when the block carries a '<name>_deltas'
+                array -- the streaming form of the Deltas plumbing (the
+                client slices its own per-wave accuracies; a GLOBAL
+                spec-level deltas array is still rejected above, since
+                the writer cannot know each wave's global offset)."""
+                bd = native_order(blk.get(dkey))
+                if bd is not None:
+                    acc_b = dataclasses.replace(acc, deltas=bd)
+                    fbl, ver = _encode_float_blocks_deltas(
+                        arr, 1, nb, code, acc_b, seed, accel, scale_mode)
+                    return wire.WireField(int(code), int(AlgoCode.TRIM),
+                                          ver, fbl[0])
+                if code == FieldCode.POSN:
+                    fbl, _ = _encode_pos_batch(
+                        arr, 1, nb, acc, seed, accel,
+                        depth=depths.get("pos"), scale_mode=scale_mode)
+                else:
+                    fbl, _ = _encode_vel_batch(
+                        arr, 1, nb, acc, seed, accel,
+                        depth=depths.get("vel"), scale_mode=scale_mode)
+                return wire.WireField(int(code), int(AlgoCode.TRIM),
+                                      TRIM_VERSION, fbl[0])
+
             if pos is not None:
-                fb, d = _encode_pos_batch(pos, 1, nb, spec.pos, seed,
-                                          accel, depth=depths.get("pos"),
-                                          scale_mode=scale_mode)
-                fields.append(wire.WireField(
-                    int(FieldCode.POSN), int(AlgoCode.TRIM), TRIM_VERSION,
-                    fb[0]))
+                fields.append(float_field(pos, FieldCode.POSN, spec.pos,
+                                          "pos_deltas"))
                 lo = pos.min(axis=1)
                 hi = pos.max(axis=1)
                 geometry = (tuple(float(v) for v in lo),
                             tuple(float(h - l) for h, l in zip(hi, lo)))
             if vel is not None:
-                fb, d = _encode_vel_batch(vel, 1, nb, spec.vel, seed,
-                                          accel, depth=depths.get("vel"),
-                                          scale_mode=scale_mode)
-                fields.append(wire.WireField(
-                    int(FieldCode.VELC), int(AlgoCode.TRIM), TRIM_VERSION,
-                    fb[0]))
+                fields.append(float_field(vel, FieldCode.VELC, spec.vel,
+                                          "vel_deltas"))
             if ids is not None:
                 fb, _ = _encode_id_batch(ids, 1, nb, spec.ids, accel)
                 fields.append(wire.WireField(
@@ -730,12 +758,22 @@ def compress_snapshot_streaming(fp: BinaryIO, blocks_iter, spec: SnapshotSpec,
                     fb[0]))
             mass = native_order(blk.get("mass"))
             if mass is not None:
-                fb, _ = _encode_scalar_float_batch(
-                    mass, 1, nb, spec.mass, seed, accel,
-                    depth=depths.get("mass"), scale_mode=scale_mode)
-                fields.append(wire.WireField(
-                    int(FieldCode.UNSF), int(AlgoCode.TRIM), TRIM_VERSION,
-                    fb[0]))
+                md = native_order(blk.get("mass_deltas"))
+                if md is not None:
+                    acc_b = dataclasses.replace(spec.mass, deltas=md)
+                    fbl, ver = _encode_float_blocks_deltas(
+                        mass, 1, nb, FieldCode.UNSF, acc_b, seed, accel,
+                        scale_mode)
+                    fields.append(wire.WireField(
+                        int(FieldCode.UNSF), int(AlgoCode.TRIM), ver,
+                        fbl[0]))
+                else:
+                    fb, _ = _encode_scalar_float_batch(
+                        mass, 1, nb, spec.mass, seed, accel,
+                        depth=depths.get("mass"), scale_mode=scale_mode)
+                    fields.append(wire.WireField(
+                        int(FieldCode.UNSF), int(AlgoCode.TRIM),
+                        TRIM_VERSION, fb[0]))
             seg = wire.serialize(fields, nb)
             stats["bytes"] += len(seg) + seg_io.IO_HEADER_BYTES
             stats["num_blocks"] += 1

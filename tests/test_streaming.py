@@ -109,3 +109,41 @@ class TestStreamingEncode:
         np.testing.assert_array_equal(da["pos"], db["pos"])
         np.testing.assert_array_equal(da["vel"], db["vel"])
         np.testing.assert_array_equal(da["ids"], db["ids"])
+
+
+def test_streaming_per_wave_deltas():
+    """Per-wave Deltas (round-5): blocks carrying '<field>_deltas'
+    arrays route through Trim v1.1; each particle honors its own bound
+    and the file reads back with decompress_snapshot."""
+    import io as _io
+    import numpy as np
+    import minnow_c_tpu as mnw
+    from minnow_c_tpu.parallel import snapshot
+
+    rng = np.random.default_rng(4)
+    W, nb, waves = 64.0, 4096, 3
+    spec = snapshot.SnapshotSpec(
+        pos=mnw.PositionAccuracy(delta=1e-2, width=W))
+    all_pos, all_del = [], []
+
+    def blocks():
+        for _ in range(waves):
+            pos = rng.uniform(0, W, (3, nb)).astype(np.float32)
+            dl = np.full(nb, 1e-2, np.float32)
+            dl[rng.choice(nb, nb // 8, replace=False)] = 1e-4
+            all_pos.append(pos)
+            all_del.append(dl)
+            yield {"pos": pos, "pos_deltas": dl}
+
+    buf = _io.BytesIO()
+    st = snapshot.compress_snapshot_streaming(buf, blocks(), spec, seed=3)
+    assert st["num_blocks"] == waves
+    buf.seek(0)
+    out = snapshot.decompress_snapshot(buf)
+    pos = np.concatenate(all_pos, axis=1)
+    dl = np.concatenate(all_del)
+    err = np.abs(out["pos"] - pos)
+    err = np.minimum(err, W - err)
+    assert (err <= dl[None, :]).all(), float(err.max())
+    fine = dl == np.float32(1e-4)
+    assert err[:, fine].max() <= 1e-4
