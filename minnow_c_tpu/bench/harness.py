@@ -145,6 +145,13 @@ def run(fn: Callable[[object], object], bytes_per_iter: int,
     salt = jnp.uint32(0)
     out = fn(salt)
     jax.block_until_ready(out)
+    # Re-gate AFTER the first call: compiling fn can take minutes on
+    # this runtime, and the slow mode has been observed to RE-ARM
+    # during exactly that window -- a canary that passed before the
+    # compile does not cover the trials (config4_100M div encode
+    # "measured" 0.1 GB/s this way in round 5; healthy 25+).  Three
+    # fast canary runs cost <0.2 s.
+    _wait_for_fast_mode()
     t_burn = time.perf_counter()
     while time.perf_counter() - t_burn < 3.0:
         out = fn(salt)
