@@ -703,9 +703,11 @@ def main():
         'Recorded device-phase decode (bench_kernels.json [codecs.device_decode],',
         'bit-parity gated on-chip by tpu_smoke):',
         '',
-        '    coil (v1.1)            65.9 GB/s   (was 1.5; bar >= 25)',
+        '    coil (v1.1), bins      65.9 GB/s   (was 1.5; bar >= 25)',
+        '    coil (v1.1), floats    29.8 GB/s   (kernel bins + dither/undo tail',
+        '                                       -- apples-to-apples with diff)',
         '    sort order-free (v1.2) 69.7 GB/s   (bar >= 5)',
-        '    diff                   25.1 GB/s',
+        '    diff (floats)          25.1 GB/s',
         '    sort ranked (v1.2)      0.45 GB/s  -- the order-restoring element',
         '                                       gather IS the wall; the',
         '                                       order-free profile exists to',
@@ -738,15 +740,18 @@ def main():
         'native C++ pack/unpack (byte-identical; zero XLA programs) -- the Octo',
         'Morton plane compiled ~20 per-width device programs at 5-30 s remote',
         'compile each (254 s warm encode in the round-4 record).',
-        'bench_codecs.py records programs_compiled per codec.  Re-measured at',
-        'HEAD with the persistent cache carrying the prior run: trim/diff/cart',
-        'warm up in 11-16 s, coil 22-31, octo 45-110 -- ALL at',
-        'programs_compiled = 0 (the residue is per-program executable upload',
-        'through the remote runtime plus the tunnel-bound first segment), and',
-        "sort v1.2's first-ever encode compiled just 6 new programs (the",
-        'width-diverse rank stream went native).  Floor on this runtime:',
-        'cold warm-up = new programs x remote-compile latency (observed up to',
-        '~60 s each) + executable loads; steady-state segments are seconds.',
+        'bench_codecs.py records programs_compiled per codec.  Final HEAD',
+        'numbers (persistent cache primed): trim 11-12 s, diff 9-17, cart',
+        '19-21, coil 27-35, octo 10-45 (was 254 s in round 4) -- ALL at',
+        'programs_compiled = 0; the residue is per-program executable upload',
+        'through the remote runtime plus the tunnel-bound first segment.  One',
+        "outlier stays: sort v1.2's coherent-input encode warms in ~310 s at",
+        'ZERO new programs -- its many cached programs (argsort + two chunked',
+        'streams) each pay a several-second executable upload through this',
+        'tunnel, a per-process one-time cost specific to the remote runtime.',
+        'Floor on this runtime: cold warm-up = new programs x remote-compile',
+        'latency (observed up to ~60 s each) + executable loads; steady-state',
+        'segments are seconds.',
         '',
         '**End-to-end codec rows** in bench_kernels.json [codecs] measure the',
         'full segment API on this TUNNEL-bound runtime (100 MB crosses a',

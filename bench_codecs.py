@@ -236,6 +236,25 @@ def device_decode_rates():
     out["coil_device_decode_GBps"] = round(r.gb_per_second, 2)
     print(f"coil device decode: {r.gb_per_second:.2f} GB/s", flush=True)
 
+    # coil to FLOATS (apples-to-apples with the diff row, which includes
+    # the dither/undo): kernel bins + the fused-hook undo tail
+    from minnow_c_tpu.algos.algo_coil_v1_1 import _coil11_undo_tail
+
+    @jax.jit
+    def coil_float_step(s, b, wo, bi, fa):
+        bins_d = chunked_pallas.chunked_delta_bins(
+            perturb(b, s), wo, bi, fa, present, KERNEL_CHUNK, n_chunks)
+        return _coil11_undo_tail(bins_d[:n], key, n, 14, 0.0,
+                                 jnp.float32(W), jnp.float32(W), True)
+
+    f_coil_f = chain(coil_float_step)
+    r = harness.run(lambda s: f_coil_f(s, body_d, woff_d,
+                                       jnp.asarray(bidx), first_arr),
+                    bytes_per_iter=n * 4 * CHAIN)
+    out["coil_device_decode_floats_GBps"] = round(r.gb_per_second, 2)
+    print(f"coil device decode (floats): {r.gb_per_second:.2f} GB/s",
+          flush=True)
+
     # Sort v1.2: both profiles.  Order-free (the niche) = ONE fused
     # kernel pass over the sorted-delta stream; ranked additionally
     # pays the order-restoring element gather, which is this chip's
