@@ -311,7 +311,7 @@ def device_decode_rates():
             jnp.asarray(np.asarray([first_s], np.uint32).view(np.int32)),
             dpres, KERNEL_CHUNK, dnch, zigzag=False)[:n]
         rr = chunked_pallas.chunked_delta_bins(
-            rb, rwo_, rbi_,
+            perturb(rb, s), rwo_, rbi_,
             jnp.asarray(np.asarray([ranks[0]], np.uint32).view(np.int32)),
             rpres, KERNEL_CHUNK, rnch, zigzag=True)[:n]
         sorted_vals = jax.lax.optimization_barrier(sorted_vals)

@@ -96,7 +96,8 @@ class SortV1_2(TrimV1_0):
         order_free = semver.patch(qf.hd.algo_version) == ORDER_FREE_PATCH
         if order_free:
             from ..types import FieldCode
-            if np.asarray(qf.data).ndim > 1:
+            if qf.data.ndim > 1:  # .ndim is metadata: np.asarray
+                # would D2H the whole device-resident bins array
                 raise ValueError(
                     "Sort v1.2 order-free profile (patch 1) is for "
                     "single-plane fields only: 3-dim fields sort planes "

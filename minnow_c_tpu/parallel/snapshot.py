@@ -723,34 +723,32 @@ def compress_snapshot_streaming(fp: BinaryIO, blocks_iter, spec: SnapshotSpec,
                 client slices its own per-wave accuracies; a GLOBAL
                 spec-level deltas array is still rejected above, since
                 the writer cannot know each wave's global offset)."""
-                bd = native_order(blk.get(dkey))
+                bd = native_order(blk.get(dkey + "_deltas"))
                 if bd is not None:
                     acc_b = dataclasses.replace(acc, deltas=bd)
                     fbl, ver = _encode_float_blocks_deltas(
                         arr, 1, nb, code, acc_b, seed, accel, scale_mode)
                     return wire.WireField(int(code), int(AlgoCode.TRIM),
                                           ver, fbl[0])
-                if code == FieldCode.POSN:
-                    fbl, _ = _encode_pos_batch(
-                        arr, 1, nb, acc, seed, accel,
-                        depth=depths.get("pos"), scale_mode=scale_mode)
-                else:
-                    fbl, _ = _encode_vel_batch(
-                        arr, 1, nb, acc, seed, accel,
-                        depth=depths.get("vel"), scale_mode=scale_mode)
+                enc = {FieldCode.POSN: _encode_pos_batch,
+                       FieldCode.VELC: _encode_vel_batch,
+                       FieldCode.UNSF: _encode_scalar_float_batch}[code]
+                fbl, _ = enc(arr, 1, nb, acc, seed, accel,
+                             depth=depths.get(dkey),
+                             scale_mode=scale_mode)
                 return wire.WireField(int(code), int(AlgoCode.TRIM),
                                       TRIM_VERSION, fbl[0])
 
             if pos is not None:
                 fields.append(float_field(pos, FieldCode.POSN, spec.pos,
-                                          "pos_deltas"))
+                                          "pos"))
                 lo = pos.min(axis=1)
                 hi = pos.max(axis=1)
                 geometry = (tuple(float(v) for v in lo),
                             tuple(float(h - l) for h, l in zip(hi, lo)))
             if vel is not None:
                 fields.append(float_field(vel, FieldCode.VELC, spec.vel,
-                                          "vel_deltas"))
+                                          "vel"))
             if ids is not None:
                 fb, _ = _encode_id_batch(ids, 1, nb, spec.ids, accel)
                 fields.append(wire.WireField(
@@ -758,22 +756,8 @@ def compress_snapshot_streaming(fp: BinaryIO, blocks_iter, spec: SnapshotSpec,
                     fb[0]))
             mass = native_order(blk.get("mass"))
             if mass is not None:
-                md = native_order(blk.get("mass_deltas"))
-                if md is not None:
-                    acc_b = dataclasses.replace(spec.mass, deltas=md)
-                    fbl, ver = _encode_float_blocks_deltas(
-                        mass, 1, nb, FieldCode.UNSF, acc_b, seed, accel,
-                        scale_mode)
-                    fields.append(wire.WireField(
-                        int(FieldCode.UNSF), int(AlgoCode.TRIM), ver,
-                        fbl[0]))
-                else:
-                    fb, _ = _encode_scalar_float_batch(
-                        mass, 1, nb, spec.mass, seed, accel,
-                        depth=depths.get("mass"), scale_mode=scale_mode)
-                    fields.append(wire.WireField(
-                        int(FieldCode.UNSF), int(AlgoCode.TRIM),
-                        TRIM_VERSION, fb[0]))
+                fields.append(float_field(mass, FieldCode.UNSF,
+                                          spec.mass, "mass"))
             seg = wire.serialize(fields, nb)
             stats["bytes"] += len(seg) + seg_io.IO_HEADER_BYTES
             stats["num_blocks"] += 1
