@@ -237,15 +237,19 @@ def device_decode_rates():
     print(f"coil device decode: {r.gb_per_second:.2f} GB/s", flush=True)
 
     # coil to FLOATS (apples-to-apples with the diff row, which includes
-    # the dither/undo): kernel bins + the fused-hook undo tail
-    from minnow_c_tpu.algos.algo_coil_v1_1 import _coil11_undo_tail
+    # the dither/undo): the whole float decode in ONE kernel pass
+    # (floats mode: in-kernel dither + undo + rewrap)
+    fscal = jnp.stack([jnp.float32(0.0),
+                       jnp.float32(W) / jnp.float32(1 << 14),
+                       jnp.float32(W)])
 
     @jax.jit
     def coil_float_step(s, b, wo, bi, fa):
-        bins_d = chunked_pallas.chunked_delta_bins(
-            perturb(b, s), wo, bi, fa, present, KERNEL_CHUNK, n_chunks)
-        return _coil11_undo_tail(bins_d[:n], key, n, 14, 0.0,
-                                 jnp.float32(W), jnp.float32(W), True)
+        out = chunked_pallas.chunked_delta_bins(
+            perturb(b, s), wo, bi, fa, present, KERNEL_CHUNK, n_chunks,
+            key=jnp.asarray(key, jnp.uint32), fscal=fscal, floats=True,
+            periodic=True)
+        return out[:n]
 
     f_coil_f = chain(coil_float_step)
     r = harness.run(lambda s: f_coil_f(s, body_d, woff_d,

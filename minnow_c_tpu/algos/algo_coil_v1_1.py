@@ -171,8 +171,39 @@ def _coil11_undo_tail(bins, key, n: int, depth: int, x0, dx, box,
     return x
 
 
+_FLOATS_KERNEL_OK = True  # flipped off (per process) if the floats-mode
+# kernel ever fails to compile/run on this chip -- the two-stage path
+# (chip-proven bins kernel + XLA undo tail) is bit-identical, so decode
+# degrades in speed only, never in correctness
+
+
 def _coil11_plane_floats(self, payload_words, key, n: int, depth: int,
                          x0, dx, box, periodic: bool):
+    global _FLOATS_KERNEL_OK
+    raw = np.ascontiguousarray(payload_words).view(np.uint8)
+    n_chunks = int(raw[:4].view(np.uint32)[0])
+    chunk_log2 = int(raw[8])
+    if (_FLOATS_KERNEL_OK and jax.default_backend() == "tpu" and
+            8 <= chunk_log2 <= 17 and
+            (1 << chunk_log2) == chunked_pallas.KERNEL_OK_CHUNK):
+        # full float decode in ONE kernel pass (unpack + unzigzag +
+        # cumsum + dither + undo + rewrap); bit-identical to the
+        # two-stage path below (tests + the tpu_smoke gate)
+        first = int(raw[4:8].view(np.uint32)[0])
+        widths = raw[12:12 + n_chunks].astype(np.uint8)
+        body = raw[12 + n_chunks + ((-n_chunks) % 4):].view(np.uint32)
+        try:
+            return chunked_pallas.decode_chunked_stream_floats(
+                np.ascontiguousarray(body), widths, first,
+                chunked_pallas.KERNEL_OK_CHUNK, n, np.asarray(key),
+                depth, x0, dx, box, periodic)
+        except Exception as exc:  # pragma: no cover - chip-specific
+            import warnings
+            warnings.warn(
+                "chunked floats kernel unavailable on this backend "
+                f"({type(exc).__name__}: {exc}); falling back to the "
+                "two-stage decode for this process")
+            _FLOATS_KERNEL_OK = False
     bins = self._decode_plane(payload_words, 0, n)
     return _coil11_undo_tail(jnp.asarray(bins), key, n, depth, x0, dx,
                              jnp.float32(box), periodic)

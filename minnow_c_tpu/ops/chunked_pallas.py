@@ -40,10 +40,38 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .decode_pallas import _unpack_128
+from .decode_pallas import _threefry13_tile, _unpack_128
 from .scan_pallas import _tile_prefix
 
 KERNEL_OK_CHUNK = 16384  # the only chunk size the Mosaic path supports
+
+
+def _undo_floats_tail(bins, k0, k1, tile0, x0, dx_bin, box,
+                      periodic: bool, M: int):
+    """Dither + bin undo of one chunk's bins (M, 128) row-major ->
+    floats (M, 128).  The math is ``decode_pallas._decode_body`` minus
+    the unpack (bit-identical dither spec: compact (32, M) Threefry
+    counter grid, 16-bit grain static sublane selects); ``tile0`` is
+    the chunk's global element index / 4 as a TRACED i32 (converted to
+    u32 via a VECTOR bitcast -- scalar dtype conversions recurse in
+    Mosaic)."""
+    ctr_i = (jnp.broadcast_to(tile0, (32, M)) +
+             jax.lax.broadcasted_iota(jnp.int32, (32, M), 1) * 32 +
+             jax.lax.broadcasted_iota(jnp.int32, (32, M), 0))
+    ctr = jax.lax.bitcast_convert_type(ctr_i, jnp.uint32)
+    a, b = _threefry13_tile(k0, k1, ctr)                    # (32, M)
+    S = jnp.stack([(a if (l & 3) < 2 else b)[l >> 2] for l in range(128)])
+    liota = jax.lax.broadcasted_iota(jnp.uint32, (128, 1), 0)
+    shc = (liota & jnp.uint32(1)) * jnp.uint32(16)
+    h = (S >> shc) & jnp.uint32(0xFFFF)
+    u = h.astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        1.0 / (1 << 16))
+    bins_lm = bins.T                                        # (128, M)
+    x = x0 + dx_bin * (bins_lm.astype(jnp.int32).astype(jnp.float32) + u)
+    if periodic:
+        x = jnp.where(x >= box, x - box, x)
+        x = jnp.where(x < 0, x + box, x)
+    return x.T                                              # (M, 128)
 
 
 def _chunk_body_vals(scratch_words, width: int, M: int):
@@ -64,10 +92,11 @@ def _chunk_body_vals(scratch_words, width: int, M: int):
     return _unpack_128(w4, width).T            # (M, 128)
 
 
-def _delta_kernel(woff_ref, bidx_ref, body_ref, first_ref, out_ref,
-                  in_scratch, out_scratch, in_sems, out_sems, *,
-                  widths_present, chunk: int, n_chunks: int,
-                  zigzag: bool, prefix: bool):
+def _delta_kernel(woff_ref, bidx_ref, body_ref, first_ref, key_ref,
+                  fscal_ref, out_ref, in_scratch, out_scratch, in_sems,
+                  out_sems, *, widths_present, chunk: int, n_chunks: int,
+                  zigzag: bool, prefix: bool, floats: bool,
+                  periodic: bool):
     """Single-step kernel: fori over chunks with double-buffered in/out
     DMA.  ``widths_present``: static tuple of the distinct widths; the
     per-chunk SMEM table ``bidx_ref`` holds each chunk's index into it.
@@ -75,7 +104,13 @@ def _delta_kernel(woff_ref, bidx_ref, body_ref, first_ref, out_ref,
     prefix value (the stream's element-0 anchor).  ``prefix=False``
     skips the cumsum (plain chunked unpack).  ``body_ref`` is 2D
     (word_rows, 128) and ``woff_ref`` holds ROW offsets (chunk word
-    offsets are multiples of 512, so rows of 128 divide evenly)."""
+    offsets are multiples of 512, so rows of 128 divide evenly).
+
+    ``floats=True`` additionally applies the dither + bin undo
+    (+ optional periodic rewrap) in-kernel -- the whole float-field
+    decode in one pass: ``key_ref`` (2,) SMEM u32 dither key,
+    ``fscal_ref`` (3,) SMEM f32 [x0, dx_bin, box]; output dtype f32.
+    (Bins mode ignores both refs.)"""
     M = chunk // 128
     max_rows = 128  # width <= 32 => at most chunk words = 128 rows
 
@@ -135,6 +170,11 @@ def _delta_kernel(woff_ref, bidx_ref, body_ref, first_ref, out_ref,
             z = _tile_prefix(z) + carry
             carry = carry + total
 
+        if floats:
+            z = _undo_floats_tail(
+                z, key_ref[0], key_ref[1], ci * jnp.int32(chunk // 4),
+                fscal_ref[0], fscal_ref[1], fscal_ref[2], periodic, M)
+
         # the out slot was last used for chunk ci-2; its DMA must have
         # drained before the buffer is overwritten
         @pl.when(ci >= 2)
@@ -163,10 +203,13 @@ def _delta_kernel(woff_ref, bidx_ref, body_ref, first_ref, out_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("widths_present", "chunk", "n_chunks",
-                              "zigzag", "prefix", "interpret"))
+                              "zigzag", "prefix", "floats", "periodic",
+                              "interpret"))
 def chunked_delta_bins(body, woff, bidx, first, widths_present,
                        chunk: int, n_chunks: int, zigzag: bool = True,
-                       prefix: bool = True, interpret: bool = False):
+                       prefix: bool = True, key=None, fscal=None,
+                       floats: bool = False, periodic: bool = False,
+                       interpret: bool = False):
     """Fused chunked-width delta decode.
 
     ``body``: (>= total words + chunk,) u32 packed chunk bodies in
@@ -191,24 +234,37 @@ def chunked_delta_bins(body, woff, bidx, first, widths_present,
         # DMA source)
         raise ValueError(
             f"chunk {chunk}: the kernel requires chunk == 16384")
+    if floats and not prefix:
+        raise ValueError("floats mode implies prefix=True")
+    if key is None:
+        key = jnp.zeros((2,), jnp.uint32)
+    if fscal is None:
+        fscal = jnp.zeros((3,), jnp.float32)
     kernel = functools.partial(
         _delta_kernel,
         widths_present=tuple(int(w) for w in widths_present),
-        chunk=chunk, n_chunks=n_chunks, zigzag=zigzag, prefix=prefix)
+        chunk=chunk, n_chunks=n_chunks, zigzag=zigzag, prefix=prefix,
+        floats=floats, periodic=periodic)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # woff, bidx
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),       # body (HBM)
-            # explicit i*0 index map: the default map returns python-int
-            # 0, which lowers as i64 under x64 and fails to legalize
+            # explicit i*0 index maps: the default map returns
+            # python-int 0, which lowers as i64 under x64 and fails to
+            # legalize
             pl.BlockSpec((1,), lambda i, *_: (i * 0,),
                          memory_space=pltpu.SMEM),      # first (1,)
+            pl.BlockSpec((2,), lambda i, *_: (i * 0,),
+                         memory_space=pltpu.SMEM),      # dither key
+            pl.BlockSpec((3,), lambda i, *_: (i * 0,),
+                         memory_space=pltpu.SMEM),      # x0/dx_bin/box
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # out (HBM)
         scratch_shapes=[
             pltpu.VMEM((2, 128, 128), jnp.uint32),       # in slots (2D)
-            pltpu.VMEM((2, M, 128), jnp.uint32),         # out slots
+            pltpu.VMEM((2, M, 128),
+                       jnp.float32 if floats else jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -221,10 +277,12 @@ def chunked_delta_bins(body, woff, bidx, first, widths_present,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_chunks * M, 128), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks * M, 128),
+            jnp.float32 if floats else jnp.uint32),
         interpret=interpret,
     )((woff // 128).astype(jnp.int32), bidx.astype(jnp.int32),
-      body2, first)
+      body2, first, key.astype(jnp.uint32), fscal.astype(jnp.float32))
     return out.reshape(-1)
 
 
@@ -283,3 +341,45 @@ def body_from_cmajor(cmajor: np.ndarray, width: int, chunk: int
     M = chunk // 128
     return np.ascontiguousarray(
         np.asarray(cmajor).reshape(4 * width, M).T).reshape(-1)
+
+
+def decode_chunked_stream_floats(body, widths, first, chunk: int, n: int,
+                                 key, depth: int, x0, dx, box,
+                                 periodic: bool, zigzag: bool = True,
+                                 interpret: bool = False):
+    """Whole float-field decode in ONE kernel pass: chunked unpack +
+    un-zigzag + cumsum + Threefry dither + bin undo (+ periodic
+    rewrap).  Bit-identical to ``decode_chunked_stream`` followed by
+    the XLA undo tail (algo_coil_v1_1._coil11_undo_tail) -- same dither
+    spec and per-op rounding (tests/test_pallas.py + the tpu_smoke
+    gate).  ``dx`` is the full range; the bin width dx/2^depth is
+    derived here exactly as the XLA tail does."""
+    widths = np.asarray(widths, dtype=np.int64)
+    n_chunks = int(widths.shape[0])
+    if n_chunks == 0:
+        return jnp.zeros((0,), jnp.float32)
+    if int(widths.max(initial=0)) > 32:
+        raise ValueError(
+            f"chunk width {int(widths.max())} > 32 in stream width table")
+    words_per_chunk = (chunk * widths) // 32
+    woff = np.concatenate([[0], np.cumsum(words_per_chunk)[:-1]])
+    present = tuple(sorted(int(w) for w in np.unique(widths)))
+    lut = {w: i for i, w in enumerate(present)}
+    bidx = np.asarray([lut[int(w)] for w in widths], dtype=np.int32)
+    total = int(words_per_chunk.sum())
+    body = jnp.asarray(body)
+    want = -(-(total + chunk) // 128) * 128
+    pad = want - int(body.shape[0])
+    if pad > 0:
+        body = jnp.pad(body, (0, pad))
+    first_arr = jnp.asarray(
+        np.asarray([first], dtype=np.uint64).astype(np.uint32)
+        .view(np.int32))
+    dx_bin = jnp.float32(dx) / jnp.float32(1 << depth)
+    fscal = jnp.stack([jnp.float32(x0), dx_bin, jnp.float32(box)])
+    out = chunked_delta_bins(
+        body, jnp.asarray(woff.astype(np.int32)), jnp.asarray(bidx),
+        first_arr, present, chunk, n_chunks, zigzag=zigzag, prefix=True,
+        key=jnp.asarray(key, dtype=jnp.uint32), fscal=fscal,
+        floats=True, periodic=periodic, interpret=interpret)
+    return out[:n]

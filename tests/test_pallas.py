@@ -453,3 +453,47 @@ class TestEncodeRecipFused:
         np.testing.assert_array_equal(np.asarray(words),
                                       np.zeros_like(np.asarray(words)))
         assert float(np.asarray(mn)[0, 0]) == 7.5
+
+
+class TestChunkedFloatsKernel:
+    """floats mode of the chunked kernel (interpreter): one-pass unpack
+    + cumsum + dither + undo must be bit-identical to the two-stage
+    path (kernel bins + the XLA undo tail)."""
+
+    @pytest.mark.parametrize("periodic", [True, False])
+    def test_matches_two_stage(self, periodic):
+        from minnow_c_tpu.algos.algo_coil_v1_1 import _coil11_undo_tail
+        from minnow_c_tpu.ops import bitpack as bp
+        from minnow_c_tpu.ops import chunked_pallas, kernels
+        from minnow_c_tpu.ops import rng as _rng
+        CH = 16384
+        rng = np.random.default_rng(6)
+        n = 2 * CH + 513
+        depth = 14
+        walk = np.cumsum(rng.integers(-40, 41, n), dtype=np.int64)
+        bins = ((walk - walk.min()) % (1 << depth)).astype(np.uint32)
+        zz = np.asarray(kernels.u32_delta_zigzag(jnp.asarray(bins))).copy()
+        zz[0] = 0
+        first = int(bins[0])
+        n_chunks = -(-n // CH)
+        zp = np.zeros(n_chunks * CH, np.uint32)
+        zp[:n] = zz
+        zc = zp.reshape(n_chunks, CH)
+        widths = np.asarray([int(c.max()).bit_length() for c in zc],
+                            np.uint8)
+        parts = [chunked_pallas.body_to_cmajor(
+            np.asarray(bp.uniform_pack(jnp.asarray(zc[c]),
+                                       int(widths[c]))),
+            int(widths[c]), CH) for c in range(n_chunks) if widths[c]]
+        body = np.concatenate(parts) if parts else np.zeros(0, np.uint32)
+        key = _rng.field_key_arr(99, 1, 2)
+        W, x0, dx = 64.0, 0.25, 63.0
+        got = np.asarray(chunked_pallas.decode_chunked_stream_floats(
+            body, widths, first, CH, n, np.asarray(key), depth, x0, dx,
+            W, periodic, interpret=True))
+        ref_bins = chunked_pallas.decode_chunked_stream(
+            body, widths, first, CH, n, interpret=True)
+        ref = np.asarray(_coil11_undo_tail(
+            jnp.asarray(ref_bins), jnp.asarray(key), n, depth, x0, dx,
+            jnp.float32(W), periodic))
+        np.testing.assert_array_equal(got, ref)

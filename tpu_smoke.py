@@ -404,9 +404,45 @@ def main():
             assert neq(mn1.reshape(-1), mn2) == 0, "mn mismatch"
             assert neq(mx1.reshape(-1), mx2) == 0, "mx mismatch"
 
+    @check("chunked_floats_parity")
+    def c_chunked_floats():
+        """floats mode of the chunked kernel (one-pass unpack + cumsum
+        + dither + undo + rewrap) == kernel bins + the XLA undo tail,
+        bit for bit, on-chip."""
+        from minnow_c_tpu.algos.algo_coil_v1_1 import _coil11_undo_tail
+        from minnow_c_tpu.algos import chunked
+        from minnow_c_tpu.algos.algo_coil_v1_1 import _cmajor_blob
+        from minnow_c_tpu.ops import chunked_pallas, kernels
+        from minnow_c_tpu.ops import rng as rng_mod
+        CH = chunked_pallas.KERNEL_OK_CHUNK
+        n = 2 * CH + 513
+        depth = 14
+        walk = np.cumsum(rng.integers(-40, 41, n), dtype=np.int64)
+        bins = ((walk - walk.min()) % (1 << depth)).astype(np.uint32)
+        zz = np.asarray(kernels.u32_delta_zigzag(jnp.asarray(bins))).copy()
+        zz[0] = 0
+        zc, widths = chunked.chunk_widths(zz, CH)
+        body = np.frombuffer(
+            _cmajor_blob(chunked.pack_chunks(zc, widths), widths, CH),
+            dtype=np.uint32)
+        key = rng_mod.field_key_arr(99, 1, 2)
+        for periodic in (True, False):
+            got = np.asarray(chunked_pallas.decode_chunked_stream_floats(
+                body, widths, int(bins[0]), CH, n, np.asarray(key),
+                depth, 0.25, 63.0, W, periodic))
+            ref_bins = chunked_pallas.decode_chunked_stream(
+                body, widths, int(bins[0]), CH, n)
+            ref = np.asarray(_coil11_undo_tail(
+                jnp.asarray(ref_bins), jnp.asarray(key), n, depth, 0.25,
+                63.0, jnp.float32(W), periodic))
+            assert np.array_equal(got.view(np.uint32),
+                                  ref.view(np.uint32)), \
+                f"periodic={periodic}: " \
+                f"{(got.view(np.uint32) != ref.view(np.uint32)).sum()} off"
+
     for fn in (c_dither, c_decode, c_decode_rows, c_unpack_rows, c_pack,
                c_encode_div, c_encode_recip, c_stats, c_division,
-               c_chunked, c_fused_encode, c_digest):
+               c_chunked, c_fused_encode, c_chunked_floats, c_digest):
         fn()
 
     ok = all(v == "ok" for v in checks.values())
