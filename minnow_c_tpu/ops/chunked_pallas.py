@@ -249,7 +249,7 @@ def chunked_delta_bins(body, woff, bidx, first, widths_present,
         num_scalar_prefetch=2,          # woff, bidx
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # body (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # body (HBM)
             # explicit i*0 index maps: the default map returns
             # python-int 0, which lowers as i64 under x64 and fails to
             # legalize
@@ -260,7 +260,7 @@ def chunked_delta_bins(body, woff, bidx, first, widths_present,
             pl.BlockSpec((3,), lambda i, *_: (i * 0,),
                          memory_space=pltpu.SMEM),      # x0/dx_bin/box
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # out (HBM)
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # out (HBM)
         scratch_shapes=[
             pltpu.VMEM((2, 128, 128), jnp.uint32),       # in slots (2D)
             pltpu.VMEM((2, M, 128),
